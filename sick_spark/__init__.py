@@ -1,0 +1,28 @@
+"""sick_spark — a PySpark-native near-duplicate detection + clustering engine.
+
+A from-scratch reimplementation of the *capabilities* of 7mind/sick
+(content-addressed deduplication of structured data) as a distributed
+pipeline over tables of source-code files ``(repo, path, commit, lang,
+content)``:
+
+* exact-duplicate collapse via sha256 content addressing — the Spark
+  analogue of SICK's hash-consed node identity
+  (reference: ``json-sick-scala/.../eba/builder/DeduplicatingRefTableBuilder.scala:17-26``)
+* JSON-aware shingling — the analogue of SICK's bottom-up JSON traversal
+  (reference: ``json-sick-scala/.../sickcirce/CirceTraverser.scala:72-183``)
+* MinHash/SimHash signatures + LSH band hashing — the analogue of SICK's
+  KHash bucket skip-index, generalized from exact to approximate identity
+  (reference: ``json-sick-scala/.../eba/writer/codecs/EBACodecs.scala:517-604``)
+* connected-components clustering (large-star/small-star) — the analogue of
+  SICK's multi-root packing over one shared interned store
+  (reference: ``json-sick-scala/.../SICK.scala:19-27``)
+
+Everything is DataFrame programs + vectorized Arrow UDFs; no per-row Python,
+no RDDs, no custom Catalyst rules.
+"""
+
+from sick_spark.config import DedupConfig
+from sick_spark.session import get_spark
+
+__all__ = ["DedupConfig", "get_spark"]
+__version__ = "0.1.0"

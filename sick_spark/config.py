@@ -1,0 +1,67 @@
+"""Pipeline configuration.
+
+The (bands, rows) pair is *derived* from the target Jaccard threshold via the
+LSH S-curve, not hard-coded (SURVEY.md §7 "Recall >=0.99"), mirroring how the
+reference derives its object-index bucket count from settings
+(``json-sick-scala/.../eba/SICKSettings.scala:3-15``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+def derive_bands(n_perms: int, threshold: float, target_recall: float = 0.99) -> tuple[int, int]:
+    """Pick (bands b, rows r) with b*r == n_perms maximizing precision subject
+    to recall >= target at the given Jaccard threshold.
+
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b.  We want the largest r (fewest
+    false candidates) whose recall at ``threshold`` still meets the target.
+    """
+    best = (n_perms, 1)  # r=1: maximal recall fallback
+    for r in range(1, n_perms + 1):
+        if n_perms % r:
+            continue
+        b = n_perms // r
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= target_recall:
+            best = (b, r)  # keep increasing r while recall holds
+    return best
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """The "identical shingle/signature config" knob from the north rule.
+
+    Two runs with equal DedupConfig must produce identical cluster
+    assignments (determinism is a core semantic of the reference: identical
+    values always intern to identical refs,
+    ``DeduplicatingRefTableBuilder.scala:17-26``).
+    """
+
+    shingle_k: int = 3                # tokens per shingle
+    n_perms: int = 128                # MinHash signature length
+    jaccard_threshold: float = 0.5    # near-dup verification threshold
+    target_recall: float = 0.99       # drives (bands, rows) derivation
+    seed: int = 42                    # all hashing derives from this
+    max_bucket: int = 2000            # LSH bucket cap (pairs explode as m^2)
+    salt_buckets: int = 8             # salt factor for hot exact-hash keys
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 3
+    max_cc_iterations: int = 50
+    minhash_impl: str = "sql"         # "sql" (JVM codegen) | "pandas" (Arrow)
+    json_aware: bool = True           # structural shingles when lang == 'json'
+    partialdup_max_chars: int = 8192  # cap per-doc chars for suffix stage
+
+    bands: int = field(init=False, default=0)
+    rows: int = field(init=False, default=0)
+
+    def __post_init__(self) -> None:
+        b, r = derive_bands(self.n_perms, self.jaccard_threshold, self.target_recall)
+        object.__setattr__(self, "bands", b)
+        object.__setattr__(self, "rows", r)
+        if self.bands * self.rows != self.n_perms:
+            raise ValueError("bands*rows must equal n_perms")
+
+    def expected_recall(self, s: float) -> float:
+        return 1.0 - (1.0 - s**self.rows) ** self.bands

@@ -1,0 +1,126 @@
+"""Corpus synthesis + adapters to the north-rule input shape.
+
+The pipeline input is an Iceberg-style table of source-code files with
+columns ``(repo, path, commit, lang, content)`` (BASELINE.json input_hint).
+Two providers:
+
+* :func:`synthetic_corpus` — deterministic seeded generator with *planted*
+  exact duplicates, near duplicates (token mutations), and JSON-lang rows.
+  This mirrors the reference's fixture strategy: small corpora whose dedup
+  structure is known in advance (``samples/event.json`` is "many
+  near-identical objects", SURVEY.md §5).
+* :func:`corpus_from_documents` — adapts the driver-generated
+  ``documents.parquet`` (doc_id, text, lang, source, n_chars) into the same
+  shape so every operator runs on driver data too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+_VOCAB = (
+    "def class return import for while if else try except lambda yield async "
+    "await with open print range len dict list set tuple int str float self "
+    "value key table row scan join merge batch stream window agg sort hash"
+).split()
+
+
+def synthetic_corpus(
+    spark: SparkSession,
+    n_files: int = 400,
+    seed: int = 42,
+    dup_fraction: float = 0.15,
+    neardup_fraction: float = 0.20,
+    json_fraction: float = 0.15,
+    tokens_per_file: int = 120,
+    mutation_rate: float = 0.05,
+) -> DataFrame:
+    """Deterministic corpus with known ground truth.
+
+    Returns a DataFrame in CORPUS_SCHEMA. Planted structure:
+    - ``dup_fraction`` of files are byte-exact copies of earlier files under a
+      different (repo, path, commit) — exercised by exact-dup collapse (E1/E7
+      analogue).
+    - ``neardup_fraction`` are token-level mutations of earlier files at
+      ``mutation_rate`` — exercised by MinHash/LSH.
+    - ``json_fraction`` are JSON documents (near-dups mutate leaf values) —
+      exercised by JSON-aware shingling (E4 analogue).
+    """
+    rng = random.Random(seed)
+    rows: list[tuple[str, str, str, str, str]] = []
+    originals: list[tuple[str, str]] = []  # (lang, content)
+
+    def commit_of(content: str, i: int) -> str:
+        return hashlib.sha1(f"{seed}:{i}:{len(content)}".encode()).hexdigest()[:12]
+
+    for i in range(n_files):
+        roll = rng.random()
+        if originals and roll < dup_fraction:
+            lang, content = originals[rng.randrange(len(originals))]
+        elif originals and roll < dup_fraction + neardup_fraction:
+            lang, base = originals[rng.randrange(len(originals))]
+            content = _mutate(base, lang, mutation_rate, rng)
+        else:
+            if rng.random() < json_fraction:
+                lang, content = "json", _gen_json(rng)
+            else:
+                lang = rng.choice(["py", "scala", "go"])
+                content = " ".join(rng.choice(_VOCAB) for _ in range(tokens_per_file))
+            originals.append((lang, content))
+        repo = f"org/repo{rng.randrange(20)}"
+        path = f"src/file_{i}.{lang}"
+        rows.append((repo, path, commit_of(content, i), lang, content))
+
+    return spark.createDataFrame(rows, CORPUS_SCHEMA)
+
+
+def _mutate(content: str, lang: str, rate: float, rng: random.Random) -> str:
+    if lang == "json":
+        try:
+            obj = json.loads(content)
+            for k in list(obj):
+                if isinstance(obj[k], int) and rng.random() < rate * 4:
+                    obj[k] = obj[k] + 1
+            return json.dumps(obj, sort_keys=True)
+        except ValueError:
+            pass
+    toks = content.split()
+    out = [rng.choice(_VOCAB) if rng.random() < rate else t for t in toks]
+    return " ".join(out)
+
+
+def _gen_json(rng: random.Random) -> str:
+    obj = {
+        f"k{j}": rng.choice(
+            [rng.randrange(1000), rng.choice(_VOCAB), [rng.randrange(10) for _ in range(3)]]
+        )
+        for j in range(rng.randrange(4, 10))
+    }
+    return json.dumps(obj, sort_keys=True)
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → (repo, path, commit, lang, content)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("text").cast("binary"), 256).substr(1, 12).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

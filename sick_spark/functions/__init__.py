@@ -1,0 +1,15 @@
+from sick_spark.functions.text import (
+    content_key,
+    token_shingles,
+    tokens,
+    with_shingle_hashes,
+    with_token_shingle_hashes,
+)
+
+__all__ = [
+    "content_key",
+    "token_shingles",
+    "tokens",
+    "with_shingle_hashes",
+    "with_token_shingle_hashes",
+]

@@ -1,0 +1,142 @@
+"""Text decomposition: tokenization, shingling, content addressing.
+
+Design rule: everything that *can* stay JVM-side does — tokenize/shingle/hash
+are pure Catalyst expressions inside whole-stage codegen. The only Python is
+the JSON-aware structural shingler (Arrow-batched pandas UDF), mirroring the
+reference's JSON traversal which decomposes a document into its constituent
+nodes so identical subtrees share identity
+(``json-sick-scala/.../sickcirce/CirceTraverser.scala:72-183``).
+
+Content addressing: ``sha256(content)`` is our Ref — the reference interns a
+value and addresses it by table index
+(``DeduplicatingRefTableBuilder.scala:17-26``); we address by content hash so
+identity is stable across partitions, retries and runs (SURVEY.md §4
+"Deterministic surrogate ids").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def content_key(col: str | Column = "content") -> Column:
+    """sha256 hex of the content — the exact-duplicate identity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("binary"), 256)
+
+
+def tokens(col: str | Column = "content") -> Column:
+    """Whitespace tokenization (JVM-side split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_shingles(tokens_col: str | Column, k: int) -> Column:
+    """Distinct k-gram shingles over a token array. Pure Catalyst:
+    ``transform(sequence(...))`` stays in whole-stage codegen; documents
+    shorter than k collapse to one whole-document shingle so they still
+    participate in dedup."""
+    t = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    name = "__t"
+    # build shingles w[i..i+k-1]; guard size < k
+    joined = F.expr(
+        f"transform(sequence(0, greatest(size({name}) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice({name}, i + 1, {k})))"
+    )
+    return F.array_distinct(joined).alias("shingles")
+
+
+def shingle_hash_col(shingles_col: str | Column) -> Column:
+    """64-bit hash per shingle (xxhash64, JVM-side)."""
+    s = shingles_col if isinstance(shingles_col, Column) else F.col(shingles_col)
+    return F.transform(s, lambda x: F.xxhash64(x))
+
+
+def with_token_shingle_hashes(df: DataFrame, content: str, k: int, out: str = "shingle_hashes") -> DataFrame:
+    """content → distinct int64 shingle hashes, all JVM-side."""
+    return (
+        df.withColumn("__t", tokens(content))
+        .withColumn(
+            out,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(__t) - {k}, 0)), "
+                    f"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, {k}))))"
+                )
+            ),
+        )
+        .drop("__t")
+    )
+
+
+def _hash64(s: str) -> int:
+    """Stable signed 64-bit hash (blake2b-8) for Python-side structural shingles."""
+    v = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _json_nodes(value, out: list[str], path: str = "$") -> str:
+    """Bottom-up canonicalization: every node emits its canonical string, so
+    two documents sharing a subtree share a shingle — the Spark analogue of
+    SICK interning children before parents (``CirceTraverser.scala:72-183``).
+    Numeric canonicalization mirrors SICK's narrowing (``:88-155``): ints stay
+    ints, floats are repr'd canonically so 1.5 == 1.5 regardless of source.
+    """
+    if isinstance(value, dict):
+        parts = {k: _json_nodes(v, out, f"{path}.{k}") for k, v in sorted(value.items())}
+        canon = "{" + ",".join(f"{json.dumps(k)}:{v}" for k, v in parts.items()) + "}"
+    elif isinstance(value, list):
+        items = [_json_nodes(v, out, f"{path}[{i}]") for i, v in enumerate(value)]
+        canon = "[" + ",".join(items) + "]"
+    elif isinstance(value, bool) or value is None:
+        canon = json.dumps(value)
+    elif isinstance(value, int):
+        canon = str(value)
+    elif isinstance(value, float):
+        canon = repr(value)
+    else:
+        canon = json.dumps(value, ensure_ascii=False)
+    # key the shingle by (path-tail, canon) so position context participates,
+    # but identical subtrees at identical keys still dedup across docs
+    out.append(f"{path.rsplit('.', 1)[-1]}={canon}")
+    return canon
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def json_structural_shingles(content: pd.Series) -> pd.Series:
+    """Arrow-batched structural shingler for ``lang='json'`` rows.
+
+    Falls back to whole-string shingle on parse failure (a malformed JSON
+    file is still dedupable by exact content).
+    """
+
+    def one(text: str) -> list[int]:
+        try:
+            obj = json.loads(text)
+        except (ValueError, TypeError):
+            return [_hash64(text if isinstance(text, str) else "")]
+        nodes: list[str] = []
+        _json_nodes(obj, nodes)
+        return sorted({_hash64(n) for n in nodes})
+
+    return content.map(one)
+
+
+def with_shingle_hashes(df: DataFrame, k: int, json_aware: bool = True, out: str = "shingle_hashes") -> DataFrame:
+    """Dispatch: token k-grams for code, structural nodes for lang='json'.
+
+    Split + union keeps the Arrow UDF off the (vastly larger) code partition
+    — at 100 TB the JSON slice is the only Python hop.
+    """
+    if not json_aware:
+        return with_token_shingle_hashes(df, "content", k, out)
+    is_json = F.col("lang") == F.lit("json")
+    code = with_token_shingle_hashes(df.where(~is_json), "content", k, out)
+    js = df.where(is_json).withColumn(out, json_structural_shingles(F.col("content")))
+    return code.unionByName(js)

@@ -1,0 +1,72 @@
+"""Per-stage, per-partition lineage + metrics (north rule requirement).
+
+Analogue of the reference's opt-in profiler (``Format/ISickProfiler.cs``)
+and per-table summary (``EBAStructure.scala:38-41``), but distributed: each
+stage records wall time, row count, and a per-partition row histogram
+(skew visibility — the number the KHash bucket index exists to control).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import spark_partition_id
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    rows: int
+    wall_sec: float
+    partitions: int
+    max_partition_rows: int
+    min_partition_rows: int
+    skew_ratio: float  # max / mean partition rows
+
+
+@dataclass
+class MetricsCollector:
+    run_id: str = "run"
+    stages: list[StageMetric] = field(default_factory=list)
+
+    def record(self, stage: str, df: DataFrame, wall_sec: float | None = None) -> StageMetric:
+        t0 = time.time()
+        per_part = (
+            df.groupBy(spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("n").alias("rows"),
+                F.count(F.lit(1)).alias("parts"),
+                F.max("n").alias("mx"),
+                F.min("n").alias("mn"),
+                F.avg("n").alias("mean"),
+            )
+            .collect()
+        )
+        if per_part and per_part[0]["rows"] is not None:
+            r = per_part[0]
+            m = StageMetric(
+                stage=stage,
+                rows=int(r["rows"]),
+                wall_sec=round(wall_sec if wall_sec is not None else time.time() - t0, 3),
+                partitions=int(r["parts"]),
+                max_partition_rows=int(r["mx"]),
+                min_partition_rows=int(r["mn"]),
+                skew_ratio=round(float(r["mx"]) / max(float(r["mean"]), 1e-9), 3),
+            )
+        else:
+            m = StageMetric(stage, 0, 0.0, 0, 0, 0, 0.0)
+        self.stages.append(m)
+        return m
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"run_id": self.run_id, "stages": [vars(s) for s in self.stages]}, indent=2
+        )
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())

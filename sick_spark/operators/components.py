@@ -1,0 +1,104 @@
+"""Connected components via alternating large-star / small-star joins.
+
+Resolves verified duplicate pairs into clusters — the analogue of SICK's
+multi-root packing where many named roots resolve into one shared identity
+space (``SICK.scala:19-27``). Algorithm: Kiveris et al., "Connected
+Components in MapReduce and Beyond" (the two-phase alternating algorithm;
+see PAPERS.md) — converges in O(log^2 n) rounds, every round is a groupBy
+(min) + an equi-join, no driver-side state beyond the convergence
+fingerprint.
+
+Scale notes:
+* node ids are content shas (strings): collision-free at 10^12 nodes, unlike
+  a 64-bit rehash; ``min`` is lexicographic and deterministic.
+* ``localCheckpoint(eager=True)`` per round cuts the lineage chain
+  (iterative joins otherwise re-derive the whole history each round).
+* convergence is detected by an order-independent edge-set fingerprint
+  (count + sum of xxhash64(src,dst)) — one tiny aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _neighborhood_min(edges: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) over directed edges (src -> dst)."""
+    return edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u)."""
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    m = _neighborhood_min(bidir)
+    return (
+        bidir.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient u >= v, connect all smaller neighbors (and u) to m(u)."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    m = _neighborhood_min(oriented)
+    joined = oriented.join(m, "src")
+    to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edge = joined.select("src", F.col("m").alias("dst"))
+    return to_min.union(self_edge).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: order-independent and overflow-safe under ANSI mode
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id_a, id_b) undirected pair list → (id, component) assignment where
+    component = min node id of the cluster. Singletons are NOT included —
+    union the full id universe downstream (left join + coalesce(component,
+    id))."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # at fixpoint every edge is (node -> its component min)
+    assign = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = edges.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
+    return assign.union(roots).groupBy("id").agg(F.min("component").alias("component"))
+
+
+def attach_components(
+    universe: DataFrame, components: DataFrame, id_col: str = "sha"
+) -> DataFrame:
+    """Every id gets a cluster: members of no pair become their own
+    singleton component (coalesce to self)."""
+    c = components.withColumnRenamed("id", id_col)
+    return universe.join(c, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )

@@ -1,0 +1,65 @@
+"""Exact-duplicate collapse by sha256 content addressing.
+
+This is SICK's interning primitive (E1, ``DeduplicatingRefTableBuilder.scala:
+17-26``) + multi-root packing (E7, ``SICK.scala:19-27``) expressed in Spark:
+
+* ``roots``  — every (repo, path, commit) keeps a row pointing at its content
+  sha (the reference keeps every named root; only the *value store* dedups,
+  ``README.md:571-587``).
+* ``store``  — one representative row per sha (``dropDuplicates`` on the
+  content key → partial+final hash aggregate, map-side combined by Catalyst).
+* dedup-ratio accounting — per-value reference counts, the analogue of the
+  C# ``Bijection._counters`` frequency map (``Encoder/Bijection.cs:74,106-109``).
+
+Scale note: collapsing exact dups FIRST bounds every downstream stage — the
+hot keys at 10^12 files are byte-identical files (empty files, licenses), and
+they become single representatives before MinHash ever runs (SURVEY.md §7
+"Hot-key skew").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sick_spark.functions.text import content_key
+
+
+def with_content_sha(df: DataFrame, out: str = "sha") -> DataFrame:
+    return df.withColumn(out, content_key("content"))
+
+
+def exact_dedup(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (roots, store).
+
+    roots: (repo, path, commit, lang, sha)          — all input rows
+    store: (sha, lang, content, ref_count)          — one row per distinct sha
+    """
+    roots = with_content_sha(df).select("repo", "path", "commit", "lang", "sha")
+    hashed = with_content_sha(df)
+    counts = hashed.groupBy("sha").agg(F.count(F.lit(1)).alias("ref_count"))
+    store = (
+        hashed.select("sha", "lang", "content")
+        .dropDuplicates(["sha"])
+        .join(counts, "sha")  # sha is high-cardinality: shuffle hash join; AQE coalesces
+    )
+    return roots, store
+
+
+def dedup_ratio(roots: DataFrame, store: DataFrame) -> DataFrame:
+    """Storage accounting, analogue of the reference printing raw vs dedup'd
+    sizes (``EBAReaderWriterTest.scala:95-103``)."""
+    total = roots.agg(
+        F.count(F.lit(1)).alias("total_files"),
+    )
+    uniq = store.agg(
+        F.count(F.lit(1)).alias("unique_files"),
+        F.sum(F.length("content")).alias("unique_bytes"),
+    )
+    joined = total.crossJoin(uniq)
+    return joined.select(
+        "total_files",
+        "unique_files",
+        "unique_bytes",
+        (F.col("total_files") - F.col("unique_files")).alias("exact_dup_files"),
+        F.round(F.col("total_files") / F.col("unique_files"), 6).alias("dedup_ratio"),
+    )

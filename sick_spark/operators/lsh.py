@@ -1,0 +1,100 @@
+"""LSH banding over MinHash signatures → candidate pairs.
+
+Banding is the reference's KHash idea at corpus scale: hash into a bounded
+bucket, then only scan within the bucket (``EBACodecs.scala:517-604``,
+probe ``OneObjTable.scala:44-107``). Here a bucket is (band_index,
+xxhash64(signature[band])) and the "scan" is a per-band self-equi-join.
+
+Skew handling (explicit, per the north rule — AQE skew-join alone is not
+enough because pair fan-out is quadratic in bucket size):
+
+1. exact dups were collapsed upstream, so byte-identical mega-keys are gone;
+2. buckets larger than ``cfg.max_bucket`` are *salted*: members split into
+   ``cfg.salt_buckets`` deterministic sub-buckets (keyed on content sha, never
+   rand() — retries must be stable, SURVEY.md §4) and pairs generate within a
+   sub-bucket only;
+3. nothing is silently dropped — :func:`bucket_stats` reports hot buckets and
+   the cross-salt pair count forgone, and hot-bucket members are still fully
+   covered by the other b-1 bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sick_spark.config import DedupConfig
+
+
+def band_keys(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", sig: str = "minhash") -> DataFrame:
+    """(id, band, bh): one row per (document, band); bh = xxhash64 of the
+    band's signature slice (hashing an ARRAY<BIGINT> is a single JVM
+    HashExpression — no string concat)."""
+    b, r = cfg.bands, cfg.rows
+    bands = F.expr(
+        f"transform(sequence(0, {b - 1}), "
+        f"j -> named_struct('band', j, 'bh', xxhash64(slice({sig}, j * {r} + 1, {r}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(bands).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
+
+
+def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Per-bucket membership counts + overflow accounting (no silent caps)."""
+    return (
+        bands.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .withColumn("is_hot", F.col("members") > F.lit(cfg.max_bucket))
+        .withColumn(
+            "pairs_full", (F.col("members") * (F.col("members") - 1) / 2).cast("long")
+        )
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Self-join per (band, bh) bucket → distinct candidate (id_a < id_b).
+
+    Hot buckets get a deterministic salt column so the join key becomes
+    (band, bh, salt): fan-out per key drops from m^2 to (m/s)^2 * s.
+    """
+    stats = bucket_stats(bands, cfg)
+    keyed = bands.join(stats.select("band", "bh", "is_hot"), ["band", "bh"])
+    keyed = keyed.withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(cfg.seed)), F.lit(cfg.salt_buckets)),
+        ).otherwise(F.lit(0)),
+    )
+    a = keyed.select(
+        F.col("band"), F.col("bh"), F.col("salt"), F.col("id").alias("id_a")
+    )
+    b = keyed.select(
+        F.col("band"), F.col("bh"), F.col("salt"), F.col("id").alias("id_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bh", "salt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def overflow_report(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Pairs forgone to salting: hot buckets lose ~(1 - 1/s) of their
+    intra-bucket pairs in THIS band (they may still be caught by other
+    bands). Reported, never silent (SURVEY.md §4.4)."""
+    s = cfg.salt_buckets
+    return (
+        bucket_stats(bands, cfg)
+        .where(F.col("is_hot"))
+        .select(
+            "band",
+            "bh",
+            "members",
+            "pairs_full",
+            (F.col("pairs_full") * (1 - 1.0 / s)).cast("long").alias("pairs_forgone_est"),
+        )
+    )

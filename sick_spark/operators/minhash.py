@@ -1,0 +1,79 @@
+"""MinHash signatures over shingle-hash arrays.
+
+Two interchangeable backends (bench.py compares them):
+
+* ``sql``    — pure Catalyst: ``transform(sequence(0, n-1), i ->
+  array_min(transform(hashes, h -> xxhash64(h, i))))``. Whole-stage codegen,
+  zero Python, zero shuffle. The per-permutation hash family is
+  xxhash64(h, perm_index) — independent 64-bit hashes per permutation.
+* ``pandas`` — Arrow-batched numpy (the north-rule's "batched MinHash
+  signatures via vectorized pandas/Arrow UDFs"): multiply-shift family
+  ``(a_i * h + b_i) mod 2^64`` with odd ``a_i`` drawn from a seeded PCG64,
+  min over the shingle axis, one matrix op per document.
+
+Both are deterministic for a fixed DedupConfig (the reference's determinism
+contract: identical values → identical refs, ``DeduplicatingRefTableBuilder.
+scala:17-26``). Signatures from the two backends are NOT interchangeable —
+pick one per run; cluster assignments are invariant either way because pairs
+are verified with exact Jaccard downstream.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from sick_spark.config import DedupConfig
+
+
+def minhash_sql(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
+    n = cfg.n_perms
+    return df.withColumn(
+        out,
+        F.expr(
+            f"transform(sequence(0, {n - 1}), "
+            f"i -> array_min(transform({hashes}, h -> xxhash64(h, i + {cfg.seed}))))"
+        ),
+    )
+
+
+@lru_cache(maxsize=8)
+def _perm_params(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 62, size=n_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=n_perms, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_pandas_udf(cfg: DedupConfig):
+    n_perms, seed = cfg.n_perms, cfg.seed
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_batch(hashes: pd.Series) -> pd.Series:
+        a, b = _perm_params(n_perms, seed)
+
+        def one(hs) -> list[int]:
+            if hs is None or len(hs) == 0:
+                return [0] * n_perms
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # (n_perms, n_shingles) multiply-shift, wraparound mod 2^64
+            m = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            return m.astype(np.int64).tolist()
+
+        return hashes.map(one)
+
+    return minhash_batch
+
+
+def minhash_pandas(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
+    return df.withColumn(out, make_minhash_pandas_udf(cfg)(F.col(hashes)))
+
+
+def minhash_signatures(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
+    if cfg.minhash_impl == "pandas":
+        return minhash_pandas(df, cfg, hashes, out)
+    return minhash_sql(df, cfg, hashes, out)

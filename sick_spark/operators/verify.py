@@ -1,0 +1,37 @@
+"""Candidate verification: exact Jaccard on shingle-hash sets.
+
+The reference verifies identity by byte equality after round-trip
+(``EBAReaderWriterTest.scala:67-72``); near-dup verification generalizes
+that to set overlap. JVM-side: ``array_intersect`` over pre-sorted distinct
+int64 arrays inside whole-stage codegen — no Python, no re-shingling.
+
+The pairs→shingles join is two shuffle hash joins on the content sha; the
+shingle table was already partitioned by sha upstream, so AQE reuses the
+exchange where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "sha",
+    hashes: str = "shingle_hashes",
+) -> DataFrame:
+    """(id_a, id_b) + shingle table → (id_a, id_b, intersect_n, union_n,
+    jaccard) filtered to jaccard >= threshold."""
+    sh = shingled.select(F.col(id_col).alias("__vid"), F.col(hashes).alias("__vh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vh", "h_a"), "id_a")
+        .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vh", "h_b"), "id_b")
+        .withColumn("intersect_n", F.size(F.array_intersect("h_a", "h_b")))
+        .withColumn("union_n", F.size("h_a") + F.size("h_b") - F.col("intersect_n"))
+        .withColumn("jaccard", F.col("intersect_n") / F.col("union_n"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "intersect_n", "union_n", "jaccard")
+    )
+    return out

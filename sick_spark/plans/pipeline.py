@@ -1,0 +1,126 @@
+"""End-to-end dedup pipeline: sha collapse → shingle → MinHash → LSH →
+verify → connected components → cluster table.
+
+Stage layering mirrors the reference's encode path (``SICK.packJson``,
+SURVEY.md §3.1): intern primitives first (exact sha collapse), then
+composites reference them (near-dup stages run on one representative per
+sha). Each stage checkpoints into the Warehouse so a killed run resumes at
+the last completed stage (north rule).
+
+Dataflow & shuffle budget (the plan you'd want at 100 TB):
+  input ──sha──► roots (narrow)          ──► ckpt
+        └─────► store  (1 shuffle: dedup agg)   ──► ckpt
+  store ──shingle/minhash (narrow, codegen)     ──► ckpt signatures
+  signatures ──explode bands (narrow) ──self-join (1 shuffle on band key)
+             ──distinct pairs (1 shuffle)        ──► ckpt pairs
+  pairs ──verify (2 shuffle joins vs signatures)──► ckpt verified
+  verified ──CC loop (groupBy+join per round, localCheckpoint) ─► ckpt components
+  roots × components (1 broadcast-or-shuffle join) ─► clusters
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sick_spark.config import DedupConfig
+from sick_spark.functions.text import with_shingle_hashes
+from sick_spark.metrics import MetricsCollector
+from sick_spark.operators.components import attach_components, connected_components
+from sick_spark.operators.exact_dedup import dedup_ratio, exact_dedup
+from sick_spark.operators.lsh import band_keys, candidate_pairs, overflow_report
+from sick_spark.operators.minhash import minhash_signatures
+from sick_spark.operators.simhash import simhash_fingerprints
+from sick_spark.operators.verify import verify_pairs
+from sick_spark.sources.io import Warehouse
+
+
+@dataclass
+class PipelineResult:
+    roots: DataFrame        # (repo, path, commit, lang, sha)
+    store: DataFrame        # (sha, lang, content, ref_count)
+    signatures: DataFrame   # (sha, shingle_hashes, minhash, simhash)
+    pairs: DataFrame        # LSH candidates (id_a, id_b)
+    verified: DataFrame     # (id_a, id_b, intersect_n, union_n, jaccard)
+    components: DataFrame   # (sha, component)
+    clusters: DataFrame     # roots + component + is_exact_dup
+    stats: DataFrame        # dedup ratio accounting
+    wall_sec: float
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfg: DedupConfig | None = None,
+    warehouse: Warehouse | None = None,
+    metrics: MetricsCollector | None = None,
+    with_simhash: bool = False,
+) -> PipelineResult:
+    cfg = cfg or DedupConfig()
+    t_start = time.time()
+
+    def ckpt(df: DataFrame, stage: str) -> DataFrame:
+        t0 = time.time()
+        if warehouse is not None:
+            if warehouse.is_complete(stage):
+                return warehouse.read(spark, stage)
+            out = warehouse.write(df, stage)
+        else:
+            out = df.localCheckpoint(eager=True)
+        if metrics is not None:
+            metrics.record(stage, out, wall_sec=time.time() - t0)
+        return out
+
+    # 1. exact collapse (E1/E7 analogue) — near-dup stages see one row per sha
+    roots, store = exact_dedup(corpus)
+    roots = ckpt(roots, "roots")
+    store = ckpt(store, "store")
+
+    # 2. shingle + signatures: narrow, whole-stage codegen (+ Arrow for json rows)
+    sig = with_shingle_hashes(store.select("sha", "lang", "content"), cfg.shingle_k, cfg.json_aware)
+    sig = minhash_signatures(sig, cfg)
+    if with_simhash:
+        sig = simhash_fingerprints(sig)
+    sig = ckpt(sig.drop("content"), "signatures")
+
+    # 3. LSH banding → candidate pairs (salted hot buckets)
+    bands = band_keys(sig, cfg)
+    pairs = ckpt(candidate_pairs(bands, cfg), "pairs")
+    if metrics is not None:
+        hot = overflow_report(bands, cfg).count()
+        if hot:
+            metrics.record("hot_buckets", overflow_report(bands, cfg))
+
+    # 4. exact-Jaccard verification (JVM array_intersect)
+    verified = ckpt(verify_pairs(pairs, sig, cfg.jaccard_threshold), "verified")
+
+    # 5. connected components over verified near-dup pairs
+    comp = connected_components(verified, cfg.max_cc_iterations)
+    comp = ckpt(comp, "components")
+
+    # 6. final cluster table: every FILE gets a cluster id; files sharing a
+    #    sha are exact dups (same cluster trivially)
+    universe = store.select("sha")
+    sha_comp = attach_components(universe, comp, "sha")
+    clusters = (
+        roots.join(sha_comp, "sha")
+        .join(store.select("sha", "ref_count"), "sha")
+        .withColumn("is_exact_dup", F.col("ref_count") > 1)
+        .select("repo", "path", "commit", "lang", "sha", "component", "is_exact_dup")
+    )
+    clusters = ckpt(clusters, "clusters")
+
+    stats = dedup_ratio(roots, store)
+    return PipelineResult(
+        roots=roots,
+        store=store,
+        signatures=sig,
+        pairs=pairs,
+        verified=verified,
+        components=comp,
+        clusters=clusters,
+        stats=stats,
+        wall_sec=round(time.time() - t_start, 3),
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults target the sandbox (local[N], single JVM) but every knob is the one
+you would set on a 1000-executor cluster: AQE on (skew-join splitting,
+coalesced shuffle reads), Arrow for every pandas UDF hop, shuffle partitions
+sized to parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sick-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SICK_SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    cores = _parallelism_of(master)
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing, skew-join splitting — load-bearing at 100 TB
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow on every Python<->JVM hop (pandas UDFs, toPandas)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scan sizing: 128 MiB splits is the cluster default we design to
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SICK_SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SICK_SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _parallelism_of(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return 32

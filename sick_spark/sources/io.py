@@ -1,0 +1,83 @@
+"""Warehouse IO: checkpointed stages, manifest, resume.
+
+The reference freezes builder state into an immutable ``EBAStructure`` and
+writes indexed tables (E8/E14, ``EBABuilder.scala:20-33``,
+``EBAWriter.scala:19-120``); our analogue is a per-stage Parquet/Iceberg
+checkpoint plus a ``_manifest`` completion marker, giving resumable runs
+(north rule: "resumable from checkpoint").
+
+Format is a single switch: ``iceberg`` when a catalog is configured (real
+cluster), ``parquet`` in the sandbox — the pipeline code never branches.
+Resume = left-anti join of input against the last completed stage
+(SURVEY.md §4.5), the same shape as the reference's dedup lookup (seen
+values are skipped, ``DeduplicatingRefTableBuilder.scala:17-26``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    """Stage-checkpoint directory with completion manifest."""
+
+    def __init__(self, root: str, fmt: str = "parquet") -> None:
+        self.root = root
+        self.fmt = fmt
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.root, f"_manifest_{stage}.json")
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(self._marker(stage))
+
+    def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None,
+              num_files: int | None = None) -> DataFrame:
+        """Checkpoint a stage; returns the re-read DataFrame (cuts lineage,
+        and downstream reads get parquet column pruning/pushdown)."""
+        spark = df.sparkSession
+        t0 = time.time()
+        w = df.write.mode("overwrite")
+        if num_files:
+            df = df.repartition(num_files)
+            w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format(self.fmt).save(self._path(stage))
+        out = spark.read.format(self.fmt).load(self._path(stage))
+        with open(self._marker(stage), "w") as f:
+            json.dump(
+                {"stage": stage, "rows": out.count(), "wall_sec": round(time.time() - t0, 3),
+                 "completed_unix": int(time.time())},
+                f,
+            )
+        return out
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.format(self.fmt).load(self._path(stage))
+
+    def read_if_complete(self, spark: SparkSession, stage: str) -> DataFrame | None:
+        if self.is_complete(stage):
+            return self.read(spark, stage)
+        return None
+
+    def manifest(self, stage: str) -> dict | None:
+        if not self.is_complete(stage):
+            return None
+        with open(self._marker(stage)) as f:
+            return json.load(f)
+
+
+def resume_filter(new_input: DataFrame, done: DataFrame | None, key: str = "sha") -> DataFrame:
+    """Rows of new_input whose key has not been processed yet (left-anti)."""
+    if done is None:
+        return new_input
+    return new_input.join(done.select(key).distinct(), key, "left_anti")
