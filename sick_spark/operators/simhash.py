@@ -58,7 +58,7 @@ def simhash_pairs(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", fp_col: 
     blocks = F.explode(
         F.expr(
             f"transform(sequence(0, {n_blocks - 1}), "
-            f"b -> named_struct('blk', b, 'key', (({fp_col} >> (b * {width})) & {hex((1 << width) - 1)})))"
+            f"b -> named_struct('blk', b, 'key', (({fp_col} >> (b * {width})) & {(1 << width) - 1})))"
         )
     ).alias("blk")
     keyed = df.select(F.col(id_col), F.col(fp_col), blocks).select(

@@ -9,6 +9,8 @@ sized to parallelism rather than the 200 default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -42,7 +44,28 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``sick_spark`` importable on executor Python workers.
+
+    On a real cluster this is ``spark-submit --py-files sick_spark.zip``
+    (the north-rule launch mode); in-process we do the equivalent:
+    zip the package and ``addPyFile`` it, so Arrow UDFs defined in the
+    package unpickle on workers regardless of the caller's cwd.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), f"sick_spark_ship_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "sick_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
 
 
 def _parallelism_of(master: str) -> int:

@@ -1,0 +1,60 @@
+"""Pure-Python single-process oracles (the cross-implementation testing
+pattern of the reference: Scala writes, C# reads and must agree —
+``SickTests.cs:199-204`` / ``EBAReaderWriterTest.scala:157-160``)."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def token_shingle_set(text: str, k: int) -> set[str]:
+    toks = text.split()
+    if len(toks) <= k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def all_pairs_ge(texts: dict[str, str], k: int, threshold: float) -> set[tuple[str, str]]:
+    """Ground-truth near-dup pairs by brute force (ids are content shas)."""
+    sh = {i: token_shingle_set(t, k) for i, t in texts.items()}
+    ids = sorted(sh)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(sh[ids[i]], sh[ids[j]]) >= threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+class UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-root union so labels match the Spark min-label convention
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+    def components(self) -> dict[str, str]:
+        return {x: self.find(x) for x in list(self.parent)}

@@ -1,0 +1,40 @@
+import random
+
+from sick_spark.operators.components import attach_components, connected_components
+from tests.oracle import UnionFind
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r["id"]: r["component"] for r in connected_components(df).collect()}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [("b", "a"), ("b", "c"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_chain_converges(spark):
+    # worst case for naive label propagation; star algorithms converge fast
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(30)]
+    got = _cc(spark, chain)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 31
+
+
+def test_random_graphs_match_unionfind(spark):
+    rng = random.Random(5)
+    nodes = [f"v{i:04d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    assert _cc(spark, edges) == uf.components()
+
+
+def test_attach_components_singletons(spark):
+    universe = spark.createDataFrame([("s1",), ("s2",), ("s3",)], ["sha"])
+    comp = spark.createDataFrame([("s1", "s0")], ["id", "component"])
+    got = {r["sha"]: r["component"] for r in attach_components(universe, comp).collect()}
+    assert got == {"s1": "s0", "s2": "s2", "s3": "s3"}

@@ -1,0 +1,22 @@
+from sick_spark.config import DedupConfig, derive_bands
+
+
+def test_bands_partition_perms():
+    for n in (64, 128, 256):
+        for t in (0.3, 0.5, 0.7, 0.9):
+            b, r = derive_bands(n, t)
+            assert b * r == n
+            recall = 1 - (1 - t**r) ** b
+            assert recall >= 0.99
+
+
+def test_higher_threshold_allows_more_rows():
+    b_lo, r_lo = derive_bands(128, 0.3)
+    b_hi, r_hi = derive_bands(128, 0.9)
+    assert r_hi >= r_lo
+
+
+def test_config_frozen_and_derived():
+    c = DedupConfig(jaccard_threshold=0.5)
+    assert c.bands * c.rows == c.n_perms
+    assert c.expected_recall(c.jaccard_threshold) >= c.target_recall

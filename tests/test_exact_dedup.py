@@ -1,0 +1,52 @@
+"""Exact-dup collapse — SICK's interning semantics (E1/E7).
+
+Per-row invariant vs the reference: content sha256 equality (BASELINE.json
+input_hint)."""
+
+from pyspark.sql import functions as F
+
+from sick_spark.corpus import CORPUS_SCHEMA, synthetic_corpus
+from sick_spark.operators.exact_dedup import dedup_ratio, exact_dedup
+from tests.oracle import sha256_hex
+
+
+def test_sha_matches_python_oracle(spark):
+    rows = [("r", "p1", "c1", "py", "def f(): return 1"), ("r", "p2", "c2", "py", "x = [1,2,3]")]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    roots, _ = exact_dedup(df)
+    got = {r["path"]: r["sha"] for r in roots.collect()}
+    for _, p, _, _, content in rows:
+        assert got[p] == sha256_hex(content)
+
+
+def test_collapse_counts(spark):
+    rows = [
+        ("r1", "a", "c", "py", "same content"),
+        ("r2", "b", "c", "py", "same content"),
+        ("r3", "c", "c", "py", "other content"),
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    roots, store = exact_dedup(df)
+    assert roots.count() == 3  # every named root survives (multi-root packing)
+    assert store.count() == 2  # the value store dedups
+    rc = {r["sha"]: r["ref_count"] for r in store.collect()}
+    assert sorted(rc.values()) == [1, 2]
+    stats = dedup_ratio(roots, store).collect()[0]
+    assert stats["total_files"] == 3
+    assert stats["unique_files"] == 2
+    assert stats["exact_dup_files"] == 1
+
+
+def test_synthetic_corpus_has_planted_dups(spark):
+    df = synthetic_corpus(spark, n_files=200, seed=7)
+    roots, store = exact_dedup(df)
+    assert roots.count() == 200
+    assert store.count() < 200  # dup_fraction planted copies collapsed
+    # determinism: same seed → same corpus → same shas
+    df2 = synthetic_corpus(spark, n_files=200, seed=7)
+    assert (
+        df.withColumn("sha", F.sha2(F.col("content").cast("binary"), 256))
+        .select("sha").exceptAll(
+            df2.withColumn("sha", F.sha2(F.col("content").cast("binary"), 256)).select("sha")
+        ).count() == 0
+    )

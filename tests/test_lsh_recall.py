@@ -1,0 +1,50 @@
+"""End-to-end recall gate: pipeline verified pairs vs brute-force
+exact-Jaccard ground truth — the north-rule 'dup-pair recall >= 0.99'."""
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import synthetic_corpus
+from sick_spark.plans.pipeline import run_pipeline
+from tests.oracle import UnionFind, all_pairs_ge
+
+
+def test_recall_and_precision_vs_bruteforce(spark):
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    corpus = synthetic_corpus(spark, n_files=250, seed=11, json_fraction=0.0)
+    res = run_pipeline(spark, corpus, cfg)
+
+    texts = {r["sha"]: r["content"] for r in res.store.collect()}
+    truth = all_pairs_ge(texts, cfg.shingle_k, cfg.jaccard_threshold)
+    got = {(r["id_a"], r["id_b"]) for r in res.verified.select("id_a", "id_b").collect()}
+
+    assert truth, "fixture must contain near-dup pairs"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.99, f"recall {recall}: missed {truth - got}"
+    # verification is exact Jaccard → no false positives (modulo 64-bit hash
+    # collisions, negligible at this scale)
+    assert got <= truth, f"false positives: {got - truth}"
+
+
+def test_cluster_assignments_match_unionfind(spark):
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    corpus = synthetic_corpus(spark, n_files=250, seed=11, json_fraction=0.0)
+    res = run_pipeline(spark, corpus, cfg)
+
+    uf = UnionFind()
+    for r in res.verified.select("id_a", "id_b").collect():
+        uf.union(r["id_a"], r["id_b"])
+    expected = uf.components()  # sha -> min-label root
+
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == expected
+
+
+def test_identical_config_identical_clusters(spark):
+    """Determinism: the reference's core contract — identical values always
+    intern identically (DeduplicatingRefTableBuilder.scala:17-26)."""
+    cfg = DedupConfig()
+    corpus = synthetic_corpus(spark, n_files=150, seed=3)
+    r1 = run_pipeline(spark, corpus, cfg)
+    r2 = run_pipeline(spark, corpus, cfg)
+    c1 = {(r["sha"], r["component"]) for r in r1.clusters.select("sha", "component").collect()}
+    c2 = {(r["sha"], r["component"]) for r in r2.clusters.select("sha", "component").collect()}
+    assert c1 == c2

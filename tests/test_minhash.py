@@ -1,0 +1,53 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import CORPUS_SCHEMA
+from sick_spark.functions.text import with_token_shingle_hashes
+from sick_spark.operators.minhash import minhash_pandas, minhash_sql
+from tests.oracle import jaccard, token_shingle_set
+
+
+def _sig_df(spark, texts, cfg, impl):
+    df = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", t) for i, t in enumerate(texts)], CORPUS_SCHEMA
+    )
+    df = with_token_shingle_hashes(df, "content", cfg.shingle_k)
+    fn = minhash_pandas if impl == "pandas" else minhash_sql
+    return {r["path"]: r["minhash"] for r in fn(df, cfg).collect()}
+
+
+def _check_estimates(spark, impl):
+    cfg = DedupConfig(n_perms=256)
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    variant = "a b c d e f g h i j k l m n o p q Z Y X"
+    other = "completely different words entirely here now ok yes no maybe"
+    sigs = _sig_df(spark, [base, variant, other], cfg, impl)
+    true_j = jaccard(token_shingle_set(base, 3), token_shingle_set(variant, 3))
+    est = np.mean(np.array(sigs["p0"]) == np.array(sigs["p1"]))
+    assert abs(est - true_j) < 0.15  # 256 perms → stderr ~ sqrt(j(1-j)/256)
+    est_far = np.mean(np.array(sigs["p0"]) == np.array(sigs["p2"]))
+    assert est_far < 0.1
+
+
+def test_sql_backend_estimates_jaccard(spark):
+    _check_estimates(spark, "sql")
+
+
+def test_pandas_backend_estimates_jaccard(spark):
+    _check_estimates(spark, "pandas")
+
+
+def test_backends_deterministic(spark):
+    cfg = DedupConfig()
+    texts = ["w1 w2 w3 w4 w5 w6", "q1 q2 q3 q4 q5 q6"]
+    for impl in ("sql", "pandas"):
+        s1 = _sig_df(spark, texts, cfg, impl)
+        s2 = _sig_df(spark, texts, cfg, impl)
+        assert s1 == s2
+
+
+def test_signature_length(spark):
+    cfg = DedupConfig(n_perms=64)
+    sigs = _sig_df(spark, ["a b c d e"], cfg, "sql")
+    assert len(sigs["p0"]) == 64

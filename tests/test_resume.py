@@ -1,0 +1,37 @@
+"""Checkpoint/resume: kill-after-stage-k rerun equivalence (SURVEY.md §5e)."""
+
+import os
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import synthetic_corpus
+from sick_spark.plans.pipeline import run_pipeline
+from sick_spark.sources.io import Warehouse, resume_filter
+
+
+def _clusters(res):
+    return {(r["sha"], r["component"]) for r in res.clusters.select("sha", "component").collect()}
+
+
+def test_rerun_from_checkpoints_identical(spark, tmp_path):
+    cfg = DedupConfig()
+    corpus = synthetic_corpus(spark, n_files=120, seed=9)
+    wh = Warehouse(str(tmp_path / "wh"))
+    first = run_pipeline(spark, corpus, cfg, warehouse=wh)
+    c1 = _clusters(first)
+
+    # simulate a crash after 'pairs': delete completion markers of the tail
+    for stage in ("verified", "components", "clusters"):
+        os.remove(wh._marker(stage))
+    resumed = run_pipeline(spark, corpus, cfg, warehouse=wh)
+    assert _clusters(resumed) == c1
+
+    # full rerun with all checkpoints present short-circuits every stage
+    again = run_pipeline(spark, corpus, cfg, warehouse=wh)
+    assert _clusters(again) == c1
+
+
+def test_resume_filter_left_anti(spark):
+    new = spark.createDataFrame([("a",), ("b",), ("c",)], ["sha"])
+    done = spark.createDataFrame([("a",), ("c",)], ["sha"])
+    assert {r["sha"] for r in resume_filter(new, done).collect()} == {"b"}
+    assert resume_filter(new, None).count() == 3

@@ -1,0 +1,59 @@
+import json
+
+from pyspark.sql import functions as F
+
+from sick_spark.corpus import CORPUS_SCHEMA
+from sick_spark.functions.text import with_shingle_hashes, with_token_shingle_hashes
+from tests.oracle import token_shingle_set
+
+
+def test_token_shingle_count_matches_oracle(spark):
+    text = "a b c d e f g"
+    df = spark.createDataFrame([("r", "p", "c", "py", text)], CORPUS_SCHEMA)
+    out = with_token_shingle_hashes(df, "content", 3).collect()[0]
+    assert len(out["shingle_hashes"]) == len(token_shingle_set(text, 3))
+
+
+def test_short_doc_gets_whole_doc_shingle(spark):
+    df = spark.createDataFrame([("r", "p", "c", "py", "ab")], CORPUS_SCHEMA)
+    out = with_token_shingle_hashes(df, "content", 3).collect()[0]
+    assert len(out["shingle_hashes"]) == 1
+
+
+def test_identical_docs_identical_hashes(spark):
+    df = spark.createDataFrame(
+        [("r", "p1", "c", "py", "x y z w"), ("r", "p2", "c", "py", "x y z w")], CORPUS_SCHEMA
+    )
+    rows = with_token_shingle_hashes(df, "content", 2).collect()
+    assert sorted(rows[0]["shingle_hashes"]) == sorted(rows[1]["shingle_hashes"])
+
+
+def test_json_structural_shingles_share_subtrees(spark):
+    # two docs sharing a subtree must share shingles even though the raw
+    # token streams differ — SICK's structural identity (CirceTraverser E4)
+    a = json.dumps({"shared": {"x": [1, 2, 3], "y": "v"}, "only_a": 1})
+    b = json.dumps({"shared": {"x": [1, 2, 3], "y": "v"}, "only_b": 2})
+    df = spark.createDataFrame(
+        [("r", "a", "c", "json", a), ("r", "b", "c", "json", b)], CORPUS_SCHEMA
+    )
+    rows = {r["path"]: set(r["shingle_hashes"]) for r in with_shingle_hashes(df, 3).collect()}
+    shared = rows["a"] & rows["b"]
+    assert len(shared) >= 5  # subtree nodes of "shared" intern identically
+
+
+def test_json_key_order_insensitive(spark):
+    # the reference's round-trip assertion is key-order insensitive
+    # (EBAReaderWriterTest.scala assertSameJson:290-303)
+    a = '{"k1": 1, "k2": {"in": [true, null]}}'
+    b = '{"k2": {"in": [true, null]}, "k1": 1}'
+    df = spark.createDataFrame(
+        [("r", "a", "c", "json", a), ("r", "b", "c", "json", b)], CORPUS_SCHEMA
+    )
+    rows = {r["path"]: set(r["shingle_hashes"]) for r in with_shingle_hashes(df, 3).collect()}
+    assert rows["a"] == rows["b"]
+
+
+def test_malformed_json_falls_back(spark):
+    df = spark.createDataFrame([("r", "p", "c", "json", "{not json")], CORPUS_SCHEMA)
+    out = with_shingle_hashes(df, 3).collect()[0]
+    assert len(out["shingle_hashes"]) == 1

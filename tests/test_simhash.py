@@ -1,0 +1,47 @@
+from pyspark.sql import functions as F
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import CORPUS_SCHEMA
+from sick_spark.functions.text import with_token_shingle_hashes
+from sick_spark.operators.simhash import simhash_fingerprints, simhash_pairs
+
+
+def _fp(spark, texts, k=3):
+    df = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", t) for i, t in enumerate(texts)], CORPUS_SCHEMA
+    )
+    df = with_token_shingle_hashes(df, "content", k)
+    df = simhash_fingerprints(df).withColumn("sha", F.col("path"))
+    return df
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_identical_docs_identical_fp(spark):
+    df = _fp(spark, ["a b c d e f", "a b c d e f"])
+    fps = [r["simhash"] for r in df.collect()]
+    assert fps[0] == fps[1]
+
+
+def test_neardup_small_hamming_far_large(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w10", "q10")
+    far = " ".join(f"z{i}" for i in range(60))
+    df = _fp(spark, [base, near, far])
+    fps = {r["path"]: r["simhash"] for r in df.collect()}
+    assert _hamming(fps["p0"], fps["p1"]) < _hamming(fps["p0"], fps["p2"])
+    assert _hamming(fps["p0"], fps["p1"]) <= 6
+
+
+def test_simhash_pairs_block_join(spark):
+    base = " ".join(f"w{i}" for i in range(80))
+    near = base.replace("w10", "q10")
+    far = " ".join(f"z{i}" for i in range(80))
+    df = _fp(spark, [base, near, far])
+    cfg = DedupConfig(simhash_max_hamming=8)
+    pairs = simhash_pairs(df, cfg, id_col="sha").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("p0", "p1") in got
+    assert all({a, b} != {"p0", "p2"} for a, b in got)
