@@ -1,38 +1,511 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: full near-dup clustering pipeline on sf0.001.
+queries()       — one entry per operator (SURVEY.md §2 inventory + the
+                  training-data operators).
+oracle_sql()    — DuckDB-equivalent SQL per query (omitted only for
+                  genuinely non-SQL-expressible ops → rows-only check).
+
+Column names/types are aligned 1:1 between each Spark query and its oracle.
+Float-bearing aggregates are computed in exact DECIMAL and cast to DOUBLE at
+the end so both engines produce bit-identical values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import corpus_from_documents
+from sick_spark.functions.text import with_token_shingle_hashes
+from sick_spark.functions.textstats import (
+    langid_en,
+    mean_word_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from sick_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh, rhp_bucket_candidates
+from sick_spark.operators.components import attach_components, connected_components
+from sick_spark.operators.lsh import band_keys, candidate_pairs
+from sick_spark.operators.minhash import minhash_pandas, minhash_sql
+from sick_spark.operators.multimodal import decode_image_features, media_table_from_documents
+from sick_spark.operators.partialdup import partial_dup_report
+from sick_spark.operators.simhash import simhash_fingerprints, simhash_pairs
+from sick_spark.operators.verify import verify_pairs
+from sick_spark.functions.vectors import cosine
+from sick_spark.plans.pipeline import run_pipeline
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_K = 3            # shingle size for all doc dedup queries
+_J = 0.5          # Jaccard threshold
+_COS = 0.45       # embedding near-dup threshold
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clustering of the sf0.001 document corpus."""
+    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, corpus, DedupConfig(shingle_k=_K, jaccard_threshold=_J))
+    return res.clusters
 
+
+# ---------------------------------------------------------------------------
+# shared building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+def _docs_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct text, id = min(doc_id) — exact-dup collapse
+    first (SICK E1), near-dup operators run on representatives."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text")
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_distinct(spark, sf_dir).withColumnRenamed("text", "content")
+    return with_token_shingle_hashes(docs, "content", _K).select("doc_id", "shingle_hashes")
+
+
+def _verified_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
+    sh = _doc_shingles(spark, sf_dir)
+    sig = minhash_sql(sh, cfg)
+    bands = band_keys(sig, cfg, id_col="doc_id")
+    pairs = candidate_pairs(bands, cfg)
+    return verify_pairs(pairs, sh, _J, id_col="doc_id")
+
+
+def _verified_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, no LSH: explode → hash-join → group.
+    Same result as MinHash path; quadratic-safe only because the shingle
+    join is selective (shared shingles are rare across random docs)."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingle_hashes").alias("h"))
+    sizes = sh.select("doc_id", F.size("shingle_hashes").alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= _J)
+        .select("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dialect-shared relational SQL (valid in both Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+_SHARED_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "window_top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+        ) t WHERE rnk <= 3
+        ORDER BY o_custkey, rnk
+    """,
+    "setop_parts_nodisc_notax": """
+        SELECT l_partkey FROM lineitem WHERE l_discount = 0
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_tax = 0
+        ORDER BY l_partkey
+    """,
+    "topk_lineitems": """
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM lineitem
+        ORDER BY price DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    """,
+    "anti_join_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "agg_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "part_size_histogram": """
+        SELECT p_size, COUNT(*) AS n_parts,
+               CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+               CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        FROM part GROUP BY p_size ORDER BY p_size
+    """,
+}
+
+# doc/text shingle CTE fragments (DuckDB dialect)
+_DUCK_DOCS = """
+    docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                        FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+           FROM w),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truepairs AS (SELECT da, db FROM inter
+                  JOIN sizes x ON da = x.doc_id
+                  JOIN sizes y ON db = y.doc_id
+                  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5)
+"""
+
+_DUCK_PAIR_SQL = f"""
+    WITH {_DUCK_DOCS}
+    SELECT da AS doc_a, db AS doc_b FROM truepairs ORDER BY doc_a, doc_b
+"""
+
+_DUCK_CLUSTER_SQL = f"""
+    WITH RECURSIVE {_DUCK_DOCS},
+    edges AS (SELECT da AS a, db AS b FROM truepairs
+              UNION SELECT db, da FROM truepairs),
+    reach(a, b) AS (SELECT a, b FROM edges
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                    WHERE e.b <> r.a),
+    comp AS (SELECT a AS cid, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id AS doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM docs d LEFT JOIN comp c ON d.doc_id = c.cid
+    ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- shared-SQL relational operators (scan/filter/join/agg/window/setop/sort/anti)
+    def _mk_shared(name: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _views(spark, sf_dir)
+            return spark.sql(_SHARED_SQL[name])
+        return run
 
+    for name in _SHARED_SQL:
+        q[name] = _mk_shared(name)
+
+    # --- exact-dup collapse accounting (SICK E1/E7/E10)
+    def exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("total_docs"),
+                F.countDistinct("text").alias("unique_texts"),
+                (F.count(F.lit(1)) - F.countDistinct("text")).alias("exact_dups"),
+            )
+            .orderBy("lang")
+        )
+    q["exact_dup_stats"] = exact_dup_stats
+
+    # --- per-row content fingerprint (sha256 of normalized text)
+    def content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        return d.select("doc_id", F.sha2(norm.cast("binary"), 256).alias("fp")).orderBy("doc_id")
+    q["content_fingerprint"] = content_fingerprint
+
+    # --- near-dup pairs: MinHash + LSH + exact verification
+    def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            _verified_pairs_minhash(spark, sf_dir)
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            .orderBy("doc_a", "doc_b")
+        )
+    q["neardup_pairs_minhash"] = neardup_pairs_minhash
+
+    # --- near-dup pairs: exact n-gram Jaccard (no LSH), same answer
+    def neardup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _verified_pairs_ngram(spark, sf_dir).orderBy("doc_a", "doc_b")
+    q["neardup_pairs_ngram"] = neardup_pairs_ngram
+
+    # --- duplicate clusters: connected components (large-star/small-star)
+    def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pairs = _verified_pairs_minhash(spark, sf_dir)
+        comp = connected_components(pairs)
+        universe = _docs_distinct(spark, sf_dir).select("doc_id")
+        out = attach_components(universe, comp, id_col="doc_id")
+        return out.select("doc_id", "component").orderBy("doc_id")
+    q["dedup_clusters"] = dedup_clusters
+
+    # --- embedding near-dup pairs (cosine >= threshold), JVM zip_with math
+    def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cosine("va", "vb") >= _COS)
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b")
+        )
+    q["embedding_neardup_pairs"] = embedding_neardup_pairs
+
+    # --- brute-force cosine top-k (exact ANN baseline)
+    def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = cosine_topk_bruteforce(e.where(F.col("vec_id") < 20), e, k=3)
+        return out.select(
+            "query_id", "neighbor_id", F.col("rank").alias("rnk")
+        ).orderBy("query_id", "rnk")
+    q["ann_topk_bruteforce"] = ann_topk_bruteforce
+
+    # --- text stats (langid heuristic / quality / token counts)
+    def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return d.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.length("text").alias("n_chars_m"),
+            langid_en("text").alias("lang_pred"),
+        ).orderBy("doc_id")
+    q["doc_textstats"] = doc_textstats
+
+    def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return d.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            mean_word_len("text").alias("mwl"),
+            stopword_ratio("text").alias("swr"),
+            punct_ratio("text").alias("pr"),
+        ).orderBy("doc_id")
+    q["doc_quality"] = doc_quality
+
+    def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(token_count("text")).alias("tokens_total"),
+            )
+            .orderBy("lang")
+        )
+    q["token_count_by_lang"] = token_count_by_lang
+
+    # --- JSON path query over event props (reference R9 path-query surface)
+    def json_path_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        k = F.get_json_object("props", "$.k").cast("bigint")
+        return (
+            e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("k_sum"))
+            .orderBy("event_type")
+        )
+    q["json_path_events"] = json_path_events
+
+    # --- event-time hourly rollup (streaming-shaped agg, batch execution)
+    def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            e.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_unix"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            )
+            .orderBy("hour_unix", "event_type")
+        )
+    q["events_hourly"] = events_hourly
+
+    # ------------- rows-only operators (non-SQL-expressible; weaker check) --
+
+    def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cfg = DedupConfig(simhash_max_hamming=7)
+        sh = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "sha")
+        fp = simhash_fingerprints(sh)
+        return simhash_pairs(fp, cfg).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+        ).orderBy("doc_a", "doc_b")
+    q["simhash_neardup_pairs"] = simhash_neardup_pairs
+
+    def minhash_signatures_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cfg = DedupConfig(minhash_impl="pandas")
+        sh = _doc_shingles(spark, sf_dir)
+        return minhash_pandas(sh, cfg).select("doc_id", "minhash").orderBy("doc_id")
+    q["minhash_signatures_arrow"] = minhash_signatures_arrow
+
+    def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_topk_lsh(e, k=3, n_bits=8, dim=64).select(
+            "query_id", "neighbor_id", F.col("rank").alias("rnk")
+        ).orderBy("query_id", "rnk")
+    q["ann_topk_lsh"] = ann_topk_lsh
+
+    def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return (
+            rhp_bucket_candidates(e, n_bits=6, dim=64)
+            .where(F.col("cos") >= _COS)
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b")
+        )
+    q["embedding_lsh_candidates"] = embedding_lsh_candidates
+
+    def partialdup_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        corpus = corpus_from_documents(spark, sf_dir)
+        res = run_pipeline(spark, corpus, DedupConfig(shingle_k=_K, jaccard_threshold=_J))
+        rep = partial_dup_report(res.store, res.clusters)
+        return rep.select("component", "sha", "rep_sha", "lcs_len", "truncated").orderBy("sha")
+    q["partialdup_lcs"] = partialdup_lcs
+
+    def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        corpus = corpus_from_documents(spark, sf_dir)
+        from sick_spark.operators.exact_dedup import exact_dedup
+        _, store = exact_dedup(corpus)
+        media = media_table_from_documents(store)
+        return decode_image_features(media, deterministic_fake=True).select(
+            "media_id", "payload_sha", "n_bytes"
+        ).orderBy("media_id")
+    q["multimodal_features"] = multimodal_features
+
+    def full_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        corpus = corpus_from_documents(spark, sf_dir)
+        res = run_pipeline(spark, corpus, DedupConfig(shingle_k=_K, jaccard_threshold=_J))
+        return res.clusters.select("path", "sha", "component").orderBy("path")
+    q["full_pipeline_clusters"] = full_pipeline_clusters
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql()
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = dict(_SHARED_SQL)
+
+    o["exact_dup_stats"] = """
+        SELECT lang, COUNT(*) AS total_docs, COUNT(DISTINCT text) AS unique_texts,
+               COUNT(*) - COUNT(DISTINCT text) AS exact_dups
+        FROM documents GROUP BY lang ORDER BY lang
     """
-    return {}
+    o["content_fingerprint"] = """
+        SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id
+    """
+    o["neardup_pairs_minhash"] = _DUCK_PAIR_SQL
+    o["neardup_pairs_ngram"] = _DUCK_PAIR_SQL
+    o["dedup_clusters"] = _DUCK_CLUSTER_SQL
+    o["embedding_neardup_pairs"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_COS}
+        ORDER BY id_a, id_b
+    """
+    o["ann_topk_bruteforce"] = """
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                               b.vec_id) AS rnk
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20
+        ) t WHERE rnk <= 3 ORDER BY query_id, rnk
+    """
+    # textstats: mirror the Spark expressions exactly (same stopword list)
+    sw = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"])
+    o["doc_textstats"] = """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars_m,
+               CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0
+                         / greatest(length(text), 1) >= 0.9
+                         AND len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                             t -> list_contains([{SW}], t))) > 0
+                    THEN 'en' ELSE 'unknown' END AS lang_pred
+        FROM documents ORDER BY doc_id
+    """.replace("{SW}", sw)
+    o["doc_quality"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(text) - length(regexp_replace(text, '[^ \\tA-Za-z0-9]', '', 'g')) AS punct_n
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1) AS mwl,
+                   len(list_filter(list_transform(toks, x -> lower(x)),
+                                   x -> list_contains([{SW}], x))) * 1.0 / greatest(len(toks), 1) AS swr,
+                   punct_n * 1.0 / greatest(length(text), 1) AS pr
+            FROM t
+        )
+        SELECT doc_id,
+               (CASE WHEN n >= 10 AND n <= 100000 THEN 1 ELSE 0 END) * 0.4
+             + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1 ELSE 0 END) * 0.3
+             + (CASE WHEN pr <= 0.3 THEN 1 ELSE 0 END) * 0.3 AS quality,
+               mwl, swr, pr
+        FROM s ORDER BY doc_id
+    """.replace("{SW}", sw)
+    o["token_count_by_lang"] = """
+        SELECT lang, COUNT(*) AS docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens_total
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+    o["json_path_events"] = """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    o["events_hourly"] = """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2 ORDER BY hour_unix, event_type
+    """
+    return o

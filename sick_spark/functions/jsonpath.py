@@ -1,0 +1,78 @@
+"""Path queries over JSON content — the reference's query surface (R9).
+
+The reference walks ``a.b[3].c`` with cursors doing per-segment point reads
+(Scala ``IncrementalEBAReader.query:134-186``, C# ``SickReader.Query.cs:
+11-42``; grammar doc ``SickBaseReader.cs:9-56``). In Spark the whole walk
+compiles to ONE columnar expression evaluated over millions of rows —
+"parse once, stride many" is Catalyst's job (SURVEY.md §3.2).
+
+Grammar parity with the reference's ``ParseQuery`` (split on ``. [ ]``):
+``a.b[3].c``, ``a.b.[3].c`` and negative indexes ``arr.[-1]`` (negative =
+from end, ``IncrementalEBAReader.scala:202``; C# ``SickCursor.Array.cs:
+136-156``) are all accepted.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+_SEG = re.compile(r"([^.\[\]]+)|\[(-?\d+)\]")
+
+
+def parse_path(path: str) -> list[str | int]:
+    """'a.b[3].c' / 'a.b.[3].c' / 'a.[-1]' → ['a','b',3,'c'] …"""
+    out: list[str | int] = []
+    for m in _SEG.finditer(path):
+        if m.group(1) is not None:
+            seg = m.group(1)
+            # bare numeric segment between dots = array index (reference
+            # accepts data.numbers.1 style via the same splitter)
+            out.append(int(seg) if re.fullmatch(r"-?\d+", seg) else seg)
+        else:
+            out.append(int(m.group(2)))
+    return out
+
+
+def to_jsonpath(path: str) -> str:
+    """Compile to Spark/DuckDB JSONPath: $.a.b[3].c. Negative indexes are
+    handled by json_query below, not by get_json_object."""
+    parts = []
+    for seg in parse_path(path):
+        if isinstance(seg, int):
+            parts.append(f"[{seg}]")
+        else:
+            parts.append(f".{seg}")
+    return "$" + "".join(parts)
+
+
+def json_query(content: str | Column, path: str) -> Column:
+    """One-expression path query over a JSON string column.
+
+    Non-negative paths compile to ``get_json_object`` (single JVM codegen
+    expression). Paths with negative indexes fall back to a
+    parse-then-navigate over VariantType-free semi-structured access.
+    """
+    c = F.col(content) if isinstance(content, str) else content
+    segs = parse_path(path)
+    if all(not (isinstance(s, int) and s < 0) for s in segs):
+        return F.get_json_object(c, to_jsonpath(path))
+    # negative index: navigate prefix, then element_at supports negatives
+    # (1-based from start, -1-based from end) on the parsed array
+    prefix = [s for s in segs]
+    expr: Column = c
+    jp = "$"
+    for s in prefix:
+        if isinstance(s, int) and s < 0:
+            # materialize the array at jp, then take from the end
+            arr = F.from_json(F.get_json_object(expr, jp), "array<string>")
+            expr = F.element_at(arr, s)
+            jp = "$"
+        elif isinstance(s, int):
+            jp += f"[{s}]"
+        else:
+            jp += f".{s}"
+    if jp != "$":
+        expr = F.get_json_object(expr, jp)
+    return expr

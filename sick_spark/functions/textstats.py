@@ -1,0 +1,104 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen) so the same logic is
+expressible in ANSI SQL for the DuckDB oracle. Fingerprinting reuses the
+content-address idea (sha256 ⇔ SICK's interned identity,
+``DeduplicatingRefTableBuilder.scala:17-26``) over *normalized* text, so
+formatting-only variants fingerprint identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny embedded stopword list — deterministic, mirrored in oracle SQL
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(_c(text)), r"\s+"))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-ish proxy: count of word-piece matches (letters runs, digit runs,
+    single punctuation) — a regex approximation of subword tokenizers."""
+    # split off punctuation, then count non-empty pieces
+    pieces = F.split(
+        F.regexp_replace(_c(text), r"([^\sA-Za-z0-9]+|[0-9]+)", r" $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def stopword_ratio(text: str | Column) -> Column:
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[^\sA-Za-z0-9]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
+
+
+def mean_word_len(text: str | Column) -> Column:
+    toks = F.split(F.trim(_c(text)), r"\s+")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: str | Column) -> Column:
+    """[0,1] heuristic: length band + low punctuation + sane word length.
+    Deterministic and SQL-mirrored; thresholds are Gopher-rule-ish."""
+    t = _c(text)
+    n = token_count(t)
+    len_ok = (n >= 10) & (n <= 100000)
+    mwl = mean_word_len(t)
+    wl_ok = (mwl >= 2) & (mwl <= 12)
+    pr = punct_ratio(t)
+    pr_ok = pr <= F.lit(0.3)
+    return (
+        len_ok.cast("int") * F.lit(0.4)
+        + wl_ok.cast("int") * F.lit(0.3)
+        + pr_ok.cast("int") * F.lit(0.3)
+    )
+
+
+def langid_en(text: str | Column) -> Column:
+    """n-gram-free heuristic language ID: 'en' if ASCII-dominant and
+    stopword-bearing, 'unknown' otherwise. (Real models are out-of-container;
+    the Spark plumbing — expression shape, no UDF — is the point.)"""
+    t = _c(text)
+    ascii_ratio = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    return F.when(
+        (ascii_ratio >= 0.9) & (stopword_ratio(t) > 0), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """sha256 of whitespace-normalized lowercase text — formatting-invariant
+    content address."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.sha2(norm.cast("binary"), 256)
+
+
+def with_textstats(df: DataFrame, text: str = "content") -> DataFrame:
+    return (
+        df.withColumn("token_count", token_count(text))
+        .withColumn("bpe_token_count", bpe_ish_token_count(text))
+        .withColumn("stopword_ratio", stopword_ratio(text))
+        .withColumn("punct_ratio", punct_ratio(text))
+        .withColumn("mean_word_len", mean_word_len(text))
+        .withColumn("quality", quality_score(text))
+        .withColumn("lang_pred", langid_en(text))
+        .withColumn("fingerprint", fingerprint(text))
+    )

@@ -1,0 +1,35 @@
+"""Vector math over ``array<float>`` columns — JVM-side higher-order
+functions (``zip_with`` + ``aggregate``), no UDF in the hot path.
+
+Float sums are accumulated in DOUBLE in array order, matching how a
+single-threaded oracle (DuckDB ``list_cosine_similarity``) iterates, so
+results are bit-comparable at small scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two strategies:
+
+* :func:`cosine_topk_bruteforce` — exact baseline: join queries × corpus,
+  JVM-side cosine, per-query top-k via ``row_number`` over
+  ``Window.partitionBy(query)`` (never a global sort). Right plan shape for
+  a BROADCAST of the (small) query set against the (huge) corpus — exactly
+  how you'd run "find neighbors of these 10k docs" over 10^12 vectors.
+* :func:`rhp_bucket_candidates` / :func:`cosine_topk_lsh` — the scale path:
+  random-hyperplane LSH (sign bits of dot(v, r_j) → integer bucket key),
+  candidates = bucket collisions (equi-join, same shape as the MinHash band
+  join — the reference's KHash "hash to bound the scan",
+  ``EBACodecs.scala:517-604``), then exact cosine on candidates only.
+  Hyperplanes are seeded numpy, broadcast to workers inside an Arrow UDF.
+
+Near-dup by embedding (cosine >= t) reuses the same bucket join.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+from sick_spark.functions.vectors import cosine
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank<=k), exact."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@lru_cache(maxsize=8)
+def _hyperplanes(n_bits: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_bits, dim))
+
+
+def make_rhp_udf(n_bits: int, dim: int, seed: int):
+    @F.pandas_udf(LongType())
+    def rhp_bucket(emb: pd.Series) -> pd.Series:
+        planes = _hyperplanes(n_bits, dim, seed)
+
+        def one(v) -> int:
+            x = np.asarray(v, dtype=np.float64)
+            bits = (planes @ x) > 0
+            return int(bits.dot(1 << np.arange(n_bits, dtype=np.int64)))
+
+        return emb.map(one)
+
+    return rhp_bucket
+
+
+def with_rhp_bucket(
+    df: DataFrame, n_bits: int, dim: int, seed: int = 42, vec: str = "embedding", out: str = "bucket"
+) -> DataFrame:
+    return df.withColumn(out, make_rhp_udf(n_bits, dim, seed)(F.col(vec)))
+
+
+def rhp_bucket_candidates(
+    df: DataFrame, n_bits: int, dim: int, seed: int = 42, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Same-bucket pairs (id_a < id_b) with exact cosine attached."""
+    b = with_rhp_bucket(df, n_bits, dim, seed, vec).select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v"), "bucket"
+    )
+    left = b.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = b.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cosine_topk_lsh(
+    df: DataFrame, k: int, n_bits: int, dim: int, seed: int = 42,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: neighbors restricted to bucket
+    collisions. Recall improves with fewer bits; cost with more."""
+    cand = rhp_bucket_candidates(df, n_bits, dim, seed, id_col, vec)
+    sym = cand.unionByName(
+        cand.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.col("cos")
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "cos", "rank")
+    )

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` +
+typed metadata.
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): :func:`decode_image_features` raises ``NotImplementedError``
+unless ``deterministic_fake=True``, in which case features derive from the
+bytes' sha256 — stable, testable, and exercising the real Spark plumbing
+(schema, ``mapInPandas`` batch shape, partition sizing) end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),   # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload_sha", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from text docs: payload = utf-8 bytes.
+    Real pipelines read parquet/Iceberg with a true binary column; the
+    plumbing downstream is identical."""
+    return docs.select(
+        F.col("sha").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("content").cast("binary").alias("payload"),
+    )
+
+
+def decode_image_features(
+    media: DataFrame, feature_dim: int = 16, deterministic_fake: bool = False
+) -> DataFrame:
+    """binary payload → feature vector via mapInPandas (Arrow batches).
+
+    STUB: real decode (PIL/ffmpeg) is not available in this container.
+    ``deterministic_fake=True`` derives the feature from sha256(payload) —
+    the distributed plumbing (batching, schema, shuffle-free projection) is
+    real and benchmarked; only the pixel math is fake.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image/audio decode libraries are not available in this environment; "
+            "pass deterministic_fake=True to exercise the pipeline plumbing"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            shas = pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).digest())
+            feats = shas.map(
+                lambda d: (
+                    np.frombuffer((d * ((feature_dim * 4) // len(d) + 1))[: feature_dim * 4], dtype="<u4")
+                    .astype(np.float32)
+                    / np.float32(2**32)
+                ).tolist()
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha": shas.map(lambda d: d.hex()),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

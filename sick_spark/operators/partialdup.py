@@ -1,0 +1,87 @@
+"""Partial-duplicate detection: long shared substrings within a cluster.
+
+The reference reads only the sub-structure you ask for (cursor/path partial
+access, ``README.md:20-23``); the near-dup analogue is reporting WHICH
+region two cluster members share. Runs as ``applyInPandas`` grouped by
+component — clusters are small after verification (the groupBy key is the
+cluster id, so a pathological mega-cluster is the only skew risk, and those
+were bounded upstream by the LSH bucket cap), so per-group Python is safe:
+this is the documented "genuinely can't express in DataFrame ops" escape
+hatch.
+
+Matching uses a greedy longest-common-substring via suffix-ordered hashing
+(difflib's matcher, deterministic), content capped at ``max_chars`` with the
+cap REPORTED per row (no silent truncation, SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PARTIALDUP_SCHEMA = StructType(
+    [
+        StructField("component", StringType(), False),
+        StructField("sha", StringType(), False),
+        StructField("rep_sha", StringType(), False),
+        StructField("lcs_len", IntegerType(), False),
+        StructField("lcs_frac", StringType(), False),  # decimal-as-string: stable
+        StructField("lcs_sample", StringType(), True),
+        StructField("truncated", BooleanType(), False),
+    ]
+)
+
+
+def partial_dup_report(
+    store: DataFrame,
+    clusters: DataFrame,
+    max_chars: int = 8192,
+    sample_len: int = 80,
+) -> DataFrame:
+    """(component, sha, rep_sha, lcs_len, lcs_frac, lcs_sample, truncated)
+    for every non-representative member vs the cluster representative
+    (= min sha, deterministic)."""
+    members = (
+        clusters.select("sha", "component")
+        .dropDuplicates(["sha"])
+        .join(store.select("sha", "content"), "sha")
+    )
+    # only clusters with >= 2 members do any work
+    sizes = members.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    multi = members.join(sizes.where(F.col("n") >= 2).select("component"), "component")
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sha").reset_index(drop=True)
+        rep_sha = pdf["sha"].iloc[0]
+        rep_text = pdf["content"].iloc[0][:max_chars]
+        out = []
+        for _, row in pdf.iloc[1:].iterrows():
+            text = row["content"][:max_chars]
+            truncated = len(row["content"]) > max_chars or len(pdf["content"].iloc[0]) > max_chars
+            m = SequenceMatcher(None, rep_text, text, autojunk=False).find_longest_match(
+                0, len(rep_text), 0, len(text)
+            )
+            denom = max(min(len(rep_text), len(text)), 1)
+            out.append(
+                {
+                    "component": row["component"],
+                    "sha": row["sha"],
+                    "rep_sha": rep_sha,
+                    "lcs_len": int(m.size),
+                    "lcs_frac": f"{m.size / denom:.6f}",
+                    "lcs_sample": rep_text[m.a : m.a + min(m.size, sample_len)] if m.size else None,
+                    "truncated": bool(truncated),
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in PARTIALDUP_SCHEMA.fields])
+
+    return multi.groupBy("component").applyInPandas(per_cluster, PARTIALDUP_SCHEMA)
