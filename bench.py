@@ -1,0 +1,129 @@
+"""Benchmark harness.
+
+Default: run headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: run the full dedup pipeline at two parallelism levels (local[8]
+vs local[32]) on the same input and report throughput at both + scaling
+efficiency (the sandbox proxy for the north rule's N vs 4N executors) —
+results appended to BENCH/BASELINE.md by scripts/update_baseline_md.py.
+
+Every query materializes via the 'noop' sink (full computation, no IO) so
+Catalyst can't prune the work away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sick_spark import DedupConfig, get_spark
+from sick_spark.corpus import corpus_from_documents
+from sick_spark.plans.pipeline import run_pipeline
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _materialize(df: DataFrame) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    times: dict[str, float] = {}
+
+    headline = [
+        "q1_pricing_summary",
+        "q5_nation_revenue",
+        "window_top_orders_per_customer",
+        "neardup_pairs_minhash",
+        "neardup_pairs_ngram",
+        "dedup_clusters",
+        "simhash_neardup_pairs",
+        "embedding_neardup_pairs",
+        "ann_topk_bruteforce",
+        "events_hourly",
+        "doc_textstats",
+    ]
+    qs = em.queries()
+    for name in headline:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
+    corpus = corpus_from_documents(spark, sf_dir)
+    n_files = corpus.count()
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, corpus, DedupConfig(), with_simhash=True)
+    _materialize(res.clusters)
+    return round(time.perf_counter() - t0, 3), n_files
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, same input, two parallelism levels → scaling efficiency."""
+    out: dict[str, dict] = {}
+    for cores in (8, 32):
+        spark = get_spark(app_name=f"bench-scale-{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=cores * 2)
+        spark.sparkContext.setLogLevel("ERROR")
+        wall, n_files = bench_pipeline(spark, sf_dir)
+        # second run to amortize JVM/session warmup out of the comparison
+        wall2, _ = bench_pipeline(spark, sf_dir)
+        best = min(wall, wall2)
+        out[f"local[{cores}]"] = {
+            "wall_sec": best,
+            "files_per_sec": round(n_files / best, 1),
+            "n_files": n_files,
+        }
+        spark.stop()
+    t8 = out["local[8]"]["wall_sec"]
+    t32 = out["local[32]"]["wall_sec"]
+    # efficiency of the 4x scale-up: speedup / 4
+    out["scaling_efficiency_8_to_32"] = round((t8 / t32) / 4.0, 3)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        result = run_scaling(SF_DIR)
+        result["sf"] = SF_DIR
+        print(json.dumps(result))
+        return
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pipeline_sec, n_files = bench_pipeline(spark, SF_DIR)
+    qtimes = bench_queries(spark, SF_DIR)
+    qtimes["dedup_pipeline_e2e"] = pipeline_sec
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": SF_DIR,
+                "dedup_pipeline_files_per_sec": round(n_files / pipeline_sec, 1),
+                "cores": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

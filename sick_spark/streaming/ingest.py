@@ -1,0 +1,77 @@
+"""Structured Streaming ingest: continuous signature computation.
+
+The reference is strictly batch (streaming encode/decode are explicit
+non-goals, ``README.md:44-45``); at corpus scale the idiomatic Spark split
+is:
+
+* **streaming** for the embarrassingly-parallel per-file stages — sha256,
+  shingles, MinHash, SimHash are stateless row transforms, so they run
+  under ``readStream`` unchanged (same functions as batch; Structured
+  Streaming's incremental planner handles checkpoint/offset tracking);
+* **periodic batch** for the global stages (LSH self-join, connected
+  components) over the accumulated signature table — CC is an iterative
+  fixpoint and does not fit a streaming micro-batch model.
+
+This module wires the streaming half; the batch half is
+``plans/pipeline.py`` run on the signature sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import CORPUS_SCHEMA
+from sick_spark.functions.text import with_shingle_hashes
+from sick_spark.operators.exact_dedup import with_content_sha
+from sick_spark.operators.minhash import minhash_signatures
+from sick_spark.operators.simhash import simhash_fingerprints
+
+
+def streaming_signatures(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: DedupConfig | None = None,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """readStream over a landing directory of parquet corpus files →
+    per-file signature rows (sha, lang, shingle_hashes, minhash, simhash).
+
+    The transform chain is IDENTICAL to the batch path — one definition,
+    two execution modes (the DataFrame API is the contract)."""
+    cfg = cfg or DedupConfig()
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    sig = with_content_sha(stream)
+    sig = with_shingle_hashes(
+        sig.select("repo", "path", "commit", "lang", "sha", "content"),
+        cfg.shingle_k,
+        cfg.json_aware,
+    )
+    sig = minhash_signatures(sig, cfg)
+    sig = simhash_fingerprints(sig)
+    return sig.drop("content")
+
+
+def start_signature_sink(
+    signatures: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Append-mode parquet sink with exactly-once file tracking (Spark's
+    streaming file-source log is the resume mechanism here — the batch
+    Warehouse manifest is its analogue)."""
+    w = (
+        signatures.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

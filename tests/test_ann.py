@@ -1,0 +1,49 @@
+import numpy as np
+
+from sick_spark.operators.ann import (
+    cosine_topk_bruteforce,
+    rhp_bucket_candidates,
+    with_rhp_bucket,
+)
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    df = _vec_df(spark, vecs)
+    got = cosine_topk_bruteforce(df, df, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(30):
+        expected = list(np.argsort(-sims[q])[:2])
+        assert [n for _, n in sorted(by_q[q])] == expected
+
+
+def test_rhp_bucket_deterministic_and_collision(spark):
+    # identical vectors land in the same bucket always
+    v = [1.0] * 16
+    df = _vec_df(spark, [v, v, [-x for x in v]])
+    b = {r["vec_id"]: r["bucket"] for r in with_rhp_bucket(df, 8, 16).collect()}
+    assert b[0] == b[1]
+    assert b[0] != b[2]  # antipodal flips every sign bit
+
+
+def test_rhp_candidates_find_near_neighbors(spark):
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(16).astype(np.float32)
+    near = base + rng.standard_normal(16).astype(np.float32) * 0.01
+    far = -base
+    df = _vec_df(spark, [base, near, far])
+    cand = {(r["id_a"], r["id_b"]) for r in rhp_bucket_candidates(df, 6, 16).collect()}
+    assert (0, 1) in cand

@@ -1,0 +1,59 @@
+import hashlib
+
+import pytest
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import CORPUS_SCHEMA
+from sick_spark.operators.multimodal import (
+    decode_image_features,
+    media_table_from_documents,
+)
+from sick_spark.operators.partialdup import partial_dup_report
+from sick_spark.plans.pipeline import run_pipeline
+
+
+def test_partial_dup_lcs(spark):
+    shared = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        ("r", "a", "c", "py", shared + " tail one"),
+        ("r", "b", "c", "py", "head two " + shared),
+        ("r", "x", "c", "py", " ".join(f"zz{i}" for i in range(40))),
+    ]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    res = run_pipeline(spark, corpus, DedupConfig(jaccard_threshold=0.3))
+    rep = partial_dup_report(res.store, res.clusters).collect()
+    assert len(rep) == 1  # one non-rep member in the single 2-cluster
+    r = rep[0]
+    assert r["lcs_len"] >= len(shared)
+    assert not r["truncated"]
+    assert r["lcs_sample"] in rows[0][4]
+
+
+def test_partialdup_truncation_reported(spark):
+    big = "x " * 6000
+    rows = [("r", "a", "c", "py", big + "end a"), ("r", "b", "c", "py", big + "end b")]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    res = run_pipeline(spark, corpus, DedupConfig(jaccard_threshold=0.3))
+    rep = partial_dup_report(res.store, res.clusters, max_chars=1000).collect()
+    assert rep and all(r["truncated"] for r in rep)
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    docs = spark.createDataFrame([("s1", "py", "content")], ["sha", "lang", "content"])
+    media = media_table_from_documents(docs)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media)
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [("s1", "py", "abc"), ("s2", "py", "xyz")], ["sha", "lang", "content"]
+    )
+    media = media_table_from_documents(docs)
+    out = {r["media_id"]: r for r in decode_image_features(media, deterministic_fake=True).collect()}
+    assert out["s1"]["payload_sha"] == hashlib.sha256(b"abc").hexdigest()
+    assert out["s1"]["n_bytes"] == 3
+    assert len(out["s1"]["feature"]) == 16
+    # rerun identical
+    out2 = {r["media_id"]: r for r in decode_image_features(media, deterministic_fake=True).collect()}
+    assert out["s1"]["feature"] == out2["s1"]["feature"]

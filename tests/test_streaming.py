@@ -1,0 +1,43 @@
+"""Streaming ingest: same signatures as batch, exactly-once over new files."""
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import synthetic_corpus
+from sick_spark.functions.text import with_shingle_hashes
+from sick_spark.operators.exact_dedup import with_content_sha
+from sick_spark.operators.minhash import minhash_signatures
+from sick_spark.streaming.ingest import start_signature_sink, streaming_signatures
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    cfg = DedupConfig()
+    corpus = synthetic_corpus(spark, n_files=80, seed=21)
+    landing = str(tmp_path / "landing")
+    corpus.write.parquet(landing)
+
+    sig_stream = streaming_signatures(spark, landing, cfg)
+    q = start_signature_sink(
+        sig_stream, str(tmp_path / "sigs"), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "sigs"))
+    batch = minhash_signatures(
+        with_shingle_hashes(
+            with_content_sha(corpus).select("repo", "path", "commit", "lang", "sha", "content"),
+            cfg.shingle_k,
+        ),
+        cfg,
+    )
+    g = {r["sha"]: tuple(r["minhash"]) for r in got.select("sha", "minhash").collect()}
+    b = {r["sha"]: tuple(r["minhash"]) for r in batch.select("sha", "minhash").collect()}
+    assert g == b
+    # restart with same checkpoint and no new files → no duplicate rows
+    q2 = start_signature_sink(
+        streaming_signatures(spark, landing, cfg),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    # one signature row per input file, not duplicated by the restart
+    assert spark.read.parquet(str(tmp_path / "sigs")).count() == corpus.count()

@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from sick_spark.functions.jsonpath import json_query, parse_path, to_jsonpath
+from sick_spark.functions.textstats import with_textstats
+
+
+def test_parse_path_grammar():
+    # reference grammar: a.b[3].c, a.b.[3].c, negative indexes
+    # (SickReader.Query.cs:36-41, SickBaseReader.cs:9-56)
+    assert parse_path("a.b[3].c") == ["a", "b", 3, "c"]
+    assert parse_path("a.b.[3].c") == ["a", "b", 3, "c"]
+    assert parse_path("arr.[-1]") == ["arr", -1]
+    assert parse_path("data.numbers.1") == ["data", "numbers", 1]
+    assert to_jsonpath("a.b[3].c") == "$.a.b[3].c"
+
+
+def test_json_query_positive(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"b": [10, 20, 30], "c": "x"}}',)], ["content"]
+    )
+    out = df.select(
+        json_query("content", "a.b[1]").alias("v1"),
+        json_query("content", "a.c").alias("v2"),
+        json_query("content", "a.b.[2]").alias("v3"),
+    ).collect()[0]
+    assert out["v1"] == "20"
+    assert out["v2"] == "x"
+    assert out["v3"] == "30"
+
+
+def test_json_query_negative_index(spark):
+    # negative = from end (IncrementalEBAReader.scala:202)
+    df = spark.createDataFrame([('{"arr": [1, 2, 3]}',)], ["content"])
+    out = df.select(json_query("content", "arr.[-1]").alias("v")).collect()[0]
+    assert out["v"] == "3"
+
+
+def test_textstats_basic(spark):
+    df = spark.createDataFrame(
+        [("d1", "the cat sat on the mat with a hat and a bat of doom")],
+        ["id", "content"],
+    )
+    r = with_textstats(df).collect()[0]
+    assert r["token_count"] == 14
+    assert r["lang_pred"] == "en"
+    assert 0 <= r["stopword_ratio"] <= 1
+    assert r["punct_ratio"] == 0.0
+    assert len(r["fingerprint"]) == 64
+
+
+def test_fingerprint_formatting_invariant(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello   World"), ("b", "hello world"), ("c", "hello  world ")],
+        ["id", "content"],
+    )
+    fps = {r["id"]: r["fingerprint"] for r in with_textstats(df).collect()}
+    assert fps["a"] == fps["b"] == fps["c"]
+
+
+def test_langid_non_ascii(spark):
+    df = spark.createDataFrame([("t", "สวัสดี ครับ ทุก คน ใน โลก")], ["id", "content"])
+    assert with_textstats(df).collect()[0]["lang_pred"] == "unknown"
