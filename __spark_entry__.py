@@ -28,7 +28,12 @@ from sick_spark.functions.textstats import (
     stopword_ratio,
     token_count,
 )
-from sick_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh, rhp_bucket_candidates
+from sick_spark.operators.ann import (
+    cosine_pairs_blocked,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    rhp_bucket_candidates,
+)
 from sick_spark.operators.components import attach_components, connected_components
 from sick_spark.operators.lsh import band_keys, candidate_pairs
 from sick_spark.operators.minhash import minhash_pandas, minhash_sql
@@ -36,7 +41,6 @@ from sick_spark.operators.multimodal import decode_image_features, media_table_f
 from sick_spark.operators.partialdup import partial_dup_report
 from sick_spark.operators.simhash import simhash_fingerprints, simhash_pairs
 from sick_spark.operators.verify import verify_pairs
-from sick_spark.functions.vectors import cosine
 from sick_spark.plans.pipeline import run_pipeline
 
 TABLES = [
@@ -79,8 +83,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verified_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
-    sh = _doc_shingles(spark, sf_dir)
-    sig = minhash_sql(sh, cfg)
+    # checkpoint the shared shingle/signature tables: bands, the candidate
+    # self-join and the two verify joins all branch off them, and an
+    # unmaterialized branch re-derives the whole shingle DAG per consumer
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sig = minhash_sql(sh, cfg).localCheckpoint(eager=True)
     bands = band_keys(sig, cfg, id_col="doc_id")
     pairs = candidate_pairs(bands, cfg)
     return verify_pairs(pairs, sh, _J, id_col="doc_id")
@@ -278,18 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "component").orderBy("doc_id")
     q["dedup_clusters"] = dedup_clusters
 
-    # --- embedding near-dup pairs (cosine >= threshold), JVM zip_with math
+    # --- embedding near-dup pairs (cosine >= threshold): broadcast numpy
+    #     block-matmul (one BLAS call per partition, not 25M JVM lambdas)
     def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-        return (
-            a.crossJoin(b)
-            .where(F.col("id_a") < F.col("id_b"))
-            .where(cosine("va", "vb") >= _COS)
-            .select("id_a", "id_b")
-            .orderBy("id_a", "id_b")
-        )
+        return cosine_pairs_blocked(e, _COS).orderBy("id_a", "id_b")
     q["embedding_neardup_pairs"] = embedding_neardup_pairs
 
     # --- brute-force cosine top-k (exact ANN baseline)

@@ -1,0 +1,26 @@
+"""Driver-contract smoke: entry() runs and queries()/oracle_sql() align."""
+
+import __spark_entry__ as em
+
+
+def test_entry_smoke(spark):
+    df = em.entry(spark)
+    assert df.count() > 0
+    cols = set(df.columns)
+    assert {"repo", "path", "sha", "component"} <= cols
+
+
+def test_query_oracle_keys_align():
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # at least 20 oracle-checked operators
+    assert len(oracles) >= 20
+    assert len(qs) >= 25
+
+
+def test_queries_run_at_sf0001(spark):
+    # representative fast subset; full parity is scripts/check_oracle.py
+    qs = em.queries()
+    for name in ("q1_pricing_summary", "exact_dup_stats", "json_path_events"):
+        assert qs[name](spark, "/root/testdata/sf0.001").count() > 0
