@@ -1,0 +1,258 @@
+"""JSON shredding into content-addressed node tables + reconstruction.
+
+This is the reference's core data model expressed as DataFrames:
+
+* SICK interns every JSON node into a per-type table and addresses it by
+  ``(kind, index)`` (``RTModel.scala:80-90``; 10-table layout
+  ``EBAStructure.scala:8-32``). Here every node gets a **content-derived
+  id** (sha256 of its canonical form) in ONE long-format ``nodes`` table
+  with a ``kind`` discriminator — the Spark-native equivalent (SURVEY.md
+  §1.1: "long-format DataFrame partitioned by kind"), and identical
+  subtrees across ALL documents intern to the same row exactly like the
+  shared value store under multi-root packing (``SICK.scala:19-27``).
+* ``edges`` is the exploded Obj/Arr adjacency ``(parent_id, pos, key,
+  child_id)`` — joins instead of pointer chasing (SURVEY.md §1.1 Obj row).
+* ``roots`` maps each document to its root node (``RTModel.scala:96``).
+* :func:`reconstruct_docs` rebuilds the original JSON per root
+  (``CirceTraverser.scala:16-58`` reconstruct) — used for the round-trip
+  invariant: sha256(canonical(reconstruct(shred(doc)))) ==
+  sha256(canonical(doc)), the per-row invariant from BASELINE.json.
+
+Per-document tree walks run inside Arrow-batched UDFs (documents are
+small — the same assumption the reference makes, ``FixedTable.cs:34-36``);
+interning/dedup across documents is a distributed ``dropDuplicates`` —
+the E1 hash-cons primitive at corpus scale.
+
+Numeric canonicalization mirrors SICK's narrowing (``CirceTraverser.
+scala:88-155``): integers keep integer form, floats canonical repr, so
+``1.5`` interns identically wherever it appears.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+NODE_SCHEMA = StructType(
+    [
+        StructField("doc_sha", StringType(), False),
+        StructField("node_id", StringType(), False),   # sha256(kind:canonical)
+        StructField("kind", StringType(), False),      # nul|bit|int|dbl|str|arr|obj
+        StructField("scalar", StringType(), True),     # canonical scalar value
+        StructField("n_children", IntegerType(), False),
+        StructField("is_root", IntegerType(), False),
+    ]
+)
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("doc_sha", StringType(), False),
+        StructField("parent_id", StringType(), False),
+        StructField("pos", IntegerType(), False),       # array index / key order
+        StructField("key", StringType(), True),         # object key (null for arr)
+        StructField("child_id", StringType(), False),
+    ]
+)
+
+
+def _canon(value) -> tuple[str, str, str | None]:
+    """(kind, canonical_form, scalar) — canonical form is deterministic and
+    key-order-insensitive, like the reference's assertSameJson contract."""
+    if value is None:
+        return "nul", "null", "null"
+    if isinstance(value, bool):
+        return "bit", "true" if value else "false", "true" if value else "false"
+    if isinstance(value, int):
+        return "int", str(value), str(value)
+    if isinstance(value, float):
+        return "dbl", repr(value), repr(value)
+    if isinstance(value, str):
+        return "str", json.dumps(value, ensure_ascii=False), value
+    raise TypeError(type(value))
+
+
+def _node_id(kind: str, canonical: str) -> str:
+    return hashlib.sha256(f"{kind}:{canonical}".encode()).hexdigest()
+
+
+def _walk(value, doc_sha: str, nodes: list, edges: list, is_root: int = 0) -> tuple[str, str]:
+    """Bottom-up: children intern first so composite identity reduces to
+    child-id equality (the E4 ordering)."""
+    if isinstance(value, dict):
+        child = [( k, _walk(v, doc_sha, nodes, edges)) for k, v in sorted(value.items())]
+        canonical = "{" + ",".join(f"{json.dumps(k)}:{cid}" for k, (cid, _) in child) + "}"
+        nid = _node_id("obj", canonical)
+        for pos, (k, (cid, _)) in enumerate(child):
+            edges.append((doc_sha, nid, pos, k, cid))
+        nodes.append((doc_sha, nid, "obj", None, len(child), is_root))
+        return nid, canonical
+    if isinstance(value, list):
+        child = [_walk(v, doc_sha, nodes, edges) for v in value]
+        canonical = "[" + ",".join(cid for cid, _ in child) + "]"
+        nid = _node_id("arr", canonical)
+        for pos, (cid, _) in enumerate(child):
+            edges.append((doc_sha, nid, pos, None, cid))
+        nodes.append((doc_sha, nid, "arr", None, len(child), is_root))
+        return nid, canonical
+    kind, canonical, scalar = _canon(value)
+    nid = _node_id(kind, canonical)
+    nodes.append((doc_sha, nid, kind, scalar, 0, is_root))
+    return nid, canonical
+
+
+def shred(docs: DataFrame, sha: str = "sha", content: str = "content") -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, edges, roots) long-format tables.
+
+    nodes — per-document node instances (pre-intern). Global interned store
+    = ``nodes.dropDuplicates(["node_id"])`` (E1); per-node reference counts
+    = ``groupBy("node_id").count()`` (E10 Freq).
+    """
+    spark_docs = docs.select(F.col(sha).alias("doc_sha"), F.col(content).alias("__c"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            all_nodes: list = []
+            for dsha, text in zip(pdf["doc_sha"], pdf["__c"]):
+                try:
+                    obj = json.loads(text)
+                except (ValueError, TypeError):
+                    continue
+                _walk(obj, dsha, all_nodes, [], is_root=1)
+            yield pd.DataFrame(all_nodes, columns=[f.name for f in NODE_SCHEMA.fields]).astype(
+                {"n_children": "int32", "is_root": "int32"}
+            ) if all_nodes else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in NODE_SCHEMA.fields}
+            ).astype({"n_children": "int32", "is_root": "int32"})
+
+    def edge_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            all_edges: list = []
+            for dsha, text in zip(pdf["doc_sha"], pdf["__c"]):
+                try:
+                    obj = json.loads(text)
+                except (ValueError, TypeError):
+                    continue
+                _walk(obj, dsha, [], all_edges, is_root=1)
+            yield pd.DataFrame(all_edges, columns=[f.name for f in EDGE_SCHEMA.fields]).astype(
+                {"pos": "int32"}
+            ) if all_edges else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in EDGE_SCHEMA.fields}
+            ).astype({"pos": "int32"})
+
+    nodes = spark_docs.mapInPandas(batches, NODE_SCHEMA)
+    edges = spark_docs.mapInPandas(edge_batches, EDGE_SCHEMA)
+    roots = nodes.where(F.col("is_root") == 1).select(
+        "doc_sha", F.col("node_id").alias("root_id")
+    )
+    return nodes, edges, roots
+
+
+def interned_store(nodes: DataFrame) -> DataFrame:
+    """The global deduplicated value store: one row per distinct node across
+    all documents (E1/E7), with reference counts (E10)."""
+    counts = nodes.groupBy("node_id").agg(F.count(F.lit(1)).alias("ref_count"))
+    return (
+        nodes.select("node_id", "kind", "scalar", "n_children")
+        .dropDuplicates(["node_id"])
+        .join(counts, "node_id")
+    )
+
+
+def shred_summary(nodes: DataFrame) -> DataFrame:
+    """Per-kind cardinalities — the reference's EBAStructure.summary (R16)."""
+    return (
+        interned_store(nodes)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("interned"), F.sum("ref_count").alias("instances"))
+        .orderBy("kind")
+    )
+
+
+def reconstruct_docs(nodes: DataFrame, edges: DataFrame, roots: DataFrame) -> DataFrame:
+    """(doc_sha, reconstructed) — rebuild canonical JSON per document
+    (R11). Per-doc rebuild runs in applyInPandas over the doc's own node +
+    edge rows (trees are document-sized)."""
+    n = nodes.select("doc_sha", "node_id", "kind", "scalar").dropDuplicates(
+        ["doc_sha", "node_id"]
+    )
+    e = edges
+    r = roots
+    joined_n = n.withColumn("rec_kind", F.lit("n")).select(
+        "doc_sha",
+        F.col("node_id").alias("a"),
+        F.col("kind").alias("b"),
+        F.col("scalar").alias("c"),
+        F.lit(None).cast("int").alias("pos"),
+        "rec_kind",
+    )
+    joined_e = e.withColumn("rec_kind", F.lit("e")).select(
+        "doc_sha",
+        F.col("parent_id").alias("a"),
+        F.col("child_id").alias("b"),
+        F.col("key").alias("c"),
+        "pos",
+        "rec_kind",
+    )
+    joined_r = r.withColumn("rec_kind", F.lit("r")).select(
+        "doc_sha",
+        F.col("root_id").alias("a"),
+        F.lit(None).alias("b"),
+        F.lit(None).alias("c"),
+        F.lit(None).cast("int").alias("pos"),
+        "rec_kind",
+    )
+    allrows = joined_n.unionByName(joined_e).unionByName(joined_r)
+
+    out_schema = StructType(
+        [
+            StructField("doc_sha", StringType(), False),
+            StructField("reconstructed", StringType(), True),
+        ]
+    )
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_sha = pdf["doc_sha"].iloc[0]
+        kinds = {}
+        children: dict[str, list] = {}
+        root_id = None
+        for _, row in pdf.iterrows():
+            if row["rec_kind"] == "n":
+                kinds[row["a"]] = (row["b"], row["c"])
+            elif row["rec_kind"] == "e":
+                children.setdefault(row["a"], []).append((row["pos"], row["c"], row["b"]))
+            else:
+                root_id = row["a"]
+
+        def build(nid: str):
+            kind, scalar = kinds[nid]
+            if kind == "obj":
+                return {k: build(cid) for _, k, cid in sorted(children.get(nid, []))}
+            if kind == "arr":
+                return [build(cid) for _, _, cid in sorted(children.get(nid, []))]
+            if kind == "nul":
+                return None
+            if kind == "bit":
+                return scalar == "true"
+            if kind == "int":
+                return int(scalar)
+            if kind == "dbl":
+                return float(scalar)
+            return scalar
+
+        text = None
+        if root_id is not None and root_id in kinds:
+            text = json.dumps(build(root_id), sort_keys=True, ensure_ascii=False)
+        return pd.DataFrame({"doc_sha": [doc_sha], "reconstructed": [text]})
+
+    return allrows.groupBy("doc_sha").applyInPandas(rebuild, out_schema)

@@ -1,0 +1,80 @@
+"""Round-trip + interning tests for the shred/reconstruct pair — mirrors
+the reference's golden round-trip suite (EBAReaderWriterTest.scala:30-72):
+encode → store → reconstruct == original, key-order insensitive, with the
+per-row sha256 invariant from BASELINE.json."""
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from sick_spark.operators.shred import (
+    interned_store,
+    reconstruct_docs,
+    shred,
+    shred_summary,
+)
+
+DOCS = [
+    '{"b": 1, "a": {"x": [1, 2, 3], "y": null}, "flag": true}',
+    '{"a": {"x": [1, 2, 3], "y": null}, "b": 1, "flag": true}',  # key order differs
+    '{"other": "doc", "shared": {"x": [1, 2, 3], "y": null}}',
+    '[1, 2.5, "s", null, {"k": false}]',
+    '{"n": 12345678901234567890}',  # > int64: big integers keep exact form
+]
+
+
+def _df(spark, docs=DOCS):
+    rows = [(hashlib.sha256(d.encode()).hexdigest(), d) for d in docs]
+    return spark.createDataFrame(rows, "sha string, content string")
+
+
+def test_roundtrip_sha_invariant(spark):
+    docs = _df(spark)
+    nodes, edges, roots = shred(docs)
+    rec = {r["doc_sha"]: r["reconstructed"] for r in reconstruct_docs(nodes, edges, roots).collect()}
+    for d in DOCS:
+        sha = hashlib.sha256(d.encode()).hexdigest()
+        canonical = json.dumps(json.loads(d), sort_keys=True, ensure_ascii=False)
+        assert rec[sha] is not None
+        # per-row invariant: canonical round-trip content hashes match
+        assert hashlib.sha256(rec[sha].encode()).hexdigest() == hashlib.sha256(
+            canonical.encode()
+        ).hexdigest()
+
+
+def test_key_order_interns_identically(spark):
+    # docs 0 and 1 differ only in key order → identical root node id
+    docs = _df(spark, DOCS[:2])
+    nodes, _, roots = shred(docs)
+    rids = [r["root_id"] for r in roots.collect()]
+    assert len(rids) == 2
+    assert rids[0] == rids[1]
+
+
+def test_shared_subtree_interned_once(spark):
+    docs = _df(spark, DOCS[:3])
+    nodes, _, _ = shred(docs)
+    store = interned_store(nodes)
+    # the {"x":[1,2,3],"y":null} subtree appears in all 3 docs → ref_count 3
+    shared = store.where((F.col("kind") == "obj") & (F.col("ref_count") == 3)).collect()
+    assert len(shared) >= 1
+    # scalar 1 appears in many places but is stored once
+    ones = store.where((F.col("kind") == "int") & (F.col("scalar") == "1")).collect()
+    assert len(ones) == 1
+    assert ones[0]["ref_count"] >= 3
+
+
+def test_summary_counts_kinds(spark):
+    docs = _df(spark)
+    nodes, _, _ = shred(docs)
+    got = {r["kind"]: (r["interned"], r["instances"]) for r in shred_summary(nodes).collect()}
+    assert set(got) == {"nul", "bit", "int", "dbl", "str", "arr", "obj"}
+    for interned, instances in got.values():
+        assert instances >= interned
+
+
+def test_malformed_json_skipped(spark):
+    docs = _df(spark, ["{broken", '{"ok": 1}'])
+    nodes, edges, roots = shred(docs)
+    assert roots.count() == 1
