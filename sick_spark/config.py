@@ -12,21 +12,29 @@ from dataclasses import dataclass, field
 
 
 def derive_bands(n_perms: int, threshold: float, target_recall: float = 0.99) -> tuple[int, int]:
-    """Pick (bands b, rows r) with b*r == n_perms maximizing precision subject
-    to recall >= target at the given Jaccard threshold.
+    """Pick (bands b, rows r) with b*r <= n_perms maximizing r (precision)
+    subject to recall >= target at the given Jaccard threshold.
 
-    P(candidate | jaccard=s) = 1 - (1 - s^r)^b.  We want the largest r (fewest
-    false candidates) whose recall at ``threshold`` still meets the target.
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b. Larger r suppresses
+    low-similarity false candidates exponentially (s^r), so we take the
+    largest r whose minimal band count b = ceil(ln(1-target)/ln(1-t^r))
+    fits the signature budget. The signature only needs b*r values — using
+    the whole budget at a smaller r would generate orders of magnitude more
+    candidate pairs without measurably more recall (at 200k docs, r=2/b=64
+    produced 309k candidates; r=3/b=35 produces ~the true pairs).
     """
-    best = (n_perms, 1)  # r=1: maximal recall fallback
-    for r in range(1, n_perms + 1):
-        if n_perms % r:
+    import math
+
+    for r in range(n_perms, 0, -1):
+        p_band = threshold**r
+        if p_band >= 1.0:
+            return 1, r
+        if p_band < 1e-9:  # band count would exceed any budget
             continue
-        b = n_perms // r
-        recall = 1.0 - (1.0 - threshold**r) ** b
-        if recall >= target_recall:
-            best = (b, r)  # keep increasing r while recall holds
-    return best
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        if b >= 1 and b * r <= n_perms:
+            return b, r
+    return n_perms, 1
 
 
 @dataclass(frozen=True)
@@ -40,7 +48,7 @@ class DedupConfig:
     """
 
     shingle_k: int = 3                # tokens per shingle
-    n_perms: int = 128                # MinHash signature length
+    n_perms: int = 128                # MinHash signature BUDGET (sig_len = bands*rows <= n_perms)
     jaccard_threshold: float = 0.5    # near-dup verification threshold
     target_recall: float = 0.99       # drives (bands, rows) derivation
     seed: int = 42                    # all hashing derives from this
@@ -60,8 +68,13 @@ class DedupConfig:
         b, r = derive_bands(self.n_perms, self.jaccard_threshold, self.target_recall)
         object.__setattr__(self, "bands", b)
         object.__setattr__(self, "rows", r)
-        if self.bands * self.rows != self.n_perms:
-            raise ValueError("bands*rows must equal n_perms")
+        if self.bands * self.rows > self.n_perms:
+            raise ValueError("bands*rows must fit the n_perms budget")
+
+    @property
+    def sig_len(self) -> int:
+        """Signature length actually computed (= bands * rows)."""
+        return self.bands * self.rows
 
     def expected_recall(self, s: float) -> float:
         return 1.0 - (1.0 - s**self.rows) ** self.bands

@@ -58,8 +58,11 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     Hot buckets get a deterministic salt column so the join key becomes
     (band, bh, salt): fan-out per key drops from m^2 to (m/s)^2 * s.
     """
-    stats = bucket_stats(bands, cfg)
-    keyed = bands.join(stats.select("band", "bh", "is_hot"), ["band", "bh"])
+    # hot buckets are rare by construction (exact dups pre-collapsed), so we
+    # broadcast ONLY the hot-bucket keys instead of shuffling all band rows
+    # against the full stats table — one 12.8M-row shuffle saved per run
+    hot = bucket_stats(bands, cfg).where(F.col("is_hot")).select("band", "bh", "is_hot")
+    keyed = bands.join(F.broadcast(hot), ["band", "bh"], "left")
     keyed = keyed.withColumn(
         "salt",
         F.when(

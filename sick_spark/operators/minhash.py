@@ -31,7 +31,7 @@ from sick_spark.config import DedupConfig
 
 
 def minhash_sql(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
-    n = cfg.n_perms
+    n = cfg.sig_len
     return df.withColumn(
         out,
         F.expr(
@@ -50,7 +50,7 @@ def _perm_params(n_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def make_minhash_pandas_udf(cfg: DedupConfig):
-    n_perms, seed = cfg.n_perms, cfg.seed
+    n_perms, seed = cfg.sig_len, cfg.seed
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_batch(hashes: pd.Series) -> pd.Series:

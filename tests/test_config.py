@@ -1,11 +1,11 @@
 from sick_spark.config import DedupConfig, derive_bands
 
 
-def test_bands_partition_perms():
+def test_bands_fit_budget_and_meet_recall():
     for n in (64, 128, 256):
         for t in (0.3, 0.5, 0.7, 0.9):
             b, r = derive_bands(n, t)
-            assert b * r == n
+            assert 1 <= b * r <= n
             recall = 1 - (1 - t**r) ** b
             assert recall >= 0.99
 
@@ -16,7 +16,16 @@ def test_higher_threshold_allows_more_rows():
     assert r_hi >= r_lo
 
 
+def test_precision_improves_with_budget():
+    # more perms → larger r feasible → lower false-candidate rate at low J
+    def fp_rate(n):
+        b, r = derive_bands(n, 0.5)
+        return 1 - (1 - 0.1**r) ** b
+
+    assert fp_rate(512) <= fp_rate(128) <= fp_rate(64)
+
+
 def test_config_frozen_and_derived():
     c = DedupConfig(jaccard_threshold=0.5)
-    assert c.bands * c.rows == c.n_perms
+    assert c.bands * c.rows == c.sig_len <= c.n_perms
     assert c.expected_recall(c.jaccard_threshold) >= c.target_recall

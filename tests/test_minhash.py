@@ -50,4 +50,4 @@ def test_backends_deterministic(spark):
 def test_signature_length(spark):
     cfg = DedupConfig(n_perms=64)
     sigs = _sig_df(spark, ["a b c d e"], cfg, "sql")
-    assert len(sigs["p0"]) == 64
+    assert len(sigs["p0"]) == cfg.sig_len == cfg.bands * cfg.rows
