@@ -39,6 +39,7 @@ from sick_spark.operators.lsh import band_keys, candidate_pairs
 from sick_spark.operators.minhash import minhash_pandas, minhash_sql
 from sick_spark.operators.multimodal import decode_image_features, media_table_from_documents
 from sick_spark.operators.partialdup import partial_dup_report
+from sick_spark.operators.shred import reconstruct_docs, shred, shred_summary
 from sick_spark.operators.simhash import simhash_fingerprints, simhash_pairs
 from sick_spark.operators.verify import verify_pairs
 from sick_spark.plans.pipeline import run_pipeline
@@ -362,6 +363,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_hourly"] = events_hourly
 
+    # --- JSON shred: SICK's interned node tables (E1/E4/R16) over event props
+    def json_shred_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        docs = e.select(
+            F.sha2(F.col("props").cast("binary"), 256).alias("sha"),
+            F.col("props").alias("content"),
+        )
+        nodes, _, _ = shred(docs)
+        return shred_summary(nodes).select(
+            "kind", "interned", F.col("instances").cast("bigint").alias("instances")
+        )
+    q["json_shred_summary"] = json_shred_summary
+
+    # --- round-trip invariant (R11): shred -> reconstruct -> canonical equality
+    def json_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        docs = e.select(F.col("props").alias("content")).distinct().withColumn(
+            "sha", F.sha2(F.col("content").cast("binary"), 256)
+        )
+        nodes, edges, roots = shred(docs)
+        rec = reconstruct_docs(nodes, edges, roots)
+        joined = docs.join(rec, docs["sha"] == rec["doc_sha"])
+        # source props are canonical already ({"k": N}, sorted single key,
+        # json.dumps default separators) so reconstructed == content exactly
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("reconstructed") == F.col("content")).cast("bigint")).alias("n_ok"),
+        )
+    q["json_shred_roundtrip"] = json_shred_roundtrip
+
     # ------------- rows-only operators (non-SQL-expressible; weaker check) --
 
     def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +532,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+    o["json_shred_summary"] = """
+        WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        SELECT 'int' AS kind, COUNT(DISTINCT k) AS interned, COUNT(*) AS instances FROM v
+        UNION ALL
+        SELECT 'obj' AS kind, COUNT(DISTINCT k) AS interned, COUNT(*) AS instances FROM v
+        ORDER BY kind
+    """
+    o["json_shred_roundtrip"] = """
+        SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ok
+        FROM (SELECT DISTINCT props FROM events) t
     """
     o["events_hourly"] = """
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,

