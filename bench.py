@@ -75,6 +75,15 @@ def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
 SCALE_REPS = int(os.environ.get("SICK_BENCH_REPS", "40"))
 _SCALED_CORPUS = f"/tmp/sick_bench_corpus_reps{SCALE_REPS}"
 
+# the scaled corpus is a few hundred MB in ~256 small files; the cluster
+# default 128 MiB splits + 4 MiB open-cost would pack the whole scan into a
+# handful of input splits and cap every corpus-reading stage at ~5-way
+# parallelism — size splits to the corpus so the scan saturates the cores
+_SMALL_INPUT_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(1024 * 1024),
+}
+
 
 def _scaled_corpus(spark: SparkSession, sf_dir: str) -> str:
     """sf0.1 documents × SCALE_REPS replicas, generated JVM-side.
@@ -99,49 +108,109 @@ def _scaled_corpus(spark: SparkSession, sf_dir: str) -> str:
                 ).alias("content"),
             )
         )
-        scaled.repartition(64).write.mode("overwrite").parquet(_SCALED_CORPUS)
+        scaled.repartition(256).write.mode("overwrite").parquet(_SCALED_CORPUS)
     return _SCALED_CORPUS
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Same job, same (scaled) input, two parallelism levels → efficiency.
+SCALE_CORES_PER_EXECUTOR = 4
+SCALE_EXECUTOR_MEM = "8g"
 
-    Sandbox proxy for the north rule's N vs 4N executors: local[8] vs
-    local[32] on a corpus large enough to be compute-bound (at raw sf0.1
-    the 10 s wall is stage-overhead-bound and cores don't matter)."""
-    spark = get_spark(app_name="bench-scale-gen", master="local[32]")
+
+def run_scale_one(n_executors: int) -> None:
+    """Child entry: run the pipeline on local-cluster[n_executors, 4, 8g];
+    print one JSON line.
+
+    local-cluster (not local[4N]) is the honest proxy for N executors: each
+    executor is its own JVM with its own heap, GC, shuffle server and
+    Python workers — exactly what a real cluster scale-out adds. A single
+    local[4N] JVM instead measures heap/GC/shuffle-lock contention that no
+    real 4N-executor cluster has (measured: local[16] runs the same job
+    ~2x slower than 4x4 separate executor JVMs on the same 16 CPUs).
+
+    MUST run in a fresh process pinned (by the parent) to n_executors*4 + 2
+    CPUs — without pinning, executor threads spill onto all machine cores
+    and the small level looks ~2x faster than its CPU budget justifies. The
+    +2 absorbs the driver, a separate node on a real cluster."""
+    import gc
+
+    total_cores = n_executors * SCALE_CORES_PER_EXECUTOR
+    mem_mb = 8192
+    spark = get_spark(
+        app_name=f"bench-scale-{n_executors}x{SCALE_CORES_PER_EXECUTOR}",
+        master=f"local-cluster[{n_executors},{SCALE_CORES_PER_EXECUTOR},{mem_mb}]",
+        shuffle_partitions=total_cores * 2,
+        extra_conf=dict(_SMALL_INPUT_CONF, **{"spark.executor.memory": SCALE_EXECUTOR_MEM}),
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    corpus_path = _scaled_corpus(spark, sf_dir)
+    corpus = spark.read.parquet(_SCALED_CORPUS)
+    n_files = corpus.count()
+    walls = []
+    for _ in range(int(os.environ.get("SICK_BENCH_RUNS", "2"))):  # best-of-N amortizes JVM warmup
+        t0 = time.perf_counter()
+        res = run_pipeline(spark, corpus, DedupConfig(), with_simhash=True)
+        _materialize(res.clusters)
+        walls.append(time.perf_counter() - t0)
+        res = None
+        gc.collect()  # drop refs to the run's localCheckpoint blocks
+    best = round(min(walls), 3)
+    print(json.dumps({
+        "wall_sec": best,
+        "files_per_sec": round(n_files / best, 1),
+        "n_files": n_files,
+        "executors": n_executors,
+        "cores_per_executor": SCALE_CORES_PER_EXECUTOR,
+        "all_walls": [round(w, 1) for w in walls],
+    }))
     spark.stop()
 
+
+SCALE_LEVELS = tuple(
+    int(x) for x in os.environ.get("SICK_SCALE_LEVELS", "1,4").split(",")
+)
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, same (scaled) input, two cluster sizes → efficiency.
+
+    Sandbox proxy for the north rule's N vs 4N executors: a local-cluster
+    of 1 executor x 4 cores vs 4 executors x 4 cores, each level pinned to
+    its CPU budget (+2 CPUs for the driver) with taskset. See
+    run_scale_one for why separate executor JVMs (not one big local[N])
+    and why pinning. Level cores stay within the range where this box's
+    aggregate DRAM bandwidth is linear (flat past ~16 workers — measured
+    in BENCH/BASELINE.md), since on a real cluster every executor brings
+    its own memory bus."""
+    import subprocess
+
+    spark = get_spark(app_name="bench-scale-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    _scaled_corpus(spark, sf_dir)
+    spark.stop()
+
+    lo, hi = SCALE_LEVELS
     out: dict[str, dict] = {}
-    for cores in (8, 32):
-        spark = get_spark(app_name=f"bench-scale-{cores}", master=f"local[{cores}]",
-                          shuffle_partitions=cores * 2)
-        spark.sparkContext.setLogLevel("ERROR")
-        corpus = spark.read.parquet(corpus_path)
-        n_files = corpus.count()
-        walls = []
-        for _ in range(2):  # best-of-2 amortizes JVM warmup
-            t0 = time.perf_counter()
-            res = run_pipeline(spark, corpus, DedupConfig(), with_simhash=True)
-            _materialize(res.clusters)
-            walls.append(time.perf_counter() - t0)
-        best = round(min(walls), 3)
-        out[f"local[{cores}]"] = {
-            "wall_sec": best,
-            "files_per_sec": round(n_files / best, 1),
-            "n_files": n_files,
-        }
-        spark.stop()
-    t8 = out["local[8]"]["wall_sec"]
-    t32 = out["local[32]"]["wall_sec"]
-    # efficiency of the 4x scale-up: speedup / 4
-    out["scaling_efficiency_8_to_32"] = round((t8 / t32) / 4.0, 3)
+    for n_exec in (lo, hi):
+        cpus = n_exec * SCALE_CORES_PER_EXECUTOR + 2
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}",
+            sys.executable, os.path.abspath(__file__), "--scale-one", str(n_exec),
+        ]
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SICK_BENCH_REPS=str(SCALE_REPS))
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        out[f"{n_exec}x{SCALE_CORES_PER_EXECUTOR}"] = json.loads(line)
+    t_lo = out[f"{lo}x{SCALE_CORES_PER_EXECUTOR}"]["wall_sec"]
+    t_hi = out[f"{hi}x{SCALE_CORES_PER_EXECUTOR}"]["wall_sec"]
+    out["levels"] = [lo, hi]
+    # efficiency of the (hi/lo)x executor scale-up: speedup / (hi/lo)
+    out["scaling_efficiency"] = round((t_lo / t_hi) / (hi / lo), 3)
     return out
 
 
 def main() -> None:
+    if "--scale-one" in sys.argv:
+        run_scale_one(int(sys.argv[sys.argv.index("--scale-one") + 1]))
+        return
     if "--scaling" in sys.argv:
         result = run_scaling(SF_DIR)
         result["sf"] = SF_DIR

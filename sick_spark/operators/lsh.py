@@ -2,20 +2,23 @@
 
 Banding is the reference's KHash idea at corpus scale: hash into a bounded
 bucket, then only scan within the bucket (``EBACodecs.scala:517-604``,
-probe ``OneObjTable.scala:44-107``). Here a bucket is (band_index,
-xxhash64(signature[band])) and the "scan" is a per-band self-equi-join.
+probe ``OneObjTable.scala:44-107``). A bucket key is one 8-byte hash of
+(band_index, signature[band]) — computed with the signature itself in the
+numpy UDF — and the "scan" is a single groupBy over the exploded band table
+followed by in-bucket pair expansion (see :func:`candidate_pairs`).
 
 Skew handling (explicit, per the north rule — AQE skew-join alone is not
 enough because pair fan-out is quadratic in bucket size):
 
 1. exact dups were collapsed upstream, so byte-identical mega-keys are gone;
-2. buckets larger than ``cfg.max_bucket`` are *salted*: members split into
-   ``cfg.salt_buckets`` deterministic sub-buckets (keyed on content sha, never
-   rand() — retries must be stable, SURVEY.md §4) and pairs generate within a
-   sub-bucket only;
-3. nothing is silently dropped — :func:`bucket_stats` reports hot buckets and
-   the cross-salt pair count forgone, and hot-bucket members are still fully
-   covered by the other b-1 bands.
+2. buckets larger than ``cfg.max_bucket`` are *salted* into
+   ⌈members/max_bucket⌉ deterministic sub-buckets (keyed on content hash,
+   never rand() — retries must be stable, SURVEY.md §4), so no group ever
+   exceeds ~max_bucket members regardless of input skew; pairs generate
+   within a sub-bucket only;
+3. nothing is silently dropped — :func:`overflow_report` reports hot buckets
+   and the cross-salt pair count forgone, and hot-bucket members are still
+   fully covered by the other b-1 bands.
 """
 
 from __future__ import annotations
@@ -25,18 +28,35 @@ from pyspark.sql import DataFrame, functions as F
 from sick_spark.config import DedupConfig
 
 
-def band_keys(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", sig: str = "minhash") -> DataFrame:
-    """(id, band, bh): one row per (document, band); bh = xxhash64 of the
-    band's signature slice (hashing an ARRAY<BIGINT> is a single JVM
-    HashExpression — no string concat)."""
+def band_hash_expr(cfg: DedupConfig, sig: str = "minhash"):
+    """array<long> of length ``bands``: bh_j = xxhash64(signature[j*r : j*r+r]).
+
+    Hashing an ARRAY<BIGINT> slice is a single JVM HashExpression — no
+    string concat."""
     b, r = cfg.bands, cfg.rows
-    bands = F.expr(
-        f"transform(sequence(0, {b - 1}), "
-        f"j -> named_struct('band', j, 'bh', xxhash64(slice({sig}, j * {r} + 1, {r}))))"
+    return F.expr(
+        f"transform(sequence(0, {b - 1}), j -> xxhash64(slice({sig}, j * {r} + 1, {r}), j))"
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(bands).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig: str = "minhash", out: str = "band_hashes") -> DataFrame:
+    """Precompute band hashes WITH the signature stage (then checkpoint):
+    the slice+hash per band is ~5 s/600k docs, and every downstream pass
+    over the exploded band table (bucket stats, bucket grouping) would
+    otherwise recompute it. No-op when the signature backend (numpy pandas
+    UDF) already emitted band hashes."""
+    if out in df.columns:
+        return df
+    return df.withColumn(out, band_hash_expr(cfg, sig))
+
+
+def band_keys(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", sig: str = "minhash") -> DataFrame:
+    """(id, band, bh): one row per (document, band). Uses a precomputed
+    ``band_hashes`` column when present (see :func:`with_band_hashes`);
+    falls back to computing the slice hashes inline."""
+    src = F.col("band_hashes") if "band_hashes" in df.columns else band_hash_expr(cfg, sig)
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(src).alias("band", "bh")
     )
 
 
@@ -52,52 +72,112 @@ def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Self-join per (band, bh) bucket → distinct candidate (id_a < id_b).
+def _expand_bucket_pairs(grouped: DataFrame, members: str = "ms") -> DataFrame:
+    """(…, ms: array<cid>) → exploded (cid_a < cid_b) pairs, all JVM codegen.
 
-    Hot buckets get a deterministic salt column so the join key becomes
-    (band, bh, salt): fan-out per key drops from m^2 to (m/s)^2 * s.
+    Buckets are small (salting bounds hot ones), so expanding the i<j
+    combinations inside the grouped row is strictly cheaper than a second
+    shuffle + self-join over the exploded band table."""
+    combos = (
+        f"flatten(transform(sequence(1, size(__ms) - 1), "
+        f"j -> transform(sequence(0, j - 1), "
+        f"i -> struct(element_at(__ms, i + 1) AS cid_a, element_at(__ms, j + 1) AS cid_b))))"
+    )
+    return (
+        grouped.where(F.expr(f"size({members}) > 1"))
+        .withColumn("__ms", F.array_sort(F.col(members)))  # sort once, not per element_at
+        .select(F.explode(F.expr(combos)).alias("p"))
+        .select("p.cid_a", "p.cid_b")
+        .where(F.col("cid_a") < F.col("cid_b"))
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = None) -> DataFrame:
+    """LSH buckets → distinct candidate (id_a < id_b).
+
+    Plan shape (the one you'd want at 100 TB):
+    1. count-only bucket stats (map-side combinable agg) → broadcast the rare
+       hot keys; salt hot-bucket members deterministically (keyed on cid,
+       never rand()) so no single group exceeds ~max_bucket members;
+    2. ONE shuffle: groupBy (band, bh, salt) collecting the bucket's compact
+       8-byte ``cid = xxhash64(id)`` members (4x fewer shuffle bytes than
+       64-char shas), bounded by the salting cap — then expand the i<j pairs
+       inside each bucket with JVM array codegen. Replaces the classic
+       two-sided self-join (two shuffles + join) with one shuffle + narrow map.
+    3. map cids back to real ids with two joins against the (tiny after
+       dedup) pair set; ids sharing a colliding cid are re-paired explicitly,
+       so a cid collision can only ADD a candidate (verification decides
+       truth), never lose one.
+
+    ``ids``: one-column ("id") DataFrame with one row per distinct document;
+    defaults to a distinct over ``bands`` — pass the signature table's id
+    column to skip that shuffle.
     """
-    # hot buckets are rare by construction (exact dups pre-collapsed), so we
-    # broadcast ONLY the hot-bucket keys instead of shuffling all band rows
-    # against the full stats table — one 12.8M-row shuffle saved per run
-    hot = bucket_stats(bands, cfg).where(F.col("is_hot")).select("band", "bh", "is_hot")
-    keyed = bands.join(F.broadcast(hot), ["band", "bh"], "left")
-    keyed = keyed.withColumn(
-        "salt",
+    # per-bucket salt count scales with the bucket (⌈members/max_bucket⌉), so
+    # group size stays ≤ ~max_bucket no matter how skewed the key — a fixed
+    # salt factor would still let a 10M-member bucket OOM one task. The band
+    # index is folded into bh upstream, so the heavy shuffles carry only
+    # (cid, bh[, salt]) — 8-byte keys, no band column.
+    hot = (
+        bands.groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .where(F.col("members") > cfg.max_bucket)
+        .select("bh", F.ceil(F.col("members") / cfg.max_bucket).cast("int").alias("nsalt"))
+    )
+    cid = F.xxhash64(F.col("id"), F.lit(cfg.seed))
+    keyed = bands.join(F.broadcast(hot), ["bh"], "left").select(
+        cid.alias("cid"),
+        "bh",
         F.when(
-            F.col("is_hot"),
-            F.pmod(F.xxhash64(F.col("id"), F.lit(cfg.seed)), F.lit(cfg.salt_buckets)),
-        ).otherwise(F.lit(0)),
+            F.col("nsalt").isNotNull(),
+            F.pmod(F.xxhash64(cid, F.lit(cfg.seed + 1)), F.col("nsalt")),
+        )
+        .otherwise(F.lit(0))
+        .alias("salt"),
     )
-    a = keyed.select(
-        F.col("band"), F.col("bh"), F.col("salt"), F.col("id").alias("id_a")
-    )
-    b = keyed.select(
-        F.col("band"), F.col("bh"), F.col("salt"), F.col("id").alias("id_b")
-    )
+    grouped = keyed.groupBy("bh", "salt").agg(F.collect_list("cid").alias("ms"))
+    cpairs = _expand_bucket_pairs(grouped).dropDuplicates(["cid_a", "cid_b"])
+
+    if ids is None:
+        idmap = bands.select("id").distinct().select(cid.alias("cid"), "id")
+    else:
+        idmap = ids.select(cid.alias("cid"), "id")
     pairs = (
-        a.join(b, ["band", "bh", "salt"])
-        .where(F.col("id_a") < F.col("id_b"))
+        cpairs.join(idmap.select(F.col("cid").alias("cid_a"), F.col("id").alias("id_a")), "cid_a")
+        .join(idmap.select(F.col("cid").alias("cid_b"), F.col("id").alias("id_b")), "cid_b")
         .select("id_a", "id_b")
+    )
+    # cid-collision recovery: distinct ids sharing one cid never meet in the
+    # cid_a < cid_b expansion above, so pair them directly (verify filters truth)
+    coll = (
+        idmap.alias("x")
+        .join(idmap.alias("y"), "cid")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    return (
+        pairs.unionByName(coll)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 def overflow_report(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Pairs forgone to salting: hot buckets lose ~(1 - 1/s) of their
     intra-bucket pairs in THIS band (they may still be caught by other
-    bands). Reported, never silent (SURVEY.md §4.4)."""
-    s = cfg.salt_buckets
+    bands), with s = ⌈members/max_bucket⌉ the dynamic salt count.
+    Reported, never silent (SURVEY.md §4.4)."""
     return (
         bucket_stats(bands, cfg)
         .where(F.col("is_hot"))
+        .withColumn("nsalt", F.ceil(F.col("members") / cfg.max_bucket).cast("int"))
         .select(
             "band",
             "bh",
             "members",
             "pairs_full",
-            (F.col("pairs_full") * (1 - 1.0 / s)).cast("long").alias("pairs_forgone_est"),
+            (F.col("pairs_full") * (1 - 1.0 / F.col("nsalt"))).cast("long").alias("pairs_forgone_est"),
         )
     )

@@ -25,7 +25,7 @@ from functools import lru_cache
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from sick_spark.config import DedupConfig
 
@@ -69,11 +69,69 @@ def make_minhash_pandas_udf(cfg: DedupConfig):
     return minhash_batch
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def make_signature_pandas_udf(cfg: DedupConfig):
+    """minhash + LSH band hashes in ONE Arrow pass: bh_j = FNV-1a over the
+    j-th (rows-long) slice of the signature. Banding downstream then only
+    explodes a precomputed array — no per-band slice+hash recompute on the
+    JVM side (that recompute costs more than the whole numpy signature)."""
+    n_perms, seed, bands, rows = cfg.sig_len, cfg.seed, cfg.bands, cfg.rows
+
+    schema = StructType(
+        [
+            StructField("minhash", ArrayType(LongType()), False),
+            StructField("band_hashes", ArrayType(LongType()), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def sig_batch(hashes: pd.Series) -> pd.DataFrame:
+        from sick_spark.operators.simhash import simhash_one
+
+        a, b = _perm_params(n_perms, seed)
+
+        mh_out: list[list[int]] = []
+        bh_out: list[list[int]] = []
+        sh_out: list[int] = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                m = np.zeros(n_perms, dtype=np.uint64)
+            else:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                m = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            g = m.reshape(bands, rows)
+            # band index folded into the hash: bucket key downstream is the
+            # single 8-byte bh (no separate band column on the big shuffle);
+            # cross-band hash collisions only ADD candidates (verify filters)
+            bh = (np.full(bands, _FNV_OFFSET, dtype=np.uint64) ^ np.arange(bands, dtype=np.uint64)) * _FNV_PRIME
+            for k in range(rows):
+                bh = (bh ^ g[:, k]) * _FNV_PRIME
+            mh_out.append(m.astype(np.int64).tolist())
+            bh_out.append(bh.astype(np.int64).tolist())
+            sh_out.append(simhash_one(hs))
+        return pd.DataFrame({"minhash": mh_out, "band_hashes": bh_out, "simhash": sh_out})
+
+    return sig_batch
+
+
 def minhash_pandas(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
     return df.withColumn(out, make_minhash_pandas_udf(cfg)(F.col(hashes)))
 
 
 def minhash_signatures(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
+    """Signature stage: adds ``minhash`` (and, on the pandas path,
+    ``band_hashes`` + ``simhash``) columns in ONE Arrow pass — the shingle
+    arrays cross the JVM/Python boundary once for all three outputs."""
     if cfg.minhash_impl == "pandas":
-        return minhash_pandas(df, cfg, hashes, out)
+        packed = df.withColumn("__sig", make_signature_pandas_udf(cfg)(F.col(hashes)))
+        return (
+            packed.withColumn(out, F.col("__sig.minhash"))
+            .withColumn("band_hashes", F.col("__sig.band_hashes"))
+            .withColumn("simhash", F.col("__sig.simhash"))
+            .drop("__sig")
+        )
     return minhash_sql(df, cfg, hashes, out)

@@ -22,24 +22,21 @@ from pyspark.sql.types import LongType
 
 from sick_spark.config import DedupConfig
 
-_BITS = np.arange(64, dtype=np.uint64)
+def simhash_one(hs) -> int:
+    """Strict-majority 64-bit simhash of an int64 hash list (vectorized:
+    unpackbits/packbits instead of a 64-iteration Python loop)."""
+    if hs is None or len(hs) == 0:
+        return 0
+    h = np.ascontiguousarray(np.asarray(hs, dtype=np.int64))
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0, dtype=np.int64)
+    fp_bits = (2 * votes) > len(h)  # strict majority of ones per bit
+    return int(np.packbits(fp_bits, bitorder="little").view(np.int64)[0])
 
 
 @F.pandas_udf(LongType())
 def simhash64(hashes: pd.Series) -> pd.Series:
-    def one(hs) -> int:
-        if hs is None or len(hs) == 0:
-            return 0
-        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-        bits = ((h[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                fp |= np.uint64(1) << np.uint64(i)
-        return int(fp.astype(np.int64))
-
-    return hashes.map(one)
+    return hashes.map(simhash_one)
 
 
 def simhash_fingerprints(df: DataFrame, hashes: str = "shingle_hashes", out: str = "simhash") -> DataFrame:

@@ -30,7 +30,7 @@ from sick_spark.functions.text import with_shingle_hashes
 from sick_spark.metrics import MetricsCollector
 from sick_spark.operators.components import attach_components, connected_components
 from sick_spark.operators.exact_dedup import dedup_ratio, exact_dedup
-from sick_spark.operators.lsh import band_keys, candidate_pairs, overflow_report
+from sick_spark.operators.lsh import band_keys, candidate_pairs, overflow_report, with_band_hashes
 from sick_spark.operators.minhash import minhash_signatures
 from sick_spark.operators.simhash import simhash_fingerprints
 from sick_spark.operators.verify import verify_pairs
@@ -68,7 +68,10 @@ def run_pipeline(
                 return warehouse.read(spark, stage)
             out = warehouse.write(df, stage)
         else:
-            out = df.localCheckpoint(eager=True)
+            # no warehouse = no resumability contract: cut lineage lazily, so
+            # the materialization folds into the stage's first consumer job
+            # instead of adding a scheduling barrier per stage
+            out = df.localCheckpoint(eager=False)
         if metrics is not None:
             metrics.record(stage, out, wall_sec=time.time() - t0)
         return out
@@ -81,13 +84,15 @@ def run_pipeline(
     # 2. shingle + signatures: narrow, whole-stage codegen (+ Arrow for json rows)
     sig = with_shingle_hashes(store.select("sha", "lang", "content"), cfg.shingle_k, cfg.json_aware)
     sig = minhash_signatures(sig, cfg)
-    if with_simhash:
+    sig = with_band_hashes(sig, cfg)  # no-op on the pandas path (fused in the UDF)
+    if with_simhash and "simhash" not in sig.columns:
         sig = simhash_fingerprints(sig)
     sig = ckpt(sig.drop("content"), "signatures")
 
     # 3. LSH banding → candidate pairs (salted hot buckets)
     bands = band_keys(sig, cfg)
-    pairs = ckpt(candidate_pairs(bands, cfg), "pairs")
+    doc_ids = sig.select(F.col("sha").alias("id"))  # already unique: skips a 21M-row distinct
+    pairs = ckpt(candidate_pairs(bands, cfg, ids=doc_ids), "pairs")
     if metrics is not None:
         hot = overflow_report(bands, cfg).count()
         if hot:

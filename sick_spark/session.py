@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet scan sizing: 128 MiB splits is the cluster default we design to
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # collect_list aggs (LSH bucket grouping) have ~unique keys: the
+        # default 128-entry hash map would always fall back to sort-based
+        # aggregation; 500k entries (~50 MB/task) keeps it hash-based while
+        # staying memory-safe
+        .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", "500000")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SICK_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SICK_SPARK_DRIVER_MEM", "8g"))

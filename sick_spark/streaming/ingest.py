@@ -53,7 +53,8 @@ def streaming_signatures(
         cfg.json_aware,
     )
     sig = minhash_signatures(sig, cfg)
-    sig = simhash_fingerprints(sig)
+    if "simhash" not in sig.columns:
+        sig = simhash_fingerprints(sig)
     return sig.drop("content")
 
 
