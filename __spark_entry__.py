@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sick_spark.config import DedupConfig
 from sick_spark.corpus import corpus_from_documents
-from sick_spark.functions.text import with_token_shingle_hashes
+from sick_spark.functions.text import (
+    sha60_shingle_hashes,
+    with_shingle_strings,
+    with_token_shingle_hashes,
+)
 from sick_spark.functions.textstats import (
     langid_en,
     mean_word_len,
@@ -409,19 +413,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ------------- rows-only operators (non-SQL-expressible; weaker check) --
 
+    # --- SimHash near-dup pairs — GREEN path: fingerprints built from
+    #     engine-portable sha-prefix shingle hashes so DuckDB reproduces the
+    #     exact fingerprints in SQL; pairing is block-bucket (recall 1 by
+    #     pigeonhole) + exact hamming verify, so the all-pairs oracle matches.
     def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        cfg = DedupConfig(simhash_max_hamming=7)
-        sh = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "sha")
-        fp = simhash_fingerprints(sh)
-        return simhash_pairs(fp, cfg).select(
-            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
-        ).orderBy("doc_a", "doc_b")
+        cfg = DedupConfig()  # simhash_max_hamming=3 -> 4 blocks x 16-bit keys
+        def build() -> DataFrame:
+            docs = _docs_distinct(spark, sf_dir).withColumnRenamed("text", "content")
+            sh = with_shingle_strings(docs, "content", _K)
+            return sh.select(
+                "doc_id", sha60_shingle_hashes("shingles").alias("shingle_hashes")
+            )
+        hashed = _memo(spark, sf_dir, "shingles_sha60", build)
+        fp = simhash_fingerprints(hashed).select("doc_id", "simhash")
+        return (
+            simhash_pairs(fp, cfg, id_col="doc_id")
+            .select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                F.col("hamming").cast("int").alias("hamming"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
     q["simhash_neardup_pairs"] = simhash_neardup_pairs
 
     def minhash_signatures_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # long format (doc_id, perm_idx, sig_value): hashable for the
+        # driver's canonicalizer (array columns are not), and the shape a
+        # signature *table* would have on disk anyway
         cfg = DedupConfig(minhash_impl="pandas")
         sh = _doc_shingles(spark, sf_dir)
-        return minhash_pandas(sh, cfg).select("doc_id", "minhash").orderBy("doc_id")
+        return (
+            minhash_pandas(sh, cfg)
+            .select("doc_id", F.posexplode("minhash").alias("perm_idx", "sig_value"))
+            .orderBy("doc_id", "perm_idx")
+        )
     q["minhash_signatures_arrow"] = minhash_signatures_arrow
 
     def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +584,68 @@ def oracle_sql() -> dict[str, str]:
     o["json_shred_roundtrip"] = """
         SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ok
         FROM (SELECT DISTINCT props FROM events) t
+    """
+    # SimHash: DuckDB reproduces the exact fingerprints (portable sha-prefix
+    # 60-bit shingle hashes + bit-majority votes), then all-pairs hamming<=d.
+    # Spark's block-bucket pairing has recall 1 (pigeonhole), so results match.
+    o["simhash_neardup_pairs"] = """
+        WITH docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+               FROM w),
+        h AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        votes AS (SELECT doc_id, bb.b AS b, SUM((h >> bb.b) & 1) AS ones, COUNT(*) AS n
+                  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+                  GROUP BY doc_id, bb.b),
+        fp AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS f
+               FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+        ORDER BY doc_a, doc_b
+    """
+    # multimodal plumbing: media_id = payload_sha = sha256(utf-8 bytes),
+    # n_bytes = byte length (strlen counts bytes in DuckDB)
+    o["multimodal_features"] = """
+        WITH docs AS (SELECT DISTINCT text FROM documents)
+        SELECT sha256(text) AS media_id, sha256(text) AS payload_sha,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM docs ORDER BY media_id
+    """
+    # full pipeline at sha granularity: 3-gram Jaccard >= 0.5 pairs over
+    # distinct texts -> transitive closure -> component = least sha; every
+    # file (path) carries its sha's component
+    o["full_pipeline_clusters"] = """
+        WITH RECURSIVE d AS (SELECT DISTINCT sha256(text) AS sha, text FROM documents),
+        w AS (SELECT sha, string_split_regex(trim(text), '\\s+') AS ws FROM d),
+        sh AS (SELECT sha,
+                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+               FROM w),
+        sizes AS (SELECT sha, count(*) AS n FROM sh GROUP BY sha),
+        inter AS (SELECT a.sha AS sa, b.sha AS sb, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.sha < b.sha
+                  GROUP BY 1, 2),
+        truepairs AS (SELECT sa, sb FROM inter
+                      JOIN sizes x ON sa = x.sha
+                      JOIN sizes y ON sb = y.sha
+                      WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+        edges AS (SELECT sa AS a, sb AS b FROM truepairs
+                  UNION SELECT sb, sa FROM truepairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                        WHERE e.b <> r.a),
+        comp AS (SELECT a AS cid, least(a, min(b)) AS component FROM reach GROUP BY a),
+        files AS (SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS path, sha256(text) AS sha
+                  FROM documents)
+        SELECT f.path, f.sha, coalesce(c.component, f.sha) AS component
+        FROM files f LEFT JOIN comp c ON f.sha = c.cid
+        ORDER BY path
     """
     o["events_hourly"] = """
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,

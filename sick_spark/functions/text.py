@@ -88,6 +88,34 @@ def with_token_shingle_hashes(df: DataFrame, content: str, k: int, out: str = "s
     )
 
 
+def with_shingle_strings(df: DataFrame, content: str, k: int, out: str = "shingles") -> DataFrame:
+    """content → distinct k-gram shingle STRINGS (JVM-side). Used when the
+    shingle hash must be portable across engines (see
+    :func:`sha60_shingle_hashes`); the xxhash64 path
+    (:func:`with_token_shingle_hashes`) is the faster default."""
+    return df.withColumn("__tt", tokens(content)).withColumn(
+        out,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, greatest(size(__tt) - {k}, 0)), "
+                f"i -> concat_ws(' ', slice(__tt, i + 1, {k})))"
+            )
+        ),
+    ).drop("__tt")
+
+
+def sha60_shingle_hashes(shingles_col: str | Column) -> Column:
+    """Portable 60-bit hash per shingle: first 15 hex chars of sha256,
+    parsed base-16. Identical in DuckDB as
+    ``CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT)`` — this is
+    what makes SimHash fingerprints oracle-checkable cross-engine. 60 bits
+    keeps the value positive in a signed int64 on both engines."""
+    s = shingles_col if isinstance(shingles_col, Column) else F.col(shingles_col)
+    return F.transform(
+        s, lambda x: F.conv(F.substring(F.sha2(x, 256), 1, 15), 16, 10).cast("long")
+    )
+
+
 def _hash64(s: str) -> int:
     """Stable signed 64-bit hash (blake2b-8) for Python-side structural shingles."""
     v = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")

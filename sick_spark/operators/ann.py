@@ -107,45 +107,76 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    target_block: int = 8192,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold via broadcast numpy block-matmul.
+    """All-pairs cosine >= threshold via a distributed block-grid matmul.
 
-    The corpus matrix is broadcast once (normalized float64); each partition
-    multiplies its row block against it in one BLAS call — the vectorized
-    replacement for 25M per-pair ``zip_with`` lambda evaluations (~40×
-    faster at sf0.1). Scale path: this is the classic block-nested-loop
-    similarity join — when the broadcast side outgrows executor memory,
-    switch to :func:`rhp_bucket_candidates` (LSH) or chunk the broadcast
-    side; both documented in BENCH/BASELINE.md.
+    Classic block-nested-loop similarity join, fully distributed (nothing
+    is ever collected to the driver):
+
+    1. each vector is assigned a block ``blk = xxhash64(id) % B`` with
+       ``B = ceil(n / target_block)`` (deterministic, retry-stable);
+    2. each row is replicated to every grid cell ``(bi<=bj)`` whose
+       coordinate pair contains its block — ONE shuffle of n*B rows;
+    3. ``applyInPandas`` per cell multiplies the two ~target_block-row
+       matrices in one BLAS call and emits pairs above the threshold.
+       Every unordered pair lands in exactly one cell, so no dedup pass.
+
+    Cost is n*B replicated rows and B(B+1)/2 independent cells — each cell
+    bounded (~target_block² dot products, ~2*target_block*dim*8 bytes of
+    Arrow input), so executors never hold the corpus. At 10^8+ vectors
+    quadratic all-pairs is the wrong tool regardless of plan — use
+    :func:`rhp_bucket_candidates` (LSH) as the scale path and this as the
+    exact verifier within buckets.
     """
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rows = df.select(id_col, vec).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec] for r in rows], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+    n = df.count()
+    n_blocks = max(1, -(-n // target_block))
+
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    rep = (
+        rows.withColumn("other", F.explode(F.expr(f"sequence(0, {n_blocks - 1})")))
+        .select(
+            F.least("blk", "other").alias("bi"),
+            F.greatest("blk", "other").alias("bj"),
+            "blk",
+            "id",
+            "v",
+        )
+    )
 
     out_schema = StructType(
         [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
     )
 
-    def block(it):
-        b_ids, b_mat = bc.value
-        for pdf in it:
-            q = np.array(pdf[vec].tolist(), dtype=np.float64)
-            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = q @ b_mat.T
+    def cell(key, pdf: pd.DataFrame):
+        bi, bj = key
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        if bi == bj:
+            sims = mat @ mat.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            a, b = ids[ii], ids[jj]
+        else:
+            left = pdf["blk"].to_numpy() == bi
+            la, lb = ids[left], ids[~left]
+            if not la.size or not lb.size:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            sims = mat[left] @ mat[~left].T
             ii, jj = np.where(sims >= threshold)
-            a, b = qids[ii], b_ids[jj]
-            keep = a < b
-            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+            a, b = la[ii], lb[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
 
-    return df.select(id_col, vec).mapInPandas(block, out_schema)
+    return rep.groupBy("bi", "bj").applyInPandas(cell, out_schema)
 
 
 def cosine_topk_lsh(

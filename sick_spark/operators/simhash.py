@@ -43,39 +43,58 @@ def simhash_fingerprints(df: DataFrame, hashes: str = "shingle_hashes", out: str
     return df.withColumn(out, simhash64(F.col(hashes)))
 
 
-def simhash_pairs(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", fp_col: str = "simhash") -> DataFrame:
-    """Candidate pairs with Hamming distance <= cfg.simhash_max_hamming.
+def simhash_block_keys(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", fp_col: str = "simhash") -> DataFrame:
+    """(id, bh) — one row per (document, block): 64 bits split into
+    ``max_hamming + 1`` blocks, bh = xxhash64(block_index, block_bits).
 
-    Block equi-join: 64 bits / (d+1) blocks; pairs sharing any block are
-    candidates; exact ``bit_count(a ^ b)`` verifies (JVM-side).
+    The block index is folded into the 8-byte key (same trick as the MinHash
+    band hashes) so the downstream bucket machinery shuffles only (id, bh).
     """
     d = cfg.simhash_max_hamming
     n_blocks = d + 1
-    width = 64 // n_blocks
-    blocks = F.explode(
-        F.expr(
-            f"transform(sequence(0, {n_blocks - 1}), "
-            f"b -> named_struct('blk', b, 'key', (({fp_col} >> (b * {width})) & {(1 << width) - 1})))"
-        )
-    ).alias("blk")
-    keyed = df.select(F.col(id_col), F.col(fp_col), blocks).select(
-        id_col, fp_col, F.col("blk.blk").alias("blk"), F.col("blk.key").alias("key")
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"max_hamming+1 = {n_blocks} must be in [1, 64]")
+    # nearly-equal contiguous blocks (uneven widths when n_blocks ∤ 64)
+    exprs, off = [], 0
+    for b in range(n_blocks):
+        w = 64 // n_blocks + (1 if b < 64 % n_blocks else 0)
+        mask = -1 if w >= 64 else (1 << w) - 1  # (1<<64)-1 overflows int64
+        exprs.append(F.expr(f"xxhash64({b}, (({fp_col} >> {off}) & {mask}L))"))
+        off += w
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*exprs)).alias("bh")
     )
-    left = keyed.alias("a")
-    right = keyed.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+
+
+def simhash_pairs(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", fp_col: str = "simhash") -> DataFrame:
+    """Pairs with Hamming distance <= cfg.simhash_max_hamming.
+
+    Pigeonhole: any pair within distance d agrees on at least one of d+1
+    blocks, so block-bucket collisions have recall 1; exact
+    ``bit_count(a ^ b)`` then verifies (JVM-side).
+
+    Scale shape: block buckets are salted + capped through the SAME
+    machinery as the MinHash band buckets (``lsh.candidate_pairs``:
+    broadcast hot-key detection, deterministic salting, single-shuffle
+    in-bucket pair expansion, overflow reported not dropped) — a hot
+    16-bit block key at 10^9 docs can no longer drive a quadratic join.
+    Keep ``max_hamming <= 3`` (>= 16-bit block keys): at d=7 the 8-bit key
+    space has only 256 buckets per block and every bucket is hot by
+    construction.
+    """
+    from sick_spark.operators.lsh import candidate_pairs
+
+    d = cfg.simhash_max_hamming
+    bands = simhash_block_keys(df, cfg, id_col, fp_col)
+    pairs = candidate_pairs(bands, cfg, ids=df.select(F.col(id_col).alias("id")))
+    fp = df.select(F.col(id_col).alias("__fid"), F.col(fp_col).alias("__f"))
+    return (
+        pairs.join(fp.withColumnRenamed("__fid", "id_a").withColumnRenamed("__f", "f_a"), "id_a")
+        .join(fp.withColumnRenamed("__fid", "id_b").withColumnRenamed("__f", "f_b"), "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= d)
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
