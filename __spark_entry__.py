@@ -42,6 +42,7 @@ from sick_spark.operators.components import attach_components, connected_compone
 from sick_spark.operators.lsh import band_keys, candidate_pairs, with_band_hashes
 from sick_spark.operators.minhash import minhash_pandas, minhash_sql
 from sick_spark.operators.multimodal import decode_image_features, media_table_from_documents
+from sick_spark.operators.ngram import ngram_jaccard_pairs
 from sick_spark.operators.partialdup import partial_dup_report
 from sick_spark.operators.shred import reconstruct_docs, shred, shred_summary
 from sick_spark.operators.simhash import simhash_fingerprints, simhash_pairs
@@ -113,24 +114,10 @@ def _verified_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs, no LSH: explode → hash-join → group.
-    Same result as MinHash path; quadratic-safe only because the shingle
-    join is selective (shared shingles are rare across random docs)."""
-    sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingle_hashes").alias("h"))
-    sizes = sh.select("doc_id", F.size("shingle_hashes").alias("n"))
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= _J)
-        .select("doc_a", "doc_b")
-    )
+    """Exact n-gram Jaccard pairs (ORACLE MODE: max_df=None — quadratic on
+    hot shingles, sf-small only; the capped scale mode is
+    ``ngram.ngram_jaccard_pairs(max_df=k)``, see its module doc)."""
+    return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir), _J, id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_hourly"] = events_hourly
 
-    # --- JSON shred: SICK's interned node tables (E1/E4/R16) over event props
+    # --- JSON shred: SICK's interned node tables (E1/E4/E5/E6/R16) over
+    #     event props. k in 0..99 narrows to the inline byte kind, so the
+    #     summary exercises narrowing + the no-table-row rule in a green row.
     def json_shred_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
         docs = e.select(
@@ -390,12 +379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         nodes, _, _ = shred(docs)
         return shred_summary(nodes).select(
-            "kind", "interned", F.col("instances").cast("bigint").alias("instances")
+            "kind",
+            F.col("interned").cast("bigint").alias("interned"),
+            F.col("instances").cast("bigint").alias("instances"),
         )
     q["json_shred_summary"] = json_shred_summary
 
     # --- round-trip invariant (R11): shred -> reconstruct -> canonical equality
     def json_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.shred import canonical_json_udf
+
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
         docs = e.select(F.col("props").alias("content")).distinct().withColumn(
             "sha", F.sha2(F.col("content").cast("binary"), 256)
@@ -403,11 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nodes, edges, roots = shred(docs)
         rec = reconstruct_docs(nodes, edges, roots)
         joined = docs.join(rec, docs["sha"] == rec["doc_sha"])
-        # source props are canonical already ({"k": N}, sorted single key,
-        # json.dumps default separators) so reconstructed == content exactly
         return joined.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("reconstructed") == F.col("content")).cast("bigint")).alias("n_ok"),
+            F.sum(
+                (F.col("reconstructed") == canonical_json_udf(F.col("content"))).cast("bigint")
+            ).alias("n_ok"),
         )
     q["json_shred_roundtrip"] = json_shred_roundtrip
 
@@ -574,11 +567,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         FROM events GROUP BY event_type ORDER BY event_type
     """
+    # narrowing (E5) classifies each k by magnitude; inline kinds (E6) have
+    # no value-table rows, so their interned count is 0
     o["json_shred_summary"] = """
-        WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
-        SELECT 'int' AS kind, COUNT(DISTINCT k) AS interned, COUNT(*) AS instances FROM v
+        WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        s AS (SELECT CASE WHEN k BETWEEN -128 AND 127 THEN 'byte'
+                          WHEN k BETWEEN -32768 AND 32767 THEN 'short'
+                          WHEN k BETWEEN -2147483648 AND 2147483647 THEN 'int'
+                          ELSE 'long' END AS kind, k FROM v)
+        SELECT kind,
+               CAST(CASE WHEN kind IN ('byte', 'short') THEN 0
+                         ELSE COUNT(DISTINCT k) END AS BIGINT) AS interned,
+               COUNT(*) AS instances
+        FROM s GROUP BY kind
         UNION ALL
-        SELECT 'obj' AS kind, COUNT(DISTINCT k) AS interned, COUNT(*) AS instances FROM v
+        SELECT 'obj' AS kind, CAST(COUNT(DISTINCT k) AS BIGINT) AS interned,
+               COUNT(*) AS instances FROM v
         ORDER BY kind
     """
     o["json_shred_roundtrip"] = """

@@ -4,10 +4,12 @@ Default: run headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
---scaling: run the full dedup pipeline at two parallelism levels (local[8]
-vs local[32]) on the same input and report throughput at both + scaling
-efficiency (the sandbox proxy for the north rule's N vs 4N executors) —
-results appended to BENCH/BASELINE.md by scripts/update_baseline_md.py.
+--scaling: run the full dedup pipeline at two parallelism levels
+(local-cluster[1,4,8g] vs local-cluster[4,4,8g] — separate pinned executor
+JVMs, see run_scale_one for why) on the same input and report throughput at
+both + scaling efficiency (the sandbox proxy for the north rule's N vs 4N
+executors) — results written to BENCH/BASELINE.md by
+scripts/update_baseline_md.py.
 
 Every query materializes via the 'noop' sink (full computation, no IO) so
 Catalyst can't prune the work away.
@@ -187,6 +189,10 @@ def run_scaling(sf_dir: str) -> dict:
     _scaled_corpus(spark, sf_dir)
     spark.stop()
 
+    if len(SCALE_LEVELS) != 2:
+        raise SystemExit(
+            f"SICK_SCALE_LEVELS must have exactly 2 entries (got {SCALE_LEVELS!r})"
+        )
     lo, hi = SCALE_LEVELS
     out: dict[str, dict] = {}
     for n_exec in (lo, hi):
@@ -196,9 +202,13 @@ def run_scaling(sf_dir: str) -> dict:
             sys.executable, os.path.abspath(__file__), "--scale-one", str(n_exec),
         ]
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SICK_BENCH_REPS=str(SCALE_REPS))
-        proc = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        out[f"{n_exec}x{SCALE_CORES_PER_EXECUTOR}"] = json.loads(line)
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            # surface the child's output instead of an opaque failure
+            sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
+            raise SystemExit(f"scale-one child (n_exec={n_exec}) failed, rc={proc.returncode}")
+        out[f"{n_exec}x{SCALE_CORES_PER_EXECUTOR}"] = json.loads(json_lines[-1])
     t_lo = out[f"{lo}x{SCALE_CORES_PER_EXECUTOR}"]["wall_sec"]
     t_hi = out[f"{hi}x{SCALE_CORES_PER_EXECUTOR}"]["wall_sec"]
     out["levels"] = [lo, hi]

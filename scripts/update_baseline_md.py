@@ -28,8 +28,12 @@ def main() -> None:
     bench = _last_json_line(sys.argv[2]) if len(sys.argv) > 2 else None
 
     lo, hi = scaling.get("levels", [1, 4])
-    cpe = 4
+    # read the per-level keys/methodology from the JSON (no hardcoded
+    # cores-per-executor or run count — ADVICE r1)
+    level_keys = [k for k in scaling if "x" in k and k.split("x")[0].isdigit()]
+    cpe = int(level_keys[0].split("x")[1]) if level_keys else 4
     l_lo, l_hi = scaling[f"{lo}x{cpe}"], scaling[f"{hi}x{cpe}"]
+    n_runs = len(l_lo.get("all_walls", [])) or 2
     eff = scaling["scaling_efficiency"]
     verdict = "PASS" if eff >= 0.8 else "MISS"
 
@@ -48,7 +52,7 @@ def main() -> None:
         "",
         f"Input: {l_lo['n_files']:,} files "
         f"(sf0.1 documents x replication, see `bench.py:_scaled_corpus`); "
-        "best-of-2 runs per level (amortizes JVM warmup).",
+        f"best-of-{n_runs} runs per level (amortizes JVM warmup).",
         "",
         "| Cluster size | Wall (s) | Throughput (files/sec) |",
         "|---|---|---|",

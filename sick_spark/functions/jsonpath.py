@@ -58,16 +58,22 @@ def json_query(content: str | Column, path: str) -> Column:
     segs = parse_path(path)
     if all(not (isinstance(s, int) and s < 0) for s in segs):
         return F.get_json_object(c, to_jsonpath(path))
-    # negative index: navigate prefix, then element_at supports negatives
-    # (1-based from start, -1-based from end) on the parsed array
-    prefix = [s for s in segs]
+    # negative index = from end (IncrementalEBAReader.scala:202,
+    # SickCursor.Array.cs:136-156). Works for ANY element kind — the array
+    # is kept as JSON text and [-n] is rewritten to the positive index
+    # json_array_length(arr) - n, then extracted with a computed JSONPath
+    # (no from_json with a guessed element schema).
     expr: Column = c
     jp = "$"
-    for s in prefix:
+    for s in segs:
         if isinstance(s, int) and s < 0:
-            # materialize the array at jp, then take from the end
-            arr = F.from_json(F.get_json_object(expr, jp), "array<string>")
-            expr = F.element_at(arr, s)
+            arr_txt = F.get_json_object(expr, jp) if jp != "$" else expr
+            idx = (F.json_array_length(arr_txt) + F.lit(s)).cast("string")
+            expr = F.call_function(
+                "get_json_object",
+                arr_txt,
+                F.concat(F.lit("$["), idx, F.lit("]")),
+            )
             jp = "$"
         elif isinstance(s, int):
             jp += f"[{s}]"

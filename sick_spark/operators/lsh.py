@@ -46,7 +46,21 @@ def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig: str = "minhash", out:
     otherwise recompute it. No-op when the signature backend (numpy pandas
     UDF) already emitted band hashes."""
     if out in df.columns:
-        return df
+        # defend against reusing a column produced under a DIFFERENT config
+        # (e.g. warehouse resume with changed bands/rows): the band count is
+        # checkable per row for one integer compare; a backend mismatch with
+        # the same count is covered by stage-config stamping in the warehouse
+        return df.withColumn(
+            out,
+            F.when(F.size(F.col(out)) == cfg.bands, F.col(out)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"band_hashes length != cfg.bands ({cfg.bands}); "
+                        "column was produced under a different DedupConfig"
+                    )
+                )
+            ),
+        )
     return df.withColumn(out, band_hash_expr(cfg, sig))
 
 
@@ -77,16 +91,23 @@ def _expand_bucket_pairs(grouped: DataFrame, members: str = "ms") -> DataFrame:
 
     Buckets are small (salting bounds hot ones), so expanding the i<j
     combinations inside the grouped row is strictly cheaper than a second
-    shuffle + self-join over the exploded band table."""
-    combos = (
-        f"flatten(transform(sequence(1, size(__ms) - 1), "
-        f"j -> transform(sequence(0, j - 1), "
-        f"i -> struct(element_at(__ms, i + 1) AS cid_a, element_at(__ms, j + 1) AS cid_b))))"
-    )
+    shuffle + self-join over the exploded band table. Expansion is staged —
+    explode j first, then build only row j's i-prefix array — so peak
+    per-row transient memory is O(m) structs, not the full m(m-1)/2 pair
+    array at once (a near-cap bucket would otherwise materialize ~2M
+    structs in one task)."""
     return (
         grouped.where(F.expr(f"size({members}) > 1"))
         .withColumn("__ms", F.array_sort(F.col(members)))  # sort once, not per element_at
-        .select(F.explode(F.expr(combos)).alias("p"))
+        .select(F.col("__ms"), F.explode(F.expr("sequence(1, size(__ms) - 1)")).alias("__j"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, __j - 1), "
+                    "i -> struct(element_at(__ms, i + 1) AS cid_a, element_at(__ms, __j + 1) AS cid_b))"
+                )
+            ).alias("p")
+        )
         .select("p.cid_a", "p.cid_b")
         .where(F.col("cid_a") < F.col("cid_b"))
     )
@@ -148,10 +169,16 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
         .select("id_a", "id_b")
     )
     # cid-collision recovery: distinct ids sharing one cid never meet in the
-    # cid_a < cid_b expansion above, so pair them directly (verify filters truth)
+    # cid_a < cid_b expansion above, so pair them directly (verify filters
+    # truth). Collisions are ~never present — prefilter to cids with >1 id
+    # (tiny, broadcastable) instead of self-joining the full idmap.
+    dup_cids = (
+        idmap.groupBy("cid").agg(F.count(F.lit(1)).alias("__n")).where(F.col("__n") > 1).select("cid")
+    )
+    colliding = idmap.join(F.broadcast(dup_cids), "cid")
     coll = (
-        idmap.alias("x")
-        .join(idmap.alias("y"), "cid")
+        colliding.alias("x")
+        .join(colliding.alias("y"), "cid")
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
     )

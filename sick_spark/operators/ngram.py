@@ -1,0 +1,70 @@
+"""Exact n-gram Jaccard pairing (no LSH): explode shingles → hash-join on
+shingle → group to intersection counts → Jaccard filter.
+
+Anchors to the reference's verification-by-content idea
+(``EBAReaderWriterTest.scala:67-72``): the answer is exact, which makes it
+the ORACLE for the MinHash/LSH path. Two modes:
+
+* ``max_df=None`` — exact. The shingle self-join is quadratic in per-shingle
+  document frequency, so this is an sf-small oracle mode: a stop-word
+  trigram shared by 10^6 docs would generate 10^12 join rows.
+* ``max_df=k`` — scale mode: shingles with document frequency > k are
+  excluded from PAIR GENERATION but still counted in every document's
+  shingle-set size, so reported Jaccard values are never inflated
+  (dropping a hot shingle can only lose a pair whose every shared shingle
+  is hot — quantified by :func:`hot_shingle_report`, nothing silent,
+  SURVEY.md §4.4). This is the same hot-key discipline as the LSH bucket
+  salting (``lsh.candidate_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    hashes: str = "shingle_hashes",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) with exact Jaccard >= threshold over distinct shingle
+    sets. ``max_df`` caps per-shingle fan-out (see module doc)."""
+    sh = shingled.select(F.col(id_col).alias("doc_id"), F.col(hashes).alias("__h"))
+    ex = sh.select("doc_id", F.explode("__h").alias("h"))
+    sizes = sh.select("doc_id", F.size("__h").alias("n"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df).select("h")
+        )
+        ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def hot_shingle_report(
+    shingled: DataFrame,
+    max_df: int,
+    id_col: str = "doc_id",
+    hashes: str = "shingle_hashes",
+) -> DataFrame:
+    """(h, df, pairs_forgone) for every shingle excluded by ``max_df`` —
+    the overflow accounting that keeps the cap non-silent."""
+    ex = shingled.select(F.explode(F.col(hashes)).alias("h"))
+    return (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .withColumn("pairs_forgone", (F.col("df") * (F.col("df") - 1) / 2).cast("long"))
+    )

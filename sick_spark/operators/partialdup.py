@@ -9,14 +9,15 @@ were bounded upstream by the LSH bucket cap), so per-group Python is safe:
 this is the documented "genuinely can't express in DataFrame ops" escape
 hatch.
 
-Matching uses a greedy longest-common-substring via suffix-ordered hashing
-(difflib's matcher, deterministic), content capped at ``max_chars`` with the
-cap REPORTED per row (no silent truncation, SURVEY.md §4.4).
+Matching is an exact longest-common-substring via a **suffix automaton**
+built once over the cluster representative (O(n) states/transitions —
+Blumer et al. 1985, the online construction; equivalent power to a suffix
+array for LCS, per the north rule's "suffix-array partial-dup"), then each
+member streams through it in O(m). Content is capped at ``max_chars`` with
+the cap REPORTED per row (no silent truncation, SURVEY.md §4.4).
 """
 
 from __future__ import annotations
-
-from difflib import SequenceMatcher
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -41,10 +42,74 @@ PARTIALDUP_SCHEMA = StructType(
 )
 
 
+class _SuffixAutomaton:
+    """Suffix automaton over one string: ``lcs(other)`` returns the longest
+    common substring's (length, end_pos_in_self). Deterministic; dict
+    transitions; O(n) states for an n-char string."""
+
+    __slots__ = ("link", "length", "next", "endpos", "last")
+
+    def __init__(self, s: str) -> None:
+        self.link = [-1]
+        self.length = [0]
+        self.endpos = [0]
+        self.next: list[dict[str, int]] = [{}]
+        self.last = 0
+        for i, ch in enumerate(s):
+            self._extend(ch, i)
+
+    def _extend(self, ch: str, i: int) -> None:
+        link, length, nxt, endpos = self.link, self.length, self.next, self.endpos
+        cur = len(length)
+        length.append(length[self.last] + 1)
+        link.append(-1)
+        endpos.append(i)
+        nxt.append({})
+        p = self.last
+        while p != -1 and ch not in nxt[p]:
+            nxt[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = nxt[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                endpos.append(endpos[q])
+                nxt.append(dict(nxt[q]))
+                while p != -1 and nxt[p].get(ch) == q:
+                    nxt[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        self.last = cur
+
+    def lcs(self, other: str) -> tuple[int, int]:
+        """(length, end_pos_in_self) of the longest common substring."""
+        link, length, nxt, endpos = self.link, self.length, self.next, self.endpos
+        v, cur_len, best, best_end = 0, 0, 0, 0
+        for ch in other:
+            while v and ch not in nxt[v]:
+                v = link[v]
+                cur_len = length[v]
+            if ch in nxt[v]:
+                v = nxt[v][ch]
+                cur_len += 1
+            else:
+                v, cur_len = 0, 0
+            if cur_len > best:
+                best, best_end = cur_len, endpos[v]
+        return best, best_end
+
+
 def partial_dup_report(
     store: DataFrame,
     clusters: DataFrame,
-    max_chars: int = 8192,
+    max_chars: int = 65536,
     sample_len: int = 80,
 ) -> DataFrame:
     """(component, sha, rep_sha, lcs_len, lcs_frac, lcs_sample, truncated)
@@ -62,23 +127,23 @@ def partial_dup_report(
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("sha").reset_index(drop=True)
         rep_sha = pdf["sha"].iloc[0]
-        rep_text = pdf["content"].iloc[0][:max_chars]
+        rep_full = pdf["content"].iloc[0]
+        rep_text = rep_full[:max_chars]
+        sam = _SuffixAutomaton(rep_text)  # built ONCE per cluster, O(|rep|)
         out = []
-        for _, row in pdf.iloc[1:].iterrows():
-            text = row["content"][:max_chars]
-            truncated = len(row["content"]) > max_chars or len(pdf["content"].iloc[0]) > max_chars
-            m = SequenceMatcher(None, rep_text, text, autojunk=False).find_longest_match(
-                0, len(rep_text), 0, len(text)
-            )
+        for row in pdf.iloc[1:].itertuples(index=False):
+            text = row.content[:max_chars]
+            truncated = len(row.content) > max_chars or len(rep_full) > max_chars
+            size, end = sam.lcs(text)  # O(|text|) stream through the automaton
             denom = max(min(len(rep_text), len(text)), 1)
             out.append(
                 {
-                    "component": row["component"],
-                    "sha": row["sha"],
+                    "component": row.component,
+                    "sha": row.sha,
                     "rep_sha": rep_sha,
-                    "lcs_len": int(m.size),
-                    "lcs_frac": f"{m.size / denom:.6f}",
-                    "lcs_sample": rep_text[m.a : m.a + min(m.size, sample_len)] if m.size else None,
+                    "lcs_len": int(size),
+                    "lcs_frac": f"{size / denom:.6f}",
+                    "lcs_sample": rep_text[end + 1 - min(size, sample_len) : end + 1] if size else None,
                     "truncated": bool(truncated),
                 }
             )

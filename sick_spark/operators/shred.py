@@ -13,154 +13,267 @@ This is the reference's core data model expressed as DataFrames:
 * ``edges`` is the exploded Obj/Arr adjacency ``(parent_id, pos, key,
   child_id)`` — joins instead of pointer chasing (SURVEY.md §1.1 Obj row).
 * ``roots`` maps each document to its root node (``RTModel.scala:96``).
-* :func:`reconstruct_docs` rebuilds the original JSON per root
-  (``CirceTraverser.scala:16-58`` reconstruct) — used for the round-trip
-  invariant: sha256(canonical(reconstruct(shred(doc)))) ==
-  sha256(canonical(doc)), the per-row invariant from BASELINE.json.
+* :func:`reconstruct_docs` rebuilds canonical JSON per root
+  (``CirceTraverser.scala:16-58`` reconstruct) — the round-trip invariant:
+  reconstruct(shred(doc)) == canonical(doc), sha256-compared per row
+  (the per-row invariant from BASELINE.json).
 
-Per-document tree walks run inside Arrow-batched UDFs (documents are
-small — the same assumption the reference makes, ``FixedTable.cs:34-36``);
-interning/dedup across documents is a distributed ``dropDuplicates`` —
-the E1 hash-cons primitive at corpus scale.
+**Numeric narrowing (E5)** mirrors the reference exactly
+(``sickcirce/CirceTraverser.scala:88-155``): every number is stored in the
+smallest exact type — whole values narrow byte → short → int → long →
+bigint; fractional values narrow float → double → bigdec, where "float"
+means the decimal value round-trips through a float32's shortest decimal
+representation (Scala ``BigDecimal.isDecimalFloat``), same for double.
+``avoid_bigdecimals=True`` reproduces the reference's lossy fast path
+(``CirceTraverser.scala:63,121-152``): fractional values collapse to the
+double (or exactly-narrower float), changing which values intern together.
 
-Numeric canonicalization mirrors SICK's narrowing (``CirceTraverser.
-scala:88-155``): integers keep integer form, floats canonical repr, so
-``1.5`` interns identically wherever it appears.
+**Inline kinds (E6)**: null / bool / byte / short are carried in the ref
+itself in the reference — no table row (``CirceTraverser.scala:75-99``).
+:func:`interned_store` therefore excludes them by default, so per-kind
+cardinalities match the reference's table counters
+(``EBAReaderWriterTest.scala:145-148``).
+
+Per-document tree walks run inside ONE Arrow-batched ``mapInPandas`` pass
+(documents are small — the same assumption the reference makes,
+``FixedTable.cs:34-36``); nodes and edges are emitted from a single walk
+and split from a lazily checkpointed combined table, so each document is
+parsed exactly once. Interning across documents is a distributed
+``dropDuplicates`` — the E1 hash-cons primitive at corpus scale.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import math
 from collections.abc import Iterator
+from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
 )
 
-NODE_SCHEMA = StructType(
+#: kinds stored inline in the ref — no value-table row (E6,
+#: ``CirceTraverser.scala:75-99``)
+INLINE_KINDS = ("nul", "bit", "byte", "short")
+
+#: all kinds, mirroring the reference's type markers (``RTModel.scala:32-51``)
+ALL_KINDS = INLINE_KINDS + ("int", "long", "bigint", "flt", "dbl", "bigdec", "str", "arr", "obj")
+
+# combined single-pass schema: node rows (row_type='n') and edge rows ('e')
+SHRED_SCHEMA = StructType(
     [
         StructField("doc_sha", StringType(), False),
-        StructField("node_id", StringType(), False),   # sha256(kind:canonical)
-        StructField("kind", StringType(), False),      # nul|bit|int|dbl|str|arr|obj
-        StructField("scalar", StringType(), True),     # canonical scalar value
-        StructField("n_children", IntegerType(), False),
-        StructField("is_root", IntegerType(), False),
+        StructField("row_type", StringType(), False),  # 'n' | 'e'
+        StructField("node_id", StringType(), False),   # node: its id; edge: parent id
+        StructField("kind", StringType(), True),       # node only
+        StructField("scalar", StringType(), True),     # node only: canonical scalar
+        StructField("n_children", IntegerType(), True),
+        StructField("is_root", IntegerType(), True),
+        StructField("pos", IntegerType(), True),       # edge only
+        StructField("key", StringType(), True),        # edge only (null for arr)
+        StructField("child_id", StringType(), True),   # edge only
     ]
 )
 
-EDGE_SCHEMA = StructType(
-    [
-        StructField("doc_sha", StringType(), False),
-        StructField("parent_id", StringType(), False),
-        StructField("pos", IntegerType(), False),       # array index / key order
-        StructField("key", StringType(), True),         # object key (null for arr)
-        StructField("child_id", StringType(), False),
-    ]
-)
+NODE_COLS = ["doc_sha", "node_id", "kind", "scalar", "n_children", "is_root"]
+EDGE_COLS = ["doc_sha", "parent_id", "pos", "key", "child_id"]
 
 
-def _canon(value) -> tuple[str, str, str | None]:
+def parse_json(text: str):
+    """Precision-preserving parse: ints stay arbitrary-precision ints,
+    decimals become ``Decimal`` (``generated-big.json``'s 100-digit
+    decimals and e±200 exponents survive exactly)."""
+    return json.loads(text, parse_float=Decimal)
+
+
+def _int_kind(i: int) -> str:
+    if -128 <= i <= 127:
+        return "byte"
+    if -32768 <= i <= 32767:
+        return "short"
+    if -(1 << 31) <= i < (1 << 31):
+        return "int"
+    if -(1 << 63) <= i < (1 << 63):
+        return "long"
+    return "bigint"
+
+
+def _canon_number(v, avoid_bigdecimals: bool) -> tuple[str, str]:
+    """(kind, canonical) per the reference's narrowing
+    (``CirceTraverser.scala:88-155``)."""
+    if isinstance(v, int):
+        return _int_kind(v), str(v)
+    # Decimal
+    if v == v.to_integral_value():
+        i = int(v)
+        return _int_kind(i), str(i)
+    if avoid_bigdecimals:
+        # JsonDecimal fast path (``CirceTraverser.scala:140-152``): collapse
+        # to double, or float when the double narrows exactly
+        db = float(v)
+        if not math.isinf(db):
+            with np.errstate(over="ignore"):
+                f32 = np.float32(db)
+            if float(f32) == db:
+                return "flt", str(f32)
+            return "dbl", repr(db)
+        # infinite double → fall through to the exact path
+    # isDecimalFloat: value round-trips through float32 shortest repr
+    with np.errstate(over="ignore"):  # huge exponents overflow to inf (guarded)
+        f32 = np.float32(str(v))
+    if np.isfinite(f32) and Decimal(str(f32)) == v:
+        return "flt", str(f32)
+    db = float(v)
+    if math.isfinite(db) and Decimal(repr(db)) == v:
+        return "dbl", repr(db)
+    return "bigdec", str(v)
+
+
+def _canon_scalar(value, avoid_bigdecimals: bool = False) -> tuple[str, str, str | None]:
     """(kind, canonical_form, scalar) — canonical form is deterministic and
     key-order-insensitive, like the reference's assertSameJson contract."""
     if value is None:
         return "nul", "null", "null"
     if isinstance(value, bool):
-        return "bit", "true" if value else "false", "true" if value else "false"
-    if isinstance(value, int):
-        return "int", str(value), str(value)
-    if isinstance(value, float):
+        s = "true" if value else "false"
+        return "bit", s, s
+    if isinstance(value, (int, Decimal)):
+        kind, canonical = _canon_number(value, avoid_bigdecimals)
+        return kind, canonical, canonical
+    if isinstance(value, float):  # only reachable when parsed without Decimal
         return "dbl", repr(value), repr(value)
     if isinstance(value, str):
         return "str", json.dumps(value, ensure_ascii=False), value
     raise TypeError(type(value))
 
 
+def canonical_json_text(value, avoid_bigdecimals: bool = False) -> str:
+    """Display-canonical serialization: sorted keys, compact separators,
+    narrowing-canonical numbers. reconstruct_docs emits exactly this form,
+    so sha256(canonical(original)) == sha256(reconstructed) is the
+    round-trip invariant."""
+    if isinstance(value, dict):
+        return (
+            "{"
+            + ",".join(
+                json.dumps(k, ensure_ascii=False) + ":" + canonical_json_text(v, avoid_bigdecimals)
+                for k, v in sorted(value.items())
+            )
+            + "}"
+        )
+    if isinstance(value, list):
+        return "[" + ",".join(canonical_json_text(v, avoid_bigdecimals) for v in value) + "]"
+    _, canonical, _ = _canon_scalar(value, avoid_bigdecimals)
+    return canonical
+
+
+@F.pandas_udf(StringType())
+def canonical_json_udf(content: pd.Series) -> pd.Series:
+    """canonical_json_text over a JSON string column (Arrow-batched);
+    null on parse failure."""
+
+    def one(text):
+        try:
+            return canonical_json_text(parse_json(text))
+        except (ValueError, TypeError):
+            return None
+
+    return content.map(one)
+
+
 def _node_id(kind: str, canonical: str) -> str:
     return hashlib.sha256(f"{kind}:{canonical}".encode()).hexdigest()
 
 
-def _walk(value, doc_sha: str, nodes: list, edges: list, is_root: int = 0) -> tuple[str, str]:
+def _walk(value, doc_sha: str, rows: list, avoid_bigdecimals: bool, is_root: int = 0) -> str:
     """Bottom-up: children intern first so composite identity reduces to
-    child-id equality (the E4 ordering)."""
+    child-id equality (the E4 ordering). ONE walk emits node AND edge rows."""
     if isinstance(value, dict):
-        child = [( k, _walk(v, doc_sha, nodes, edges)) for k, v in sorted(value.items())]
-        canonical = "{" + ",".join(f"{json.dumps(k)}:{cid}" for k, (cid, _) in child) + "}"
+        child = [(k, _walk(v, doc_sha, rows, avoid_bigdecimals)) for k, v in sorted(value.items())]
+        canonical = "{" + ",".join(f"{json.dumps(k, ensure_ascii=False)}:{cid}" for k, cid in child) + "}"
         nid = _node_id("obj", canonical)
-        for pos, (k, (cid, _)) in enumerate(child):
-            edges.append((doc_sha, nid, pos, k, cid))
-        nodes.append((doc_sha, nid, "obj", None, len(child), is_root))
-        return nid, canonical
+        for pos, (k, cid) in enumerate(child):
+            rows.append((doc_sha, "e", nid, None, None, None, None, pos, k, cid))
+        rows.append((doc_sha, "n", nid, "obj", None, len(child), is_root, None, None, None))
+        return nid
     if isinstance(value, list):
-        child = [_walk(v, doc_sha, nodes, edges) for v in value]
-        canonical = "[" + ",".join(cid for cid, _ in child) + "]"
+        child = [_walk(v, doc_sha, rows, avoid_bigdecimals) for v in value]
+        canonical = "[" + ",".join(child) + "]"
         nid = _node_id("arr", canonical)
-        for pos, (cid, _) in enumerate(child):
-            edges.append((doc_sha, nid, pos, None, cid))
-        nodes.append((doc_sha, nid, "arr", None, len(child), is_root))
-        return nid, canonical
-    kind, canonical, scalar = _canon(value)
+        for pos, cid in enumerate(child):
+            rows.append((doc_sha, "e", nid, None, None, None, None, pos, None, cid))
+        rows.append((doc_sha, "n", nid, "arr", None, len(child), is_root, None, None, None))
+        return nid
+    kind, canonical, scalar = _canon_scalar(value, avoid_bigdecimals)
     nid = _node_id(kind, canonical)
-    nodes.append((doc_sha, nid, kind, scalar, 0, is_root))
-    return nid, canonical
+    rows.append((doc_sha, "n", nid, kind, scalar, 0, is_root, None, None, None))
+    return nid
 
 
-def shred(docs: DataFrame, sha: str = "sha", content: str = "content") -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(nodes, edges, roots) long-format tables.
+def shred(
+    docs: DataFrame,
+    sha: str = "sha",
+    content: str = "content",
+    avoid_bigdecimals: bool = False,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, edges, roots) long-format tables from ONE parse+walk per doc.
 
     nodes — per-document node instances (pre-intern). Global interned store
-    = ``nodes.dropDuplicates(["node_id"])`` (E1); per-node reference counts
-    = ``groupBy("node_id").count()`` (E10 Freq).
+    = :func:`interned_store` (E1); per-node reference counts = E10 Freq.
+
+    ``checkpoint=True`` lazily localCheckpoints the combined single-pass
+    table so evaluating nodes AND edges costs one Python walk total; pass
+    False when the caller checkpoints (e.g. writes both to a warehouse).
     """
     spark_docs = docs.select(F.col(sha).alias("doc_sha"), F.col(content).alias("__c"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SHRED_SCHEMA.fields]
         for pdf in it:
-            all_nodes: list = []
+            rows: list = []
             for dsha, text in zip(pdf["doc_sha"], pdf["__c"]):
                 try:
-                    obj = json.loads(text)
+                    obj = parse_json(text)
                 except (ValueError, TypeError):
                     continue
-                _walk(obj, dsha, all_nodes, [], is_root=1)
-            yield pd.DataFrame(all_nodes, columns=[f.name for f in NODE_SCHEMA.fields]).astype(
-                {"n_children": "int32", "is_root": "int32"}
-            ) if all_nodes else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in NODE_SCHEMA.fields}
-            ).astype({"n_children": "int32", "is_root": "int32"})
+                _walk(obj, dsha, rows, avoid_bigdecimals, is_root=1)
+            out = pd.DataFrame(rows, columns=cols)
+            if not len(out):
+                out = pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            yield out.astype({"n_children": "Int32", "is_root": "Int32", "pos": "Int32"})
 
-    def edge_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            all_edges: list = []
-            for dsha, text in zip(pdf["doc_sha"], pdf["__c"]):
-                try:
-                    obj = json.loads(text)
-                except (ValueError, TypeError):
-                    continue
-                _walk(obj, dsha, [], all_edges, is_root=1)
-            yield pd.DataFrame(all_edges, columns=[f.name for f in EDGE_SCHEMA.fields]).astype(
-                {"pos": "int32"}
-            ) if all_edges else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in EDGE_SCHEMA.fields}
-            ).astype({"pos": "int32"})
-
-    nodes = spark_docs.mapInPandas(batches, NODE_SCHEMA)
-    edges = spark_docs.mapInPandas(edge_batches, EDGE_SCHEMA)
+    combined = spark_docs.mapInPandas(batches, SHRED_SCHEMA)
+    if checkpoint:
+        combined = combined.localCheckpoint(eager=False)
+    nodes = combined.where(F.col("row_type") == "n").select(*NODE_COLS)
+    edges = combined.where(F.col("row_type") == "e").select(
+        "doc_sha", F.col("node_id").alias("parent_id"), "pos", "key", "child_id"
+    )
     roots = nodes.where(F.col("is_root") == 1).select(
         "doc_sha", F.col("node_id").alias("root_id")
     )
     return nodes, edges, roots
 
 
-def interned_store(nodes: DataFrame) -> DataFrame:
+def interned_store(nodes: DataFrame, include_inline: bool = False) -> DataFrame:
     """The global deduplicated value store: one row per distinct node across
-    all documents (E1/E7), with reference counts (E10)."""
+    all documents (E1/E7), with reference counts (E10).
+
+    Inline kinds (null/bool/byte/short) are excluded by default — the
+    reference carries them in the ref itself with no table row (E6,
+    ``CirceTraverser.scala:75-99``), so the store's per-kind cardinalities
+    match its table counters."""
+    if not include_inline:
+        nodes = nodes.where(~F.col("kind").isin(*INLINE_KINDS))
     counts = nodes.groupBy("node_id").agg(F.count(F.lit(1)).alias("ref_count"))
     return (
         nodes.select("node_id", "kind", "scalar", "n_children")
@@ -170,24 +283,33 @@ def interned_store(nodes: DataFrame) -> DataFrame:
 
 
 def shred_summary(nodes: DataFrame) -> DataFrame:
-    """Per-kind cardinalities — the reference's EBAStructure.summary (R16)."""
+    """Per-kind cardinalities — the reference's EBAStructure.summary (R16).
+    ``instances`` counts every occurrence; ``interned`` counts value-table
+    rows, which is 0 for inline kinds (E6: no table row)."""
     return (
-        interned_store(nodes)
-        .groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("interned"), F.sum("ref_count").alias("instances"))
+        nodes.groupBy("kind")
+        .agg(
+            F.when(
+                F.first("kind").isin(*INLINE_KINDS), F.lit(0)
+            ).otherwise(F.countDistinct("node_id")).alias("interned"),
+            F.count(F.lit(1)).alias("instances"),
+        )
         .orderBy("kind")
     )
 
 
 def reconstruct_docs(nodes: DataFrame, edges: DataFrame, roots: DataFrame) -> DataFrame:
-    """(doc_sha, reconstructed) — rebuild canonical JSON per document
-    (R11). Per-doc rebuild runs in applyInPandas over the doc's own node +
-    edge rows (trees are document-sized)."""
+    """(doc_sha, reconstructed) — rebuild canonical JSON text per document
+    (R11); output matches :func:`canonical_json_text` of the original.
+    Per-doc rebuild runs in applyInPandas over the doc's own node + edge
+    rows (trees are document-sized)."""
     n = nodes.select("doc_sha", "node_id", "kind", "scalar").dropDuplicates(
         ["doc_sha", "node_id"]
     )
-    e = edges
-    r = roots
+    # a subtree appearing twice in one doc emits identical edge rows twice;
+    # (doc, parent, pos) is unique after dedup (content-addressed parent)
+    e = edges.dropDuplicates(["doc_sha", "parent_id", "pos"])
+    r = roots.dropDuplicates(["doc_sha"])
     joined_n = n.withColumn("rec_kind", F.lit("n")).select(
         "doc_sha",
         F.col("node_id").alias("a"),
@@ -223,36 +345,37 @@ def reconstruct_docs(nodes: DataFrame, edges: DataFrame, roots: DataFrame) -> Da
 
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_sha = pdf["doc_sha"].iloc[0]
-        kinds = {}
+        kinds: dict[str, tuple[str, str]] = {}
         children: dict[str, list] = {}
         root_id = None
-        for _, row in pdf.iterrows():
-            if row["rec_kind"] == "n":
-                kinds[row["a"]] = (row["b"], row["c"])
-            elif row["rec_kind"] == "e":
-                children.setdefault(row["a"], []).append((row["pos"], row["c"], row["b"]))
+        for row in pdf.itertuples(index=False):
+            if row.rec_kind == "n":
+                kinds[row.a] = (row.b, row.c)
+            elif row.rec_kind == "e":
+                children.setdefault(row.a, []).append((row.pos, row.c, row.b))
             else:
-                root_id = row["a"]
+                root_id = row.a
 
-        def build(nid: str):
+        def build(nid: str) -> str:
             kind, scalar = kinds[nid]
             if kind == "obj":
-                return {k: build(cid) for _, k, cid in sorted(children.get(nid, []))}
+                return (
+                    "{"
+                    + ",".join(
+                        json.dumps(k, ensure_ascii=False) + ":" + build(cid)
+                        for _, k, cid in sorted(children.get(nid, []))
+                    )
+                    + "}"
+                )
             if kind == "arr":
-                return [build(cid) for _, _, cid in sorted(children.get(nid, []))]
-            if kind == "nul":
-                return None
-            if kind == "bit":
-                return scalar == "true"
-            if kind == "int":
-                return int(scalar)
-            if kind == "dbl":
-                return float(scalar)
-            return scalar
+                return "[" + ",".join(build(cid) for _, _, cid in sorted(children.get(nid, []))) + "]"
+            if kind == "str":
+                return json.dumps(scalar, ensure_ascii=False)
+            return scalar  # nul/bit/numeric kinds store display-canonical text
 
         text = None
         if root_id is not None and root_id in kinds:
-            text = json.dumps(build(root_id), sort_keys=True, ensure_ascii=False)
+            text = build(root_id)
         return pd.DataFrame({"doc_sha": [doc_sha], "reconstructed": [text]})
 
     return allrows.groupBy("doc_sha").applyInPandas(rebuild, out_schema)

@@ -1,0 +1,127 @@
+"""Golden round-trip tests over the reference's OWN sample corpus — the
+reference's primary correctness layer walks samples/*.json for a config
+grid and asserts reconstruct == original, key-order insensitive
+(EBAReaderWriterTest.scala:30-34,52-53, assertSameJson :290-303). Here the
+invariant is sha256(canonical(original)) == sha256(reconstruct(shred(doc)))
+per row, for both avoid_bigdecimals settings, plus per-kind table counters
+cross-checked against an independent pure-Python walk (the tableCounters
+idea, EBAReaderWriterTest.scala:145-148)."""
+
+import hashlib
+from decimal import Decimal
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.operators.shred import (
+    INLINE_KINDS,
+    _canon_scalar,
+    canonical_json_text,
+    interned_store,
+    parse_json,
+    reconstruct_docs,
+    shred,
+    shred_summary,
+)
+
+SAMPLES = sorted(Path("/root/reference/samples").glob("*.json"))
+
+
+def _sample_df(spark, avoid: bool):
+    rows = []
+    for p in SAMPLES:
+        text = p.read_text()
+        canonical = canonical_json_text(parse_json(text), avoid)
+        rows.append((hashlib.sha256(canonical.encode()).hexdigest(), text))
+    return spark.createDataFrame(rows, "sha string, content string"), rows
+
+
+@pytest.mark.parametrize("avoid", [False, True])
+def test_golden_roundtrip_reference_samples(spark, avoid):
+    assert len(SAMPLES) == 4, "reference sample corpus moved?"
+    docs, rows = _sample_df(spark, avoid)
+    nodes, edges, roots = shred(docs, avoid_bigdecimals=avoid)
+    rec = {
+        r["doc_sha"]: r["reconstructed"]
+        for r in reconstruct_docs(nodes, edges, roots).collect()
+    }
+    for sha, _ in rows:
+        assert rec[sha] is not None
+        # per-row invariant: content sha256 equality (BASELINE.json input_hint)
+        assert hashlib.sha256(rec[sha].encode()).hexdigest() == sha
+
+
+def _count_nodes_independent(value, acc):
+    """Independent per-kind counter: identity by canonical TEXT of the
+    subtree (equivalent to node-id identity, computed without touching the
+    production _walk/node-id machinery)."""
+    if isinstance(value, dict):
+        for v in sorted(value.items()):
+            _count_nodes_independent(v[1], acc)
+        acc.append(("obj", canonical_json_text(value)))
+    elif isinstance(value, list):
+        for v in value:
+            _count_nodes_independent(v, acc)
+        acc.append(("arr", canonical_json_text(value)))
+    else:
+        kind, canonical, _ = _canon_scalar(value)
+        acc.append((kind, canonical))
+
+
+def test_per_kind_counters_match_independent_walk(spark):
+    docs, _ = _sample_df(spark, avoid=False)
+    nodes, _, _ = shred(docs)
+
+    acc: list[tuple[str, str]] = []
+    for p in SAMPLES:
+        _count_nodes_independent(parse_json(p.read_text()), acc)
+    exp_instances: dict[str, int] = {}
+    exp_interned: dict[str, set] = {}
+    for kind, canon in acc:
+        exp_instances[kind] = exp_instances.get(kind, 0) + 1
+        exp_interned.setdefault(kind, set()).add(canon)
+
+    got = {
+        r["kind"]: (r["interned"], r["instances"])
+        for r in shred_summary(nodes).collect()
+    }
+    assert set(got) == set(exp_instances)
+    for kind, (interned, instances) in got.items():
+        assert instances == exp_instances[kind], kind
+        want_interned = 0 if kind in INLINE_KINDS else len(exp_interned[kind])
+        assert interned == want_interned, kind
+
+    # the numeric-torture sample must exercise the full numeric kind set
+    assert {"byte", "short", "int", "long", "bigint", "flt", "dbl", "bigdec"} <= set(got)
+
+    # E6: store carries no inline-kind rows
+    store = interned_store(nodes)
+    assert store.where(F.col("kind").isin(*INLINE_KINDS)).count() == 0
+
+
+def test_numeric_narrowing_reference_grid():
+    """Kind table mirroring CirceTraverser.scala:88-155 decisions."""
+    cases = {
+        "0": "byte", "127": "byte", "-128": "byte",
+        "128": "short", "-32768": "short",
+        "32768": "int", "2147483647": "int",
+        "2147483648": "long", "9223372036854775807": "long",
+        "9223372036854775808": "bigint", "1e200": "bigint",
+        "1.5": "flt", "1.1": "flt", "-2.5": "flt",
+        "1.2345678901234567": "dbl", "1.5e-200": "dbl",
+        "3.14159265358979323846264338327950288": "bigdec",
+    }
+    for text, want in cases.items():
+        v = parse_json(text)
+        kind, _, _ = _canon_scalar(v)
+        assert kind == want, (text, kind, want)
+    # avoid_bigdecimals collapses exact-decimal narrowing to double/float
+    assert _canon_scalar(Decimal("1.1"), avoid_bigdecimals=True)[0] == "dbl"
+    assert _canon_scalar(Decimal("1.5"), avoid_bigdecimals=True)[0] == "flt"
+    assert (
+        _canon_scalar(
+            Decimal("3.14159265358979323846264338327950288"), avoid_bigdecimals=True
+        )[0]
+        == "dbl"
+    )

@@ -1,0 +1,62 @@
+"""Exact n-gram Jaccard pairing: oracle mode vs a pure-Python oracle, and
+the max_df scale mode's non-silent hot-shingle cap."""
+
+from pyspark.sql import functions as F
+
+from sick_spark.functions.text import with_token_shingle_hashes
+from sick_spark.operators.ngram import hot_shingle_report, ngram_jaccard_pairs
+
+TEXTS = {
+    1: "a b c d e f g h",
+    2: "a b c d e f g x",      # near-dup of 1
+    3: "p q r s t u v w",
+    4: "p q r s t u v y",      # near-dup of 3
+    5: "m n o mm nn oo pp qq",
+}
+
+
+def _shingled(spark, texts=TEXTS, k=3):
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, content string")
+    return with_token_shingle_hashes(df, "content", k).select("doc_id", "shingle_hashes")
+
+
+def _python_jaccard_pairs(texts, k, t):
+    def sh(s):
+        w = s.split()
+        return {" ".join(w[i : i + k]) for i in range(max(len(w) - k, 0) + 1)}
+
+    ids = sorted(texts)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if len(sa & sb) / len(sa | sb) >= t:
+                out.add((a, b))
+    return out
+
+
+def test_exact_mode_matches_python_oracle(spark):
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(_shingled(spark), 0.4).collect()
+    }
+    assert got == _python_jaccard_pairs(TEXTS, 3, 0.4)
+
+
+def test_max_df_cap_reported_not_silent(spark):
+    # plant a hot shingle: every doc starts with the same 3 tokens
+    texts = {i: "hot hot hot " + t for i, t in TEXTS.items()}
+    sh = _shingled(spark, texts)
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(sh, 0.4).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(sh, 0.4, max_df=4).collect()
+    }
+    # capped pairs are a subset (sizes still use full sets -> no inflation)
+    assert capped <= exact
+    # near-dup pairs share plenty of non-hot shingles -> still found
+    assert (1, 2) in capped and (3, 4) in capped
+    # the excluded shingle is reported with its forgone-pair count
+    rep = hot_shingle_report(sh, max_df=4).collect()
+    assert len(rep) >= 1
+    assert all(r["df"] == 5 and r["pairs_forgone"] == 10 for r in rep)

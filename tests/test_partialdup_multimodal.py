@@ -29,6 +29,44 @@ def test_partial_dup_lcs(spark):
     assert r["lcs_sample"] in rows[0][4]
 
 
+def test_suffix_automaton_matches_bruteforce():
+    # exactness property: SAM LCS == brute-force longest common substring
+    import random
+
+    from sick_spark.operators.partialdup import _SuffixAutomaton
+
+    rng = random.Random(7)
+    for _ in range(60):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 40)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 40)))
+        size, end = _SuffixAutomaton(a).lcs(b)
+        brute = max(
+            (j - i for i in range(len(a)) for j in range(i + 1, len(a) + 1) if a[i:j] in b),
+            default=0,
+        )
+        assert size == brute, (a, b)
+        if size:
+            assert a[end + 1 - size : end + 1] in b, (a, b)
+
+
+def test_partial_dup_planted_substring_exact(spark):
+    # north rule: suffix-structure partial-dup — planted shared substring
+    # must be recovered EXACTLY (length equality, not just >=)
+    shared = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        ("r", "a", "c", "py", shared + " tailmarker alpha beta"),
+        ("r", "b", "c", "py", "headmarker gamma delta " + shared),
+    ]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    res = run_pipeline(spark, corpus, DedupConfig(jaccard_threshold=0.3))
+    rep = partial_dup_report(res.store, res.clusters).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["lcs_len"] == len(shared)
+    assert r["lcs_sample"] in shared
+    assert not r["truncated"]
+
+
 def test_partialdup_truncation_reported(spark):
     big = "x " * 6000
     rows = [("r", "a", "c", "py", big + "end a"), ("r", "b", "c", "py", big + "end b")]

@@ -1,15 +1,17 @@
 """Round-trip + interning tests for the shred/reconstruct pair — mirrors
 the reference's golden round-trip suite (EBAReaderWriterTest.scala:30-72):
 encode → store → reconstruct == original, key-order insensitive, with the
-per-row sha256 invariant from BASELINE.json."""
+per-row sha256 invariant from BASELINE.json. Narrowing kinds per
+CirceTraverser.scala:88-155; inline kinds per :75-99 (E6)."""
 
 import hashlib
-import json
 
 from pyspark.sql import functions as F
 
 from sick_spark.operators.shred import (
+    canonical_json_text,
     interned_store,
+    parse_json,
     reconstruct_docs,
     shred,
     shred_summary,
@@ -20,7 +22,7 @@ DOCS = [
     '{"a": {"x": [1, 2, 3], "y": null}, "b": 1, "flag": true}',  # key order differs
     '{"other": "doc", "shared": {"x": [1, 2, 3], "y": null}}',
     '[1, 2.5, "s", null, {"k": false}]',
-    '{"n": 12345678901234567890}',  # > int64: big integers keep exact form
+    '{"n": 12345678901234567890}',  # > int64: narrows to bigint, exact form kept
 ]
 
 
@@ -35,7 +37,7 @@ def test_roundtrip_sha_invariant(spark):
     rec = {r["doc_sha"]: r["reconstructed"] for r in reconstruct_docs(nodes, edges, roots).collect()}
     for d in DOCS:
         sha = hashlib.sha256(d.encode()).hexdigest()
-        canonical = json.dumps(json.loads(d), sort_keys=True, ensure_ascii=False)
+        canonical = canonical_json_text(parse_json(d))
         assert rec[sha] is not None
         # per-row invariant: canonical round-trip content hashes match
         assert hashlib.sha256(rec[sha].encode()).hexdigest() == hashlib.sha256(
@@ -55,23 +57,36 @@ def test_key_order_interns_identically(spark):
 def test_shared_subtree_interned_once(spark):
     docs = _df(spark, DOCS[:3])
     nodes, _, _ = shred(docs)
-    store = interned_store(nodes)
+    store = interned_store(nodes, include_inline=True)
     # the {"x":[1,2,3],"y":null} subtree appears in all 3 docs → ref_count 3
     shared = store.where((F.col("kind") == "obj") & (F.col("ref_count") == 3)).collect()
     assert len(shared) >= 1
-    # scalar 1 appears in many places but is stored once
-    ones = store.where((F.col("kind") == "int") & (F.col("scalar") == "1")).collect()
+    # scalar 1 narrows to byte; appears in many places but is stored once
+    ones = store.where((F.col("kind") == "byte") & (F.col("scalar") == "1")).collect()
     assert len(ones) == 1
     assert ones[0]["ref_count"] >= 3
+
+
+def test_inline_kinds_excluded_from_store(spark):
+    # E6: null/bool/byte/short live in the ref, not the value tables
+    docs = _df(spark)
+    nodes, _, _ = shred(docs)
+    store = interned_store(nodes)
+    assert store.where(F.col("kind").isin("nul", "bit", "byte", "short")).count() == 0
+    assert store.where(F.col("kind") == "bigint").count() == 1
 
 
 def test_summary_counts_kinds(spark):
     docs = _df(spark)
     nodes, _, _ = shred(docs)
     got = {r["kind"]: (r["interned"], r["instances"]) for r in shred_summary(nodes).collect()}
-    assert set(got) == {"nul", "bit", "int", "dbl", "str", "arr", "obj"}
-    for interned, instances in got.values():
-        assert instances >= interned
+    # 1,2,3 → byte; 2.5 → flt (exact in float32); 12345678901234567890 → bigint
+    assert set(got) == {"nul", "bit", "byte", "flt", "bigint", "str", "arr", "obj"}
+    for kind, (interned, instances) in got.items():
+        if kind in ("nul", "bit", "byte", "short"):
+            assert interned == 0  # inline: no table row (E6)
+        else:
+            assert instances >= interned >= 1
 
 
 def test_malformed_json_skipped(spark):

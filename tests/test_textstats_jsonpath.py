@@ -35,6 +35,28 @@ def test_json_query_negative_index(spark):
     assert out["v"] == "3"
 
 
+def test_json_query_negative_index_complex_elements(spark):
+    # R8 on non-scalar elements, mirroring the reference's swagger fixture
+    # queries (SickTests.cs:33-58: schemes[0], schemes.[0], schemes.[-1])
+    doc = (
+        '{"schemes": [{"name": "http", "port": 80}, {"name": "https", "port": 443}],'
+        ' "grid": [[1, 2], [3, 4, 5]]}'
+    )
+    df = spark.createDataFrame([(doc,)], ["content"])
+    out = df.select(
+        json_query("content", "schemes.[-1].name").alias("v1"),
+        json_query("content", "schemes.[-2].port").alias("v2"),
+        json_query("content", "grid.[-1].[-1]").alias("v3"),
+        json_query("content", "schemes.[-1]").alias("v4"),
+        json_query("content", "schemes.[-3]").alias("v5"),  # out of range -> null
+    ).collect()[0]
+    assert out["v1"] == "https"
+    assert out["v2"] == "80"
+    assert out["v3"] == "5"
+    assert out["v4"] == '{"name":"https","port":443}'
+    assert out["v5"] is None
+
+
 def test_textstats_basic(spark):
     df = spark.createDataFrame(
         [("d1", "the cat sat on the mat with a hat and a bat of doom")],
