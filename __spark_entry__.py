@@ -102,6 +102,20 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "shingles", build)
 
 
+def _doc_shingles_sha60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle hashes via the engine-portable sha-prefix 60-bit hash
+    (:func:`sha60_shingle_hashes`) — same shingle SET as :func:`_doc_shingles`
+    but reproducible in DuckDB SQL, which is what lets the SimHash and
+    arrow-MinHash queries have value-level oracles."""
+    def build() -> DataFrame:
+        docs = _docs_distinct(spark, sf_dir).withColumnRenamed("text", "content")
+        sh = with_shingle_strings(docs, "content", _K)
+        return sh.select(
+            "doc_id", sha60_shingle_hashes("shingles").alias("shingle_hashes")
+        )
+    return _memo(spark, sf_dir, "shingles_sha60", build)
+
+
 def _verified_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
     sh = _doc_shingles(spark, sf_dir)
@@ -209,6 +223,58 @@ _DUCK_DOCS = """
                   JOIN sizes y ON db = y.doc_id
                   WHERE i * 1.0 / (x.n + y.n - i) >= 0.5)
 """
+
+# distinct docs -> 3-gram shingles -> portable sha60 hashes as HUGEINT
+_DUCK_SHA60 = """
+    docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                        FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+           FROM w),
+    h AS (SELECT doc_id,
+                 CAST(CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT) AS HUGEINT) AS h
+          FROM sh)
+"""
+
+
+def _minhash_perm_rows() -> str:
+    """(perm_idx, a, b) VALUES rows for the pandas backend's multiply-shift
+    family — the exact seeded parameters the Arrow UDF uses, embedded as
+    HUGEINT literals so DuckDB replays ``(a*h + b) mod 2^64``."""
+    from sick_spark.operators.minhash import _perm_params
+
+    cfg = DedupConfig(minhash_impl="pandas")
+    a, b = _perm_params(cfg.sig_len, cfg.seed)
+    return ", ".join(
+        f"({i}, {int(ai)}::HUGEINT, {int(bi)}::HUGEINT)"
+        for i, (ai, bi) in enumerate(zip(a, b))
+    )
+
+
+def _rhp_plane_rows(n_bits: int, dim: int = 64, seed: int = 42) -> str:
+    """(bit_idx, plane) VALUES rows: the exact seeded hyperplanes the RHP
+    Arrow UDF uses, as DOUBLE[] literals (repr round-trips float64)."""
+    from sick_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(n_bits, dim, seed)
+    return ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(n_bits)
+    )
+
+
+def _rhp_bucket_cte(n_bits: int) -> str:
+    """planes/e/bk CTE body: per-vector RHP bucket = sign-bit integer."""
+    return f"""
+        planes AS (SELECT * FROM (VALUES {_rhp_plane_rows(n_bits)}) AS t(i, p)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bk AS (SELECT e.vec_id,
+                      SUM(CASE WHEN list_dot_product(v, p) > 0
+                               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+               FROM e CROSS JOIN planes GROUP BY e.vec_id)
+    """
+
 
 _DUCK_PAIR_SQL = f"""
     WITH {_DUCK_DOCS}
@@ -404,6 +470,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["json_shred_roundtrip"] = json_shred_roundtrip
 
+    # --- per-access path provenance (R17): every node instance annotated
+    #     with the JSONPath it is reached by (iterative level join)
+    def json_node_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.shred import node_paths
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        docs = e.select(F.col("props").alias("content")).distinct().withColumn(
+            "sha", F.sha2(F.col("content").cast("binary"), 256)
+        )
+        nodes, edges, roots = shred(docs)
+        paths = node_paths(edges, roots)
+        return (
+            paths.join(nodes.select("doc_sha", "node_id", "kind"), ["doc_sha", "node_id"])
+            .groupBy("path", "kind")
+            .agg(
+                F.count(F.lit(1)).alias("n_instances"),
+                F.countDistinct("node_id").alias("n_distinct"),
+            )
+            .orderBy("path", "kind")
+        )
+    q["json_node_paths"] = json_node_paths
+
+    # --- point lookup chain (R6 root lookup → R7 object field lookup →
+    #     R10 resolve ref to typed value) over the shredded node tables
+    def shred_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        docs = e.select(F.col("props").alias("content")).distinct().withColumn(
+            "sha", F.sha2(F.col("content").cast("binary"), 256)
+        )
+        nodes, edges, roots = shred(docs)
+        target = docs.select("sha").orderBy("sha").limit(5)
+        r = roots.select(F.col("doc_sha").alias("sha"), "root_id")
+        ed = edges.select(
+            F.col("doc_sha").alias("sha"),
+            F.col("parent_id"),
+            "key",
+            "child_id",
+        )
+        nd = nodes.select(
+            F.col("doc_sha").alias("sha"), F.col("node_id"), "kind", "scalar"
+        )
+        return (
+            target.join(r, "sha")  # R6: named root -> root ref
+            .join(  # R7: object field lookup by key
+                ed,
+                (ed["sha"] == r["sha"]) & (ed["parent_id"] == r["root_id"]) & (ed["key"] == "k"),
+            )
+            .drop(ed["sha"])
+            .join(  # R10: resolve child ref -> typed value
+                nd, (nd["sha"] == r["sha"]) & (nd["node_id"] == F.col("child_id"))
+            )
+            .select(r["sha"].alias("sha"), "kind", "scalar")
+            .orderBy("sha")
+        )
+    q["shred_point_lookup"] = shred_point_lookup
+
     # ------------- rows-only operators (non-SQL-expressible; weaker check) --
 
     # --- SimHash near-dup pairs — GREEN path: fingerprints built from
@@ -412,13 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     pigeonhole) + exact hamming verify, so the all-pairs oracle matches.
     def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg = DedupConfig()  # simhash_max_hamming=3 -> 4 blocks x 16-bit keys
-        def build() -> DataFrame:
-            docs = _docs_distinct(spark, sf_dir).withColumnRenamed("text", "content")
-            sh = with_shingle_strings(docs, "content", _K)
-            return sh.select(
-                "doc_id", sha60_shingle_hashes("shingles").alias("shingle_hashes")
-            )
-        hashed = _memo(spark, sf_dir, "shingles_sha60", build)
+        hashed = _doc_shingles_sha60(spark, sf_dir)
         fp = simhash_fingerprints(hashed).select("doc_id", "simhash")
         return (
             simhash_pairs(fp, cfg, id_col="doc_id")
@@ -434,9 +550,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_signatures_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         # long format (doc_id, perm_idx, sig_value): hashable for the
         # driver's canonicalizer (array columns are not), and the shape a
-        # signature *table* would have on disk anyway
+        # signature *table* would have on disk anyway. Built over the
+        # portable sha60 shingle hashes so the multiply-shift family
+        # (a_i*h + b_i mod 2^64) is reproducible in DuckDB HUGEINT SQL —
+        # the default pandas/Arrow signature backend gets a value-level
+        # oracle, not just a rows-only check.
         cfg = DedupConfig(minhash_impl="pandas")
-        sh = _doc_shingles(spark, sf_dir)
+        sh = _doc_shingles_sha60(spark, sf_dir)
         return (
             minhash_pandas(sh, cfg)
             .select("doc_id", F.posexplode("minhash").alias("perm_idx", "sig_value"))
@@ -589,6 +709,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ok
         FROM (SELECT DISTINCT props FROM events) t
     """
+    # provenance over the known {"k": int} shape: root obj at '$', the
+    # narrowed numeric at '$.k'; distinct node count at '$' equals distinct
+    # k (the obj's canonical form is determined by its single child)
+    o["json_node_paths"] = """
+        WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                   FROM (SELECT DISTINCT props FROM events)),
+        s AS (SELECT CASE WHEN k BETWEEN -128 AND 127 THEN 'byte'
+                          WHEN k BETWEEN -32768 AND 32767 THEN 'short'
+                          WHEN k BETWEEN -2147483648 AND 2147483647 THEN 'int'
+                          ELSE 'long' END AS kind, k FROM v)
+        SELECT '$' AS path, 'obj' AS kind,
+               COUNT(*) AS n_instances, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct
+        FROM v
+        UNION ALL
+        SELECT '$.k' AS path, kind,
+               COUNT(*) AS n_instances, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct
+        FROM s GROUP BY kind
+        ORDER BY path, kind
+    """
     # SimHash: DuckDB reproduces the exact fingerprints (portable sha-prefix
     # 60-bit shingle hashes + bit-majority votes), then all-pairs hamming<=d.
     # Spark's block-bucket pairing has recall 1 (pigeonhole), so results match.
@@ -650,6 +789,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.path, f.sha, coalesce(c.component, f.sha) AS component
         FROM files f LEFT JOIN comp c ON f.sha = c.cid
         ORDER BY path
+    """
+    # arrow/pandas MinHash backend: exact replay of the multiply-shift
+    # signature family over portable sha60 shingle hashes. HUGEINT holds
+    # a*h (< 2^124); min is over the UNSIGNED value, then mapped to the
+    # signed int64 the UDF emits.
+    o["minhash_signatures_arrow"] = f"""
+        WITH {_DUCK_SHA60},
+        perms AS (SELECT * FROM (VALUES {_minhash_perm_rows()}) AS t(perm_idx, a, b)),
+        sig AS (SELECT doc_id, perm_idx,
+                       MIN((a * h + b) % 18446744073709551616::HUGEINT) AS m
+                FROM h CROSS JOIN perms GROUP BY doc_id, perm_idx)
+        SELECT doc_id, perm_idx,
+               CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                         THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS sig_value
+        FROM sig ORDER BY doc_id, perm_idx
+    """
+    # RHP-LSH: DuckDB reproduces the exact seeded hyperplane buckets, then
+    # same-bucket candidates + exact cosine — value-level oracle of the LSH
+    # algorithm itself (not just a recall bound)
+    o["embedding_lsh_candidates"] = f"""
+        WITH {_rhp_bucket_cte(6)}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= {_COS}
+        ORDER BY id_a, id_b
+    """
+    o["ann_topk_lsh"] = f"""
+        WITH {_rhp_bucket_cte(8)},
+        cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                        list_cosine_similarity(ea.v, eb.v) AS cos
+                 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                 JOIN e ea ON ea.vec_id = a.vec_id
+                 JOIN e eb ON eb.vec_id = b.vec_id)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+            FROM cand
+        ) t WHERE rnk <= 3 ORDER BY query_id, rnk
+    """
+    o["shred_point_lookup"] = """
+        WITH d AS (SELECT DISTINCT props FROM events),
+        s AS (SELECT sha256(props) AS sha,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM d)
+        SELECT sha,
+               CASE WHEN k BETWEEN -128 AND 127 THEN 'byte'
+                    WHEN k BETWEEN -32768 AND 32767 THEN 'short'
+                    WHEN k BETWEEN -2147483648 AND 2147483647 THEN 'int'
+                    ELSE 'long' END AS kind,
+               CAST(k AS VARCHAR) AS scalar
+        FROM s ORDER BY sha LIMIT 5
     """
     o["events_hourly"] = """
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,

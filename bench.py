@@ -146,14 +146,33 @@ def run_scale_one(n_executors: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     corpus = spark.read.parquet(_SCALED_CORPUS)
     n_files = corpus.count()
+
+    def drop_persisted() -> None:
+        """Free the previous run's cache/checkpoint blocks NOW — the async
+        ContextCleaner lags behind, and leftover blocks evict the next run's
+        working set (measured: run walls grew 145 s -> 220 s across
+        back-to-back runs before this)."""
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+
+    # untimed warmup on a slice: triggers JIT/codegen compilation and spawns
+    # the Python UDF workers, so the timed runs measure the pipeline, not
+    # JVM cold-start (a real cluster's executors are long-lived)
+    warm = corpus.sample(0.02, seed=1).localCheckpoint()
+    res = run_pipeline(spark, warm, DedupConfig(), with_simhash=True)
+    _materialize(res.clusters)
+    res = None
+    drop_persisted()
     walls = []
     for _ in range(int(os.environ.get("SICK_BENCH_RUNS", "2"))):  # best-of-N amortizes JVM warmup
+        gc.collect()
         t0 = time.perf_counter()
         res = run_pipeline(spark, corpus, DedupConfig(), with_simhash=True)
         _materialize(res.clusters)
         walls.append(time.perf_counter() - t0)
         res = None
-        gc.collect()  # drop refs to the run's localCheckpoint blocks
+        drop_persisted()
     best = round(min(walls), 3)
     print(json.dumps({
         "wall_sec": best,
@@ -194,8 +213,8 @@ def run_scaling(sf_dir: str) -> dict:
             f"SICK_SCALE_LEVELS must have exactly 2 entries (got {SCALE_LEVELS!r})"
         )
     lo, hi = SCALE_LEVELS
-    out: dict[str, dict] = {}
-    for n_exec in (lo, hi):
+
+    def run_child(n_exec: int) -> dict:
         cpus = n_exec * SCALE_CORES_PER_EXECUTOR + 2
         cmd = [
             "taskset", "-c", f"0-{cpus - 1}",
@@ -208,7 +227,24 @@ def run_scaling(sf_dir: str) -> dict:
             # surface the child's output instead of an opaque failure
             sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
             raise SystemExit(f"scale-one child (n_exec={n_exec}) failed, rc={proc.returncode}")
-        out[f"{n_exec}x{SCALE_CORES_PER_EXECUTOR}"] = json.loads(json_lines[-1])
+        return json.loads(json_lines[-1])
+
+    # ALTERNATE the levels in time (lo, hi, lo, hi) and keep the best wall
+    # per level: this box is a shared VM whose effective speed drifts over
+    # minutes (the same 1x4 run measured 145 s and 270 s an hour apart), so
+    # sequential per-level measurement would compare different machines
+    out: dict[str, dict] = {}
+    rounds = int(os.environ.get("SICK_SCALE_ROUNDS", "2"))
+    for _ in range(rounds):
+        for n_exec in (lo, hi):
+            res = run_child(n_exec)
+            key = f"{n_exec}x{SCALE_CORES_PER_EXECUTOR}"
+            if key in out:
+                prev = out[key]
+                res["all_walls"] = prev["all_walls"] + res["all_walls"]
+                if res["wall_sec"] > prev["wall_sec"]:
+                    res["wall_sec"], res["files_per_sec"] = prev["wall_sec"], prev["files_per_sec"]
+            out[key] = res
     t_lo = out[f"{lo}x{SCALE_CORES_PER_EXECUTOR}"]["wall_sec"]
     t_hi = out[f"{hi}x{SCALE_CORES_PER_EXECUTOR}"]["wall_sec"]
     out["levels"] = [lo, hi]

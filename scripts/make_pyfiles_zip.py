@@ -1,0 +1,24 @@
+"""Build the --py-files archive for spark-submit.
+
+    python scripts/make_pyfiles_zip.py [out_dir]   # default: dist/
+
+Produces <out_dir>/sick_spark.zip containing the package, importable on
+executor Python workers via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+
+def build(out_dir: str = "dist") -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.join(out_dir, "sick_spark")
+    return shutil.make_archive(base, "zip", repo, "sick_spark")
+
+
+if __name__ == "__main__":
+    print(build(sys.argv[1] if len(sys.argv) > 1 else "dist"))

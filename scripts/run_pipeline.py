@@ -1,0 +1,120 @@
+"""spark-submit entrypoint for the dedup pipeline (north-rule launch mode).
+
+Real cluster:
+
+    python scripts/make_pyfiles_zip.py dist/
+    spark-submit --master <cluster-master> --deploy-mode cluster \
+        --py-files dist/sick_spark.zip \
+        --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+        scripts/run_pipeline.py \
+        --input iceberg:lake.db.source_files \
+        --output iceberg:lake.db.dup_clusters \
+        --warehouse hdfs:///checkpoints/dedup_run1 \
+        --jaccard 0.5 --shingle-k 3
+
+Sandbox smoke (also exercised by tests/test_submit.py):
+
+    spark-submit --master local[4] --py-files /tmp/sick_spark.zip \
+        scripts/run_pipeline.py --input /root/testdata/sf0.001 \
+        --adapt-documents --output /tmp/clusters_out --metrics /tmp/m.json
+
+Input must be (repo, path, commit, lang, content) — BASELINE.json
+input_hint — unless ``--adapt-documents`` maps the driver's
+documents.parquet into that shape. ``iceberg:`` inputs/outputs address
+catalog tables (requires the Iceberg runtime jar + a configured catalog on
+the cluster); bare paths are parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="sick_spark dedup pipeline")
+    p.add_argument("--input", required=True,
+                   help="parquet path, or iceberg:<catalog.db.table>")
+    p.add_argument("--output", required=True,
+                   help="cluster table destination: parquet path or iceberg:<table>")
+    p.add_argument("--warehouse", default=None,
+                   help="stage-checkpoint root (resumable runs); parquet path, or "
+                        "iceberg:<namespace>@<marker_dir> for catalog tables; "
+                        "omit = no checkpointing")
+    p.add_argument("--adapt-documents", action="store_true",
+                   help="input is the driver documents.parquet layout; adapt to corpus shape")
+    p.add_argument("--shingle-k", type=int, default=3)
+    p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument("--n-perms", type=int, default=128)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--simhash", action="store_true", help="also compute SimHash fingerprints")
+    p.add_argument("--metrics", default=None, help="write per-stage lineage/metrics JSON here")
+    return p.parse_args(argv)
+
+
+def read_input(spark: SparkSession, spec: str, adapt_documents: bool):
+    from sick_spark.corpus import corpus_from_documents
+
+    if adapt_documents:
+        return corpus_from_documents(spark, spec.rstrip("/").removesuffix("/documents.parquet"))
+    if spec.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(spec[len("iceberg:"):])
+    return spark.read.parquet(spec)
+
+
+def write_output(df, spec: str) -> None:
+    if spec.startswith("iceberg:"):
+        df.writeTo(spec[len("iceberg:"):]).createOrReplace()
+    else:
+        df.write.mode("overwrite").parquet(spec)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    # under spark-submit the session already exists (getOrCreate attaches);
+    # standalone invocation builds one with the scale defaults
+    from sick_spark import get_spark
+    from sick_spark.config import DedupConfig
+    from sick_spark.metrics import MetricsCollector
+    from sick_spark.plans.pipeline import run_pipeline
+    from sick_spark.sources.io import Warehouse
+
+    spark = get_spark(app_name="sick-spark-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+
+    corpus = read_input(spark, args.input, args.adapt_documents)
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        jaccard_threshold=args.jaccard,
+        n_perms=args.n_perms,
+        seed=args.seed,
+    )
+    if args.warehouse and args.warehouse.startswith("iceberg:"):
+        from sick_spark.sources.io import CatalogWarehouse
+
+        ns, _, markers = args.warehouse[len("iceberg:"):].partition("@")
+        wh = CatalogWarehouse(markers or "./dedup_markers", ns)
+    elif args.warehouse:
+        wh = Warehouse(args.warehouse)
+    else:
+        wh = None
+    metrics = MetricsCollector(run_id=os.path.basename(args.output.rstrip("/")))
+    res = run_pipeline(spark, corpus, cfg, warehouse=wh, metrics=metrics, with_simhash=args.simhash)
+    write_output(res.clusters, args.output)
+
+    stats = res.stats.collect()[0].asDict()
+    if args.metrics:
+        metrics.dump(args.metrics)
+    print(json.dumps({"ok": True, "wall_sec": res.wall_sec, "stats": stats}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

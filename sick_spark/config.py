@@ -60,6 +60,10 @@ class DedupConfig:
     minhash_impl: str = "pandas"      # "pandas" (Arrow/numpy, ~10x faster) | "sql" (JVM)
     json_aware: bool = True           # structural shingles when lang == 'json'
     partialdup_max_chars: int = 8192  # cap per-doc chars for suffix stage
+    #: E3 builder dispatch: shred-store kinds built APPEND-ONLY (one row per
+    #: instance, no interning) — the reference's per-table deduplicating vs
+    #: non-deduplicating builder choice (``RTModel.scala``)
+    shred_no_dedup_kinds: tuple[str, ...] = ()
 
     bands: int = field(init=False, default=0)
     rows: int = field(init=False, default=0)

@@ -264,22 +264,38 @@ def shred(
     return nodes, edges, roots
 
 
-def interned_store(nodes: DataFrame, include_inline: bool = False) -> DataFrame:
+def interned_store(
+    nodes: DataFrame,
+    include_inline: bool = False,
+    no_dedup_kinds: tuple[str, ...] = (),
+) -> DataFrame:
     """The global deduplicated value store: one row per distinct node across
     all documents (E1/E7), with reference counts (E10).
 
     Inline kinds (null/bool/byte/short) are excluded by default — the
     reference carries them in the ref itself with no table row (E6,
     ``CirceTraverser.scala:75-99``), so the store's per-kind cardinalities
-    match its table counters."""
+    match its table counters.
+
+    ``no_dedup_kinds`` is the per-table builder dispatch (E3): the reference
+    constructs each table with either a deduplicating or an append-only
+    builder (``DeduplicatingRefTableBuilder`` vs ``NonDeduplicatingRefTable
+    Builder``, ``RTModel.scala``); kinds listed here keep one row PER
+    INSTANCE (ref_count=1 each) instead of interning."""
     if not include_inline:
         nodes = nodes.where(~F.col("kind").isin(*INLINE_KINDS))
+    if no_dedup_kinds:
+        append_only = nodes.where(F.col("kind").isin(*no_dedup_kinds)).select(
+            "node_id", "kind", "scalar", "n_children"
+        ).withColumn("ref_count", F.lit(1).cast("long"))
+        nodes = nodes.where(~F.col("kind").isin(*no_dedup_kinds))
     counts = nodes.groupBy("node_id").agg(F.count(F.lit(1)).alias("ref_count"))
-    return (
+    deduped = (
         nodes.select("node_id", "kind", "scalar", "n_children")
         .dropDuplicates(["node_id"])
         .join(counts, "node_id")
     )
+    return deduped.unionByName(append_only) if no_dedup_kinds else deduped
 
 
 def shred_summary(nodes: DataFrame) -> DataFrame:
@@ -296,6 +312,54 @@ def shred_summary(nodes: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+def node_paths(edges: DataFrame, roots: DataFrame, max_depth: int = 64) -> DataFrame:
+    """(doc_sha, node_id, path) — per-access path provenance (R17).
+
+    Every node instance is annotated with the JSONPath by which it is
+    reached from its document root — the distributed analogue of the
+    reference's cursor provenance (``SickCursor.cs`` tracks the path used
+    for each access; our path grammar mirrors ``R9``). A node interned once
+    but referenced from two places yields two rows (one per access path).
+
+    Plan: iterative level join — frontier × edges per tree level, one
+    shuffle join per level, localCheckpoint to cut lineage (same pattern as
+    the connected-components rounds). Depth-bounded: JSON depth is small
+    and independent of corpus size, so the round count does not grow with
+    data — at 100 TB each round is a single equi-join on (doc_sha,
+    parent_id), shuffle-partitioned by key."""
+    frontier = roots.select(
+        "doc_sha", F.col("root_id").alias("node_id"), F.lit("$").alias("path")
+    )
+    out = frontier
+    e = edges.select(
+        "doc_sha",
+        F.col("parent_id").alias("node_id"),
+        "pos",
+        "key",
+        "child_id",
+    )
+    for _ in range(max_depth):
+        step = (
+            frontier.join(e, ["doc_sha", "node_id"])
+            .select(
+                "doc_sha",
+                F.col("child_id").alias("node_id"),
+                F.concat(
+                    F.col("path"),
+                    F.when(
+                        F.col("key").isNotNull(), F.concat(F.lit("."), F.col("key"))
+                    ).otherwise(F.concat(F.lit("["), F.col("pos").cast("string"), F.lit("]"))),
+                ).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if step.isEmpty():
+            break
+        out = out.unionByName(step)
+        frontier = step
+    return out
 
 
 def reconstruct_docs(nodes: DataFrame, edges: DataFrame, roots: DataFrame) -> DataFrame:

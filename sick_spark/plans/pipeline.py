@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sick_spark.config import DedupConfig
@@ -68,10 +69,12 @@ def run_pipeline(
                 return warehouse.read(spark, stage)
             out = warehouse.write(df, stage)
         else:
-            # no warehouse = no resumability contract: cut lineage lazily, so
-            # the materialization folds into the stage's first consumer job
-            # instead of adding a scheduling barrier per stage
-            out = df.localCheckpoint(eager=False)
+            # no warehouse = no resumability contract: compute-once via the
+            # COLUMNAR cache (compressed batches, ~1x data size, spillable)
+            # rather than localCheckpoint RDD blocks (deserialized objects,
+            # 3-5x data size — measured to thrash an 8g executor at 1.6M
+            # docs). Lazy: materializes inside the first consumer job.
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
         if metrics is not None:
             metrics.record(stage, out, wall_sec=time.time() - t0)
         return out

@@ -76,6 +76,52 @@ class Warehouse:
             return json.load(f)
 
 
+class CatalogWarehouse(Warehouse):
+    """Stage checkpoints as catalog tables — the Iceberg deployment shape
+    from the north rule ("reads/writes Iceberg tables").
+
+    Stage ``s`` lives at ``<namespace>.s`` via DataFrameWriterV2
+    (``createOrReplace`` is an atomic snapshot swap in Iceberg — a killed
+    write never corrupts the previous checkpoint, which is what makes the
+    resume contract safe without our filesystem marker being transactional).
+    Completion manifests stay in a local/DFS ``root`` dir, format-agnostic.
+
+    Requires the Iceberg runtime jar + a configured catalog on the cluster;
+    not exercisable in the sandbox (no jar), covered by arg-plumbing tests.
+    """
+
+    def __init__(self, root: str, namespace: str, fmt: str = "iceberg") -> None:
+        super().__init__(root, fmt)
+        self.namespace = namespace
+
+    def _table(self, stage: str) -> str:
+        return f"{self.namespace}.{stage}"
+
+    def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None,
+              num_files: int | None = None) -> DataFrame:
+        spark = df.sparkSession
+        t0 = time.time()
+        if num_files:
+            df = df.repartition(num_files)
+        w = df.writeTo(self._table(stage)).using(self.fmt)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+        out = spark.read.table(self._table(stage))
+        with open(self._marker(stage), "w") as f:
+            json.dump(
+                {"stage": stage, "table": self._table(stage), "rows": out.count(),
+                 "wall_sec": round(time.time() - t0, 3), "completed_unix": int(time.time())},
+                f,
+            )
+        return out
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.table(self._table(stage))
+
+
 def resume_filter(new_input: DataFrame, done: DataFrame | None, key: str = "sha") -> DataFrame:
     """Rows of new_input whose key has not been processed yet (left-anti)."""
     if done is None:

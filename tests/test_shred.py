@@ -93,3 +93,48 @@ def test_malformed_json_skipped(spark):
     docs = _df(spark, ["{broken", '{"ok": 1}'])
     nodes, edges, roots = shred(docs)
     assert roots.count() == 1
+
+
+def test_no_dedup_kinds_append_only(spark):
+    # E3 builder dispatch: 'str' built append-only -> one row per instance
+    docs = _df(
+        spark,
+        ['{"a": "dup", "b": "dup"}', '{"c": "dup"}'],
+    )
+    nodes, _, _ = shred(docs)
+    store = interned_store(nodes, no_dedup_kinds=("str",))
+    strs = store.where(F.col("kind") == "str").collect()
+    assert len(strs) == 3  # one per instance, not interned
+    assert all(r["ref_count"] == 1 for r in strs)
+    # other kinds still deduplicate
+    objs = interned_store(nodes, no_dedup_kinds=("str",)).where(F.col("kind") == "obj")
+    assert objs.count() == 2
+
+
+def test_node_paths_provenance(spark):
+    from sick_spark.operators.shred import node_paths
+
+    doc = '{"a": {"x": [10, 20]}, "b": 5000}'
+    docs = _df(spark, [doc])
+    nodes, edges, roots = shred(docs)
+    paths = {(r["path"]): r["node_id"] for r in node_paths(edges, roots).collect()}
+    assert set(paths) == {"$", "$.a", "$.a.x", "$.a.x[0]", "$.a.x[1]", "$.b"}
+    kind_of = {r["node_id"]: r["kind"] for r in nodes.collect()}
+    assert kind_of[paths["$"]] == "obj"
+    assert kind_of[paths["$.a.x"]] == "arr"
+    assert kind_of[paths["$.a.x[0]"]] == "byte"   # 10 narrows to byte
+    assert kind_of[paths["$.b"]] == "short"       # 5000 narrows to short
+
+
+def test_node_paths_shared_subtree_two_paths(spark):
+    from sick_spark.operators.shred import node_paths
+
+    # a node interned once but reachable via two paths yields two rows (R17)
+    doc = '{"p": [1, 2], "q": [1, 2]}'
+    docs = _df(spark, [doc])
+    nodes, edges, roots = shred(docs)
+    out = node_paths(edges, roots).collect()
+    arr_ids = {r["node_id"] for r in nodes.where(F.col("kind") == "arr").collect()}
+    assert len(arr_ids) == 1  # [1,2] interned once
+    arr_paths = sorted(r["path"] for r in out if r["node_id"] in arr_ids)
+    assert arr_paths == ["$.p", "$.q"]

@@ -1,0 +1,57 @@
+"""North-rule launch mode: the pipeline runs under real ``spark-submit
+--py-files sick_spark.zip`` in a fresh JVM/driver, with stage checkpoints
+and metrics, and the output cluster table is readable parquet."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_pyfiles_e2e(tmp_path):
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles_zip.py"), str(tmp_path / "dist")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    out_dir = str(tmp_path / "clusters")
+    metrics = str(tmp_path / "metrics.json")
+    env = dict(os.environ, SICK_SPARK_MASTER="local[4]")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]", "--py-files", zip_path,
+            os.path.join(REPO, "scripts", "run_pipeline.py"),
+            "--input", SF, "--adapt-documents",
+            "--output", out_dir,
+            "--warehouse", str(tmp_path / "wh"),
+            "--metrics", metrics,
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["ok"] and res["stats"]["total_files"] > 0
+
+    # output is a readable cluster table with the contract columns
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out_dir)
+    assert {"repo", "path", "commit", "lang", "sha", "component", "is_exact_dup"} <= set(t.column_names)
+    assert t.num_rows == res["stats"]["total_files"]
+
+    # stage checkpoints + manifests exist (resumable-run contract)
+    for stage in ("roots", "store", "signatures", "pairs", "verified", "components", "clusters"):
+        assert os.path.exists(tmp_path / "wh" / f"_manifest_{stage}.json"), stage
+
+    # per-stage, per-partition lineage was recorded
+    with open(metrics) as f:
+        m = json.load(f)
+    assert {s["stage"] for s in m["stages"]} >= {"roots", "store", "signatures"}
+    assert all("skew_ratio" in s for s in m["stages"])
