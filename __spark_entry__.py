@@ -39,6 +39,8 @@ from sick_spark.operators.ann import (
     rhp_bucket_candidates,
 )
 from sick_spark.operators.components import attach_components, connected_components
+from sick_spark.operators.ivf import ivf_topk
+from sick_spark.operators.winnow import winnow_candidates, with_winnow_fingerprints
 from sick_spark.operators.lsh import band_keys, candidate_pairs, with_band_hashes
 from sick_spark.operators.minhash import minhash_pandas, minhash_sql
 from sick_spark.operators.multimodal import decode_image_features, media_table_from_documents
@@ -57,6 +59,9 @@ TABLES = [
 _K = 3            # shingle size for all doc dedup queries
 _J = 0.5          # Jaccard threshold
 _COS = 0.45       # embedding near-dup threshold
+_W = 4            # winnowing window (fingerprints ~ 2/(w+1) of k-grams)
+_WIN_MAXDF = 50   # winnow hot-fingerprint cap (boilerplate exclusion)
+_WIN_MINSH = 2    # min shared fingerprints for a partial-dup candidate pair
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
@@ -526,6 +531,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["shred_point_lookup"] = shred_point_lookup
 
+    # --- winnowing fingerprints (Schleimer et al. '03): the deterministic
+    #     document-fingerprint selection behind MOSS; portable sha60 k-gram
+    #     hashes make the exact fingerprint sets reproducible in DuckDB
+    def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs_distinct(spark, sf_dir)
+        fdf = with_winnow_fingerprints(docs, "text", k=_K, w=_W, portable=True)
+        return (
+            fdf.select("doc_id", F.explode("fingerprints").alias("fp"))
+            .orderBy("doc_id", "fp")
+        )
+    q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
+
+    # --- partial-dup candidate pairs from shared winnowed fingerprints:
+    #     any shared token run >= k + w - 1 tokens guarantees a shared
+    #     fingerprint; hot (boilerplate) fingerprints excluded on BOTH
+    #     engines with identical max_df semantics, so full value oracle
+    def partialdup_candidates_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs_distinct(spark, sf_dir)
+        return (
+            winnow_candidates(
+                docs, content="text", id_col="doc_id", k=_K, w=_W,
+                min_shared=_WIN_MINSH, max_df=_WIN_MAXDF, portable=True,
+            )
+            .orderBy("id_a", "id_b")
+        )
+    q["partialdup_candidates_winnow"] = partialdup_candidates_winnow
+
+    # --- IVF ANN: coarse-quantizer cells (deterministic hash-seeded
+    #     centroids) + nprobe-cell scan; the third ANN strategy next to
+    #     bruteforce (exact) and RHP-LSH. Full value oracle: DuckDB
+    #     reproduces centroid seeding, cell assignment, and probing.
+    def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ivf_topk(
+            e, e.where(F.col("vec_id") < 20), k=3, n_cells=8, nprobe=4
+        )
+        return out.select(
+            "query_id", "neighbor_id", F.col("rank").alias("rnk")
+        ).orderBy("query_id", "rnk")
+    q["ann_topk_ivf"] = ann_topk_ivf
+
     # ------------- rows-only operators (non-SQL-expressible; weaker check) --
 
     # --- SimHash near-dup pairs — GREEN path: fingerprints built from
@@ -847,5 +893,67 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2 ORDER BY hour_unix, event_type
+    """
+    # winnowing: k-gram positional shingles -> portable sha60 hashes ->
+    # min of every w-window -> distinct. Mirrors with_winnow_fingerprints
+    # (portable=True) value-for-value.
+    winnow_fp_cte = f"""
+        docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        wt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+        sh AS (SELECT doc_id,
+                      [array_to_string(list_slice(ws, i, i + {_K - 1}), ' ')
+                       FOR i IN generate_series(1, greatest(len(ws) - {_K - 1}, 1))] AS ss
+               FROM wt),
+        hs AS (SELECT doc_id,
+                      list_transform(ss, s -> CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT)) AS h
+               FROM sh),
+        fps AS (SELECT doc_id,
+                       list_distinct([list_min(list_slice(h, i, i + {_W - 1}))
+                                      FOR i IN generate_series(1, greatest(len(h) - {_W - 1}, 1))]) AS f
+                FROM hs),
+        fpx AS (SELECT doc_id, unnest(f) AS fp FROM fps)
+    """
+    o["doc_winnow_fingerprints"] = f"""
+        WITH {winnow_fp_cte}
+        SELECT doc_id, fp FROM fpx ORDER BY doc_id, fp
+    """
+    o["partialdup_candidates_winnow"] = f"""
+        WITH {winnow_fp_cte},
+        cold AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(*) <= {_WIN_MAXDF}),
+        fc AS (SELECT doc_id, fp FROM fpx JOIN cold USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MINSH}
+        ORDER BY id_a, id_b
+    """
+    # IVF ANN: centroid seeding (smallest portable id-hash), nearest-cell
+    # assignment, nprobe probing and in-cell top-k all reproduced in SQL.
+    o["ann_topk_ivf"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        hashed AS (SELECT vec_id, v,
+                          CAST(CONCAT('0x', SUBSTR(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM e),
+        cent AS (SELECT v AS cv,
+                        ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+                 FROM hashed QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+        assign AS (SELECT vec_id, v, cell FROM (
+                     SELECT e.vec_id, e.v, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS r
+                     FROM e CROSS JOIN cent c) t WHERE r = 1),
+        probes AS (SELECT vec_id AS qid, cell FROM (
+                     SELECT e.vec_id, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS r
+                     FROM e CROSS JOIN cent c WHERE e.vec_id < 20) t WHERE r <= 4),
+        cand AS (SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(q.v, a.v) AS cos
+                 FROM probes p
+                 JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+                 JOIN e q ON q.vec_id = p.qid)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+            FROM cand
+        ) t WHERE rnk <= 3 ORDER BY query_id, rnk
     """
     return o

@@ -1,0 +1,161 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The third ANN strategy next to :func:`sick_spark.operators.ann
+.cosine_topk_bruteforce` (exact) and the RHP-LSH bucket path: a coarse
+quantizer partitions the corpus into ``n_cells`` Voronoi cells; a query
+scans only its ``nprobe`` nearest cells. Same bounded-scan idea as the
+reference's KHash jump table (hash a key into one of 128 buckets, scan only
+the bucket — ``EBACodecs.scala:517-604``) with "hash" generalized to
+"nearest centroid".
+
+Scale shape (the reason IVF beats brute force at 10^9+ vectors):
+
+* the index is ONE extra int column (``cell``) on the corpus — at rest the
+  corpus is stored partitioned/bucketed by ``cell``, so a query's candidate
+  scan is a partition-pruned read, not a shuffle;
+* query fan-out is nprobe/n_cells of the corpus per query — candidate
+  generation is an equi-join on ``cell`` (broadcast the queries), never a
+  cross join;
+* centroids are tiny (n_cells × dim floats) and ride to executors in the
+  UDF closure — no shuffle to assign cells.
+
+Determinism (retry-stable, oracle-reproducible): centroids are the
+``n_cells`` corpus vectors with the smallest *portable* 60-bit sha-prefix
+hash of their id — no rand(), no iteration-order dependence, reproducible
+in DuckDB SQL so `ann_topk_ivf` has a full value-level oracle. A Lloyd
+refinement (``refine_iters``) is available for better cell balance in
+production; it keeps determinism (mean of assigned vectors, fixed iteration
+count) but is off in the oracled query because float mean accumulation
+order is not portable across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from sick_spark.functions.vectors import cosine
+
+
+def portable_id_hash(id_col: str) -> Column:
+    """60-bit sha-prefix hash of the id's string form — identical in DuckDB
+    as ``CAST(CONCAT('0x', SUBSTR(sha256(CAST(id AS VARCHAR)), 1, 15)) AS
+    BIGINT)``."""
+    return F.conv(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15), 16, 10
+    ).cast("long")
+
+
+def seed_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec: str = "embedding"
+) -> np.ndarray:
+    """(n_cells, dim) float64 matrix: the corpus vectors with the smallest
+    portable id hash, cell index = rank. A deterministic sample of the data
+    distribution (ids are hash-shuffled, so this is uniform); collect is
+    n_cells × dim — driver-safe by construction (n_cells ≪ corpus)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
+        .withColumn("__h", portable_id_hash("__id"))
+        .orderBy("__h", "__id")
+        .limit(n_cells)
+        .collect()
+    )
+    return np.array([r["__v"] for r in rows], dtype=np.float64)
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def make_cell_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: vector → its ``nprobe`` nearest cells by cosine, ties
+    broken toward the smaller cell index (stable argsort — matches the
+    oracle's ORDER BY cos DESC, cell ASC)."""
+    cn = _normalized(centroids)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells(emb: pd.Series) -> pd.Series:
+        def one(v) -> list[int]:
+            x = np.asarray(v, dtype=np.float64)
+            cos = cn @ (x / max(np.linalg.norm(x), 1e-12))
+            order = np.argsort(-cos, kind="stable")
+            return [int(c) for c in order[:nprobe]]
+
+        return emb.map(one)
+
+    return cells
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec: str = "embedding", out: str = "cell"
+) -> DataFrame:
+    """Corpus side: one cell per vector (nearest centroid)."""
+    udf = make_cell_udf(centroids, nprobe=1)
+    return df.withColumn(out, udf(F.col(vec))[0])
+
+
+def lloyd_refine(
+    df: DataFrame, centroids: np.ndarray, iters: int, vec: str = "embedding"
+) -> np.ndarray:
+    """Optional Lloyd iterations: assign → per-cell mean → new centroids.
+    Each iteration is one groupBy over (cell, dim-position) — fully
+    distributed, deterministic (fixed iteration count, float sums are
+    per-cell aggregations whose order Spark fixes per partition layout only
+    up to reordering — hence NOT used when a cross-engine oracle must match;
+    see module doc). Empty cells keep their previous centroid."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in means:
+            nxt[r["cell"], r["pos"]] = r["m"]
+        cents = nxt
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    refine_iters: int = 0,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank<=k) scanning only ``nprobe`` cells
+    per query. Self-matches excluded (query id == neighbor id)."""
+    cents = seed_centroids(corpus, n_cells, id_col, vec)
+    if refine_iters:
+        cents = lloyd_refine(corpus, cents, refine_iters, vec)
+    indexed = ivf_assign(corpus, cents, vec).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("__cv"), "cell"
+    )
+    probe_udf = make_cell_udf(cents, nprobe)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec).alias("__qv"),
+        F.explode(probe_udf(F.col(vec))).alias("cell"),
+    )
+    if broadcast_queries:
+        probed = F.broadcast(probed)
+    scored = (
+        probed.join(indexed, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,149 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+and the partial-dup candidate pairs they induce.
+
+Role in the engine: the suffix-automaton LCS stage
+(:mod:`sick_spark.operators.partialdup`) verifies WHICH region two documents
+share, but it needs candidate pairs first. Within near-dup clusters those
+come from LSH; *across* clusters (two mostly-different files sharing one
+copied function) nothing upstream proposes the pair. Winnowing is the scale
+path for that: select a deterministic ~2/(w+1) fraction of each document's
+k-gram hashes (the minimum of every w-length window), then two documents
+sharing ANY sufficiently long substring (>= k + w - 1 tokens) are guaranteed
+to share at least one selected fingerprint — so an equi-join on fingerprints
+proposes exactly the pairs the LCS verifier should see. This mirrors the
+reference's KHash discipline (hash into a bounded bucket, scan only the
+bucket — ``EBACodecs.scala:517-604``) applied to substring identity instead
+of key identity.
+
+Everything here is pure Catalyst (``transform``/``slice``/``array_min``
+inside whole-stage codegen, zero Python), and with the portable sha-prefix
+hash the whole computation is reproducible in DuckDB SQL — the fingerprint
+sets and candidate pairs have full value-level oracles.
+
+Guarantee used by the tests: for window size w over k-token shingles, any
+shared token run of length >= k + w - 1 contains w consecutive shared
+k-grams, i.e. one full shared window, whose minimum hash is selected on
+both sides (same values → same minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sick_spark.functions.text import tokens_sql
+
+
+def _positional_shingle_sql(k: int) -> str:
+    """POSITIONAL k-gram shingle strings over the ``__wt`` token column (not
+    distinct — winnowing needs document order). Sub-k documents collapse to
+    one whole-document shingle, same convention as :func:`token_shingles`."""
+    return (
+        f"transform(sequence(0, greatest(size(__wt) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(__wt, i + 1, {k})))"
+    )
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    content: str,
+    k: int = 5,
+    w: int = 4,
+    out: str = "fingerprints",
+    portable: bool = True,
+) -> DataFrame:
+    """content → array<long> of distinct winnowed fingerprints.
+
+    ``portable=True`` hashes each k-gram with the engine-portable sha-prefix
+    60-bit hash (``sha60``, see :func:`sick_spark.functions.text
+    .sha60_shingle_hashes``) so DuckDB reproduces the exact values;
+    ``portable=False`` uses xxhash64 (faster, JVM-only — the production
+    default when no cross-engine oracle is needed).
+
+    The fingerprint SET equals {min(h[i..i+w-1]) : every window i}: tie
+    rules (rightmost vs leftmost min) only change *positions*, never the
+    selected values, so ``array_distinct`` over window minima is exactly the
+    winnowed set.
+    """
+    if portable:
+        hash_one = (
+            "s -> cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
+        )
+    else:
+        hash_one = "s -> xxhash64(s)"
+    return (
+        df.withColumn("__wt", F.expr(tokens_sql(content)))
+        .withColumn("__wh", F.expr(f"transform({_positional_shingle_sql(k)}, {hash_one})"))
+        .withColumn(
+            out,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(__wh) - {w} + 1, 1)), "
+                    f"i -> array_min(slice(__wh, i, {w})))"
+                )
+            ),
+        )
+        .drop("__wt", "__wh")
+    )
+
+
+def explode_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", fp_col: str = "fingerprints"
+) -> DataFrame:
+    """(id, fp) long form — the join key table."""
+    return df.select(F.col(id_col).alias("id"), F.explode(fp_col).alias("fp"))
+
+
+def hot_fingerprint_report(
+    fps: DataFrame, max_df: int
+) -> DataFrame:
+    """Fingerprints appearing in more than ``max_df`` documents (boilerplate:
+    license headers, generated preambles). These are EXCLUDED from pairing
+    by :func:`winnow_candidates` when ``max_df`` is set; reported here, never
+    silent (SURVEY.md §4.4). A pair is lost only if *every* shared window of
+    the pair is boilerplate-hot."""
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_df)
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    content: str = "content",
+    id_col: str = "sha",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Partial-dup candidate pairs: (id_a < id_b, n_shared fingerprints).
+
+    Plan (one wide shuffle, same hot-key discipline as the LSH path):
+    fingerprint explode → optional anti-join against the (tiny, broadcast)
+    hot-fingerprint set → groupBy fp collecting the small member list →
+    in-row i<j pair expansion (buckets are bounded by ``max_df``) → groupBy
+    pair counting shared fingerprints, keeping >= ``min_shared``.
+
+    ``min_shared=2`` suppresses single-window coincidences; raise it to
+    demand longer/multiple shared regions. At 10^12 files the cap +
+    ``min_shared`` bound both the join fan-out and the pair count.
+    """
+    from sick_spark.operators.lsh import _expand_bucket_pairs
+
+    fdf = with_winnow_fingerprints(df, content, k, w, portable=portable)
+    fps = explode_fingerprints(fdf, id_col)
+    if max_df is not None:
+        hot = hot_fingerprint_report(fps, max_df).select("fp")
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    grouped = fps.groupBy("fp").agg(F.collect_list("id").alias("ms"))
+    pairs = _expand_bucket_pairs(grouped)  # emits (cid_a, cid_b), works for any orderable id
+    return (
+        pairs.groupBy("cid_a", "cid_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            F.col("cid_a").alias("id_a"), F.col("cid_b").alias("id_b"), "n_shared"
+        )
+    )

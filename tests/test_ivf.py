@@ -1,0 +1,100 @@
+"""IVF ANN: deterministic seeding, full cell coverage, recall vs exact."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sick_spark.operators.ann import cosine_topk_bruteforce
+from sick_spark.operators.ivf import (
+    ivf_assign,
+    ivf_topk,
+    lloyd_refine,
+    seed_centroids,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_seed_centroids_deterministic(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    c1 = seed_centroids(e, 8)
+    c2 = seed_centroids(e, 8)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)
+
+
+def test_assign_covers_all_vectors(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    cents = seed_centroids(e, 8)
+    a = ivf_assign(e, cents)
+    n = e.count()
+    assert a.where(F.col("cell").isNull()).count() == 0
+    assert a.where((F.col("cell") < 0) | (F.col("cell") >= 8)).count() == 0
+    assert a.count() == n
+
+
+def test_ivf_results_subset_of_bruteforce_candidates(spark, sf_dir):
+    """Every IVF neighbor must carry the same cosine the exact scan gives it
+    (IVF restricts the candidate set; it never alters scores)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    ivf = ivf_topk(e, q, k=3, n_cells=8, nprobe=2)
+    exact = cosine_topk_bruteforce(q, e, k=e.count())
+    joined = ivf.alias("i").join(
+        exact.alias("x"),
+        (F.col("i.query_id") == F.col("x.query_id"))
+        & (F.col("i.neighbor_id") == F.col("x.neighbor_id")),
+    )
+    assert joined.count() == ivf.count()
+    bad = joined.where(F.abs(F.col("i.cos") - F.col("x.cos")) > 1e-9).count()
+    assert bad == 0
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """nprobe=4 of 8 cells (the oracled query's config): measured recall@3
+    on the fixture corpus is 0.65 — synthetic near-uniform 64-dim vectors
+    are IVF's worst case (no cluster structure), so the floor documents the
+    approximation honestly (deterministic seeding, so exact reruns). Lloyd
+    refinement (test below) is the production lever for better cells."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(e, q, k=3, n_cells=8, nprobe=4).collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(q, e, k=3).collect()
+    }
+    recall = len(ivf & exact) / max(len(exact), 1)
+    assert recall >= 0.55, f"recall@3 {recall:.2f} below floor"
+
+
+def test_lloyd_improves_recall_at_fixed_scan_fraction(spark, sf_dir):
+    """2 Lloyd iterations at 16 cells/nprobe=4 (25% scan): measured 0.45 ->
+    0.57 on the fixture — the refinement is worth its two extra passes."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(q, e, k=3).collect()
+    }
+
+    def rec(ri: int) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(e, q, k=3, n_cells=16, nprobe=4, refine_iters=ri).collect()
+        }
+        return len(got & exact) / max(len(exact), 1)
+
+    assert rec(2) > rec(0)
+
+
+def test_lloyd_refine_keeps_shape_and_determinism(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    cents = seed_centroids(e, 4)
+    r1 = lloyd_refine(e, cents, iters=1)
+    r2 = lloyd_refine(e, cents, iters=1)
+    assert r1.shape == cents.shape
+    assert np.array_equal(r1, r2)
+    assert not np.array_equal(r1, cents)  # it actually moved

@@ -1,0 +1,126 @@
+"""Winnowing fingerprints + partial-dup candidate generation.
+
+Key property under test (Schleimer et al. '03 guarantee): two documents
+sharing a token run of length >= k + w - 1 share at least one winnowed
+fingerprint, so the fingerprint equi-join proposes the pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sick_spark.operators.winnow import (
+    explode_fingerprints,
+    hot_fingerprint_report,
+    winnow_candidates,
+    with_winnow_fingerprints,
+)
+
+K, W = 3, 4
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SHARED_RUN = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 >= K+W-1 tokens
+
+
+def test_shared_run_guarantees_candidate(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, f"unique one thing {SHARED_RUN} tail first"),
+            (2, f"totally different head words {SHARED_RUN} other ending here"),
+            (3, "nothing in common with anyone at all whatsoever to see"),
+        ],
+    )
+    pairs = winnow_candidates(
+        docs, content="text", id_col="doc_id", k=K, w=W, min_shared=1, max_df=None
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_fingerprints_are_window_minima_and_deterministic(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h i j k l m n o p")])
+    f1 = with_winnow_fingerprints(docs, "text", K, W).collect()[0]["fingerprints"]
+    f2 = with_winnow_fingerprints(docs, "text", K, W).collect()[0]["fingerprints"]
+    assert f1 == f2
+    # 16 tokens -> 14 grams -> 11 windows; winnowing selects ~2/(w+1) of
+    # grams: strictly fewer fingerprints than grams, at least one
+    assert 1 <= len(set(f1)) < 14
+
+
+def test_short_doc_single_fingerprint(spark):
+    docs = _docs(spark, [(1, "tiny"), (2, "two words")])
+    out = with_winnow_fingerprints(docs, "text", K, W).collect()
+    for r in out:
+        assert len(r["fingerprints"]) == 1
+
+
+def test_hot_fingerprint_cap_excludes_boilerplate(spark):
+    header = "copyright acme corp all rights reserved license text"
+    rows = [(i, f"{header} body variant {i} stuff") for i in range(1, 11)]
+    docs = _docs(spark, rows)
+    fdf = with_winnow_fingerprints(docs, "text", K, W)
+    fps = explode_fingerprints(fdf, "doc_id")
+    hot = hot_fingerprint_report(fps, max_df=5)
+    assert hot.count() > 0  # the header fingerprints ARE hot (reported, not silent)
+    pairs = winnow_candidates(
+        docs, content="text", id_col="doc_id", k=K, w=W, min_shared=1, max_df=5
+    )
+    # every shared window is boilerplate-hot -> no candidate survives the cap
+    assert pairs.count() == 0
+    # without the cap the boilerplate clique comes back (45 pairs)
+    uncapped = winnow_candidates(
+        docs, content="text", id_col="doc_id", k=K, w=W, min_shared=1, max_df=None
+    )
+    assert uncapped.count() == 45
+
+
+def test_portable_matches_duckdb(spark):
+    import duckdb
+
+    docs = _docs(
+        spark,
+        [
+            (1, f"one two three {SHARED_RUN} x y z"),
+            (2, "some other words entirely different from before now then"),
+        ],
+    )
+    got = {
+        (r["id"], r["fp"])
+        for r in explode_fingerprints(
+            with_winnow_fingerprints(docs, "text", K, W, portable=True), "doc_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({r[0]}, '{r[1]}')" for r in docs.collect()
+        )
+        + ") t(doc_id, text)"
+    )
+    want = set(
+        con.execute(
+            f"""
+            WITH wt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM d),
+            sh AS (SELECT doc_id,
+                          [array_to_string(list_slice(ws, i, i + {K - 1}), ' ')
+                           FOR i IN generate_series(1, greatest(len(ws) - {K - 1}, 1))] AS ss
+                   FROM wt),
+            hs AS (SELECT doc_id,
+                          list_transform(ss, s -> CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT)) AS h
+                   FROM sh),
+            fps AS (SELECT doc_id,
+                           list_distinct([list_min(list_slice(h, i, i + {W - 1}))
+                                          FOR i IN generate_series(1, greatest(len(h) - {W - 1}, 1))]) AS f
+                    FROM hs)
+            SELECT doc_id, unnest(f) FROM fps
+            """
+        ).fetchall()
+    )
+    assert got == want
