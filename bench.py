@@ -74,7 +74,10 @@ def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 3), n_files
 
 
-SCALE_REPS = int(os.environ.get("SICK_BENCH_REPS", "40"))
+# 160 reps = 800k files: big enough that fixed per-job overhead (stage
+# scheduling, Python worker spin-up, driver actions) is <5% of the slow
+# level's wall — at 40 reps it was ~20% and strong scaling was unmeasurable
+SCALE_REPS = int(os.environ.get("SICK_BENCH_REPS", "160"))
 _SCALED_CORPUS = f"/tmp/sick_bench_corpus_reps{SCALE_REPS}"
 
 # the scaled corpus is a few hundred MB in ~256 small files; the cluster
@@ -84,6 +87,13 @@ _SCALED_CORPUS = f"/tmp/sick_bench_corpus_reps{SCALE_REPS}"
 _SMALL_INPUT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(1024 * 1024),
+    # cache-locality waits are a multi-executor-only penalty: a task whose
+    # persisted block lives on executor B idles a free slot on executor A
+    # for up to 3 s (default) before running remote. The single-executor
+    # level never waits (every block is local), so the default silently
+    # biases the ladder; 0 trades the wait for a (loopback) block fetch —
+    # the standard setting on real clusters with fast networks
+    "spark.locality.wait": "0s",
 }
 
 
@@ -114,8 +124,90 @@ def _scaled_corpus(spark: SparkSession, sf_dir: str) -> str:
     return _SCALED_CORPUS
 
 
-SCALE_CORES_PER_EXECUTOR = 4
+#: cores per executor JVM (a real cluster's executor shape). The scaling
+#: evidence pairs the raw N-vs-4N ladder with an INDEPENDENCE CONTROL — 4
+#: concurrent copies of the 1-executor job on disjoint cores: identical
+#: binaries, zero Spark coordination, so its aggregate throughput IS this
+#: box's hardware ceiling (shared DRAM/LLC) for 4x that work. Cluster
+#: throughput / control aggregate = coordination efficiency, the component
+#: the pipeline is responsible for; on a real cluster every executor node
+#: brings its own memory bus, so the raw single-box ladder under-reports.
+SCALE_CORES_PER_EXECUTOR = int(os.environ.get("SICK_SCALE_CPE", "4"))
 SCALE_EXECUTOR_MEM = "8g"
+
+
+def _descendant_pids_matching(substr: str) -> list[int]:
+    """PIDs of descendant processes whose cmdline contains ``substr``
+    (stdlib-only /proc walk)."""
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    cmdline: dict[int, str] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        pid = int(d)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                # ppid is the 2nd field after the parenthesized comm (which
+                # may itself contain spaces/parens — split after the LAST ')')
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmdline[pid] = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        children.setdefault(ppid, []).append(pid)
+    out, stack = [], [me]
+    while stack:
+        p = stack.pop()
+        for c in children.get(p, []):
+            if substr in cmdline.get(c, ""):
+                out.append(c)
+            stack.append(c)
+    return sorted(out)
+
+
+def _pin_cluster(n_executors: int, cpe: int, timeout_s: float = 60.0) -> None:
+    """Give the local-cluster a real cluster's CPU topology: driver (this
+    process + its JVM + the idle Worker supervisors) on cores {0,1}, and
+    executor JVM i EXCLUSIVELY on its own ``cpe`` cores — like a dedicated
+    node. Without this, all executor JVMs + their Python workers float over
+    one shared pool and steal the driver's slack: measured on 6 CPUs, the
+    same job ran 97 s as one 4-core executor but 202 s as four 1-core
+    executors (per-JVM GC/JIT/daemon work grinding against shared cores —
+    contention no real cluster has). Python UDF daemons fork from their
+    executor AFTER pinning, so they inherit the executor's cores."""
+    deadline = time.time() + timeout_s
+    execs: list[int] = []
+    while time.time() < deadline:
+        execs = _descendant_pids_matching("CoarseGrainedExecutorBackend")
+        if len(execs) >= n_executors:
+            break
+        time.sleep(0.5)
+    # slice the INHERITED taskset mask (absolute ids would escape the
+    # parent's CPU budget when it starts at a nonzero core)
+    base = sorted(os.sched_getaffinity(0))
+    if len(base) < 2 + n_executors * cpe:
+        return  # not enough cores to partition; keep the shared pool
+    driver_cores = set(base[:2])
+    os.sched_setaffinity(0, driver_cores)
+    for pid in _descendant_pids_matching("deploy.worker.Worker"):
+        try:
+            os.sched_setaffinity(pid, driver_cores)
+        except OSError:
+            pass
+    # the driver-side JVM (py4j gateway) is the direct java child
+    for pid in _descendant_pids_matching("pyspark-shell"):
+        if pid not in execs:
+            try:
+                os.sched_setaffinity(pid, driver_cores)
+            except OSError:
+                pass
+    for i, pid in enumerate(execs[:n_executors]):
+        cores = set(base[2 + i * cpe : 2 + (i + 1) * cpe])
+        try:
+            os.sched_setaffinity(pid, cores)
+        except OSError:
+            pass
 
 
 def run_scale_one(n_executors: int) -> None:
@@ -140,10 +232,11 @@ def run_scale_one(n_executors: int) -> None:
     spark = get_spark(
         app_name=f"bench-scale-{n_executors}x{SCALE_CORES_PER_EXECUTOR}",
         master=f"local-cluster[{n_executors},{SCALE_CORES_PER_EXECUTOR},{mem_mb}]",
-        shuffle_partitions=total_cores * 2,
+        shuffle_partitions=max(total_cores * 2, 8),
         extra_conf=dict(_SMALL_INPUT_CONF, **{"spark.executor.memory": SCALE_EXECUTOR_MEM}),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    _pin_cluster(n_executors, SCALE_CORES_PER_EXECUTOR)
     corpus = spark.read.parquet(_SCALED_CORPUS)
     n_files = corpus.count()
 
@@ -156,11 +249,13 @@ def run_scale_one(n_executors: int) -> None:
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
 
-    # untimed warmup on a slice: triggers JIT/codegen compilation and spawns
-    # the Python UDF workers, so the timed runs measure the pipeline, not
-    # JVM cold-start (a real cluster's executors are long-lived)
-    warm = corpus.sample(0.02, seed=1).localCheckpoint()
-    res = run_pipeline(spark, warm, DedupConfig(), with_simhash=True)
+    # untimed warmup on the FULL corpus: a small-sample warmup compiles the
+    # wrong code paths (AQE picks broadcast plans the full run never uses),
+    # so the first timed run still paid full JIT/codegen — measured 1.5-4x
+    # outliers (147 s vs 97 s at 1x4; 225 s vs 56 s at 4x4). One full
+    # untimed pass warms the exact plans; a real cluster's executors are
+    # long-lived, so timed runs on warm JVMs are the representative regime.
+    res = run_pipeline(spark, corpus, DedupConfig(), with_simhash=True)
     _materialize(res.clusters)
     res = None
     drop_persisted()
@@ -250,6 +345,46 @@ def run_scaling(sf_dir: str) -> dict:
     out["levels"] = [lo, hi]
     # efficiency of the (hi/lo)x executor scale-up: speedup / (hi/lo)
     out["scaling_efficiency"] = round((t_lo / t_hi) / (hi / lo), 3)
+
+    # independence control: hi/lo CONCURRENT copies of the lo-level job on
+    # disjoint core blocks — same binaries, zero Spark coordination. Its
+    # aggregate throughput is the box's hardware ceiling (shared DRAM/LLC)
+    # for hi/lo x that work; cluster-vs-control is the coordination
+    # efficiency the pipeline itself is accountable for.
+    if os.environ.get("SICK_SCALE_CONTROL", "1") == "1":
+        n_copies = hi // lo
+        cpus = lo * SCALE_CORES_PER_EXECUTOR + 2
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SICK_BENCH_REPS=str(SCALE_REPS))
+        procs = []
+        for i in range(n_copies):
+            start = i * cpus
+            cmd = [
+                "taskset", "-c", f"{start}-{start + cpus - 1}",
+                sys.executable, os.path.abspath(__file__), "--scale-one", str(lo),
+            ]
+            procs.append(
+                subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+            )
+        copies = []
+        for p in procs:
+            stdout, stderr = p.communicate()
+            json_lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+            if p.returncode != 0 or not json_lines:
+                sys.stderr.write(stdout[-2000:] + "\n" + stderr[-2000:] + "\n")
+                raise SystemExit(f"independence-control child failed, rc={p.returncode}")
+            copies.append(json.loads(json_lines[-1]))
+        agg_fps = round(sum(c["files_per_sec"] for c in copies), 1)
+        out["independent_control"] = {
+            "copies": n_copies,
+            "per_copy_wall_sec": [c["wall_sec"] for c in copies],
+            "aggregate_files_per_sec": agg_fps,
+            "hardware_scaling_vs_solo": round(
+                agg_fps / (n_copies * out[f"{lo}x{SCALE_CORES_PER_EXECUTOR}"]["files_per_sec"]), 3
+            ),
+        }
+        out["coordination_efficiency"] = round(
+            out[f"{hi}x{SCALE_CORES_PER_EXECUTOR}"]["files_per_sec"] / agg_fps, 3
+        )
     return out
 
 

@@ -117,14 +117,18 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
     """LSH buckets → distinct candidate (id_a < id_b).
 
     Plan shape (the one you'd want at 100 TB):
-    1. count-only bucket stats (map-side combinable agg) → broadcast the rare
-       hot keys; salt hot-bucket members deterministically (keyed on cid,
-       never rand()) so no single group exceeds ~max_bucket members;
-    2. ONE shuffle: groupBy (band, bh, salt) collecting the bucket's compact
-       8-byte ``cid = xxhash64(id)`` members (4x fewer shuffle bytes than
-       64-char shas), bounded by the salting cap — then expand the i<j pairs
-       inside each bucket with JVM array codegen. Replaces the classic
-       two-sided self-join (two shuffles + join) with one shuffle + narrow map.
+    1. count-only bucket stats (map-side combinable agg — shuffle bytes scale
+       with distinct buckets, not rows) → the multi-member bucket set with
+       per-bucket salt counts for the hot ones (salting keyed on cid, never
+       rand()) so no single group exceeds ~max_bucket members;
+    2. inner-join bands × multi-member buckets (AQE: broadcast when small,
+       the common case) — singleton buckets, the vast majority on a
+       mostly-unique corpus, never enter the wide shuffle; then ONE
+       collect_list groupBy on the salt-folded 8-byte key over the compact
+       ``cid = xxhash64(id)`` members (4x fewer shuffle bytes than 64-char
+       shas), bounded by the salting cap — pairs expand i<j inside each
+       bucket with JVM array codegen. Replaces the classic two-sided
+       self-join (two shuffles + join) with narrow maps + one small shuffle.
     3. map cids back to real ids with two joins against the (tiny after
        dedup) pair set; ids sharing a colliding cid are re-paired explicitly,
        so a cid collision can only ADD a candidate (verification decides
@@ -138,25 +142,45 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
     # group size stays ≤ ~max_bucket no matter how skewed the key — a fixed
     # salt factor would still let a 10M-member bucket OOM one task. The band
     # index is folded into bh upstream, so the heavy shuffles carry only
-    # (cid, bh[, salt]) — 8-byte keys, no band column.
-    hot = (
+    # (cid, bh) — 8-byte keys, no band column.
+    #
+    # The count pass (map-side-combinable agg: shuffle bytes ~ distinct bh,
+    # not rows) yields BOTH the hot-bucket salt counts AND the multi-member
+    # bucket set. Joining bands against the multi-member set BEFORE the
+    # collect_list groupBy drops every singleton bucket — on a mostly-unique
+    # corpus that is ~90%+ of the exploded rows, and singleton buckets can't
+    # produce a pair, so nothing is lost. AQE picks broadcast for the bucket
+    # side when it is small (the common case after exact-dup collapse) and
+    # falls back to a shuffle join under extreme dup rates.
+    buckets = (
         bands.groupBy("bh")
         .agg(F.count(F.lit(1)).alias("members"))
-        .where(F.col("members") > cfg.max_bucket)
-        .select("bh", F.ceil(F.col("members") / cfg.max_bucket).cast("int").alias("nsalt"))
+        .where(F.col("members") >= 2)
+        .select(
+            "bh",
+            F.when(
+                F.col("members") > cfg.max_bucket,
+                F.ceil(F.col("members") / cfg.max_bucket).cast("int"),
+            ).alias("nsalt"),
+        )
     )
     cid = F.xxhash64(F.col("id"), F.lit(cfg.seed))
-    keyed = bands.join(F.broadcast(hot), ["bh"], "left").select(
+    # salt folded INTO the 8-byte group key (one column, fewer shuffle
+    # bytes); a fold collision can only MERGE two buckets, which ADDS
+    # candidates (verify filters truth), never loses one
+    keyed = bands.join(buckets, "bh").select(
         cid.alias("cid"),
-        "bh",
         F.when(
             F.col("nsalt").isNotNull(),
-            F.pmod(F.xxhash64(cid, F.lit(cfg.seed + 1)), F.col("nsalt")),
+            F.xxhash64(
+                F.col("bh"),
+                F.pmod(F.xxhash64(cid, F.lit(cfg.seed + 1)), F.col("nsalt")),
+            ),
         )
-        .otherwise(F.lit(0))
-        .alias("salt"),
+        .otherwise(F.col("bh"))
+        .alias("bh"),
     )
-    grouped = keyed.groupBy("bh", "salt").agg(F.collect_list("cid").alias("ms"))
+    grouped = keyed.groupBy("bh").agg(F.collect_list("cid").alias("ms"))
     cpairs = _expand_bucket_pairs(grouped).dropDuplicates(["cid_a", "cid_b"])
 
     if ids is None:

@@ -298,6 +298,14 @@ def interned_store(
     return deduped.unionByName(append_only) if no_dedup_kinds else deduped
 
 
+def interned_store_for(nodes: DataFrame, cfg) -> DataFrame:
+    """Config-driven builder dispatch (E3): resolve the per-kind
+    dedup-vs-append choice from ``DedupConfig.shred_no_dedup_kinds`` —
+    the analogue of the reference wiring ``dedup``/``dedupPrimitives``
+    flags into per-table builders (``EBABuilder.scala:89-117``)."""
+    return interned_store(nodes, no_dedup_kinds=cfg.shred_no_dedup_kinds)
+
+
 def shred_summary(nodes: DataFrame) -> DataFrame:
     """Per-kind cardinalities — the reference's EBAStructure.summary (R16).
     ``instances`` counts every occurrence; ``interned`` counts value-table

@@ -109,6 +109,13 @@ def test_no_dedup_kinds_append_only(spark):
     # other kinds still deduplicate
     objs = interned_store(nodes, no_dedup_kinds=("str",)).where(F.col("kind") == "obj")
     assert objs.count() == 2
+    # config-driven dispatch resolves the same plan from DedupConfig
+    from sick_spark.config import DedupConfig
+    from sick_spark.operators.shred import interned_store_for
+
+    cfg = DedupConfig(shred_no_dedup_kinds=("str",))
+    via_cfg = interned_store_for(nodes, cfg)
+    assert via_cfg.where(F.col("kind") == "str").count() == 3
 
 
 def test_node_paths_provenance(spark):
