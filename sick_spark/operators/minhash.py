@@ -90,30 +90,68 @@ def make_signature_pandas_udf(cfg: DedupConfig):
 
     @F.pandas_udf(schema)
     def sig_batch(hashes: pd.Series) -> pd.DataFrame:
-        from sick_spark.operators.simhash import simhash_one
-
+        # Whole-batch vectorization: one flat shingle array + per-doc
+        # segment offsets, then numpy segment reductions (`minimum.reduceat`
+        # per permutation, `add.reduceat` for the simhash bit votes). The
+        # Python-level loop is over the 100-ish permutations, never the
+        # 10k-doc batch — same exact uint64 arithmetic as the per-doc
+        # version (wraparound multiply-shift), so signature VALUES are
+        # unchanged (the arrow-minhash oracle depends on them).
+        arrs = [
+            np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            for hs in hashes
+            if hs is not None and len(hs) > 0
+        ]
+        nonempty = np.fromiter(
+            (i for i, hs in enumerate(hashes) if hs is not None and len(hs) > 0),
+            dtype=np.int64,
+            count=len(arrs),
+        )
+        n_docs = len(hashes)
         a, b = _perm_params(n_perms, seed)
-
-        mh_out: list[list[int]] = []
-        bh_out: list[list[int]] = []
-        sh_out: list[int] = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                m = np.zeros(n_perms, dtype=np.uint64)
-            else:
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                m = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
-            g = m.reshape(bands, rows)
-            # band index folded into the hash: bucket key downstream is the
-            # single 8-byte bh (no separate band column on the big shuffle);
-            # cross-band hash collisions only ADD candidates (verify filters)
-            bh = (np.full(bands, _FNV_OFFSET, dtype=np.uint64) ^ np.arange(bands, dtype=np.uint64)) * _FNV_PRIME
-            for k in range(rows):
-                bh = (bh ^ g[:, k]) * _FNV_PRIME
-            mh_out.append(m.astype(np.int64).tolist())
-            bh_out.append(bh.astype(np.int64).tolist())
-            sh_out.append(simhash_one(hs))
-        return pd.DataFrame({"minhash": mh_out, "band_hashes": bh_out, "simhash": sh_out})
+        mh = np.zeros((n_docs, n_perms), dtype=np.uint64)
+        sh = np.zeros(n_docs, dtype=np.int64)
+        if arrs:
+            flat = np.concatenate(arrs)
+            seglens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+            offsets = np.concatenate(([0], np.cumsum(seglens)[:-1]))
+            sub = np.empty((len(arrs), n_perms), dtype=np.uint64)
+            for p in range(n_perms):
+                sub[:, p] = np.minimum.reduceat(a[p] * flat + b[p], offsets)
+            mh[nonempty] = sub
+            # simhash: strict per-bit majority votes, segment-summed
+            bits = np.unpackbits(
+                flat.astype("<u8").view(np.uint8).reshape(len(flat), 8),
+                axis=1,
+                bitorder="little",
+            )
+            votes = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+            fp_bits = (2 * votes) > seglens[:, None]
+            sh[nonempty] = (
+                np.packbits(fp_bits, axis=1, bitorder="little")
+                .view("<i8")
+                .ravel()
+            )
+        # band index folded into the hash: bucket key downstream is the
+        # single 8-byte bh (no separate band column on the big shuffle);
+        # cross-band hash collisions only ADD candidates (verify filters)
+        g = mh.reshape(n_docs, bands, rows)
+        bh = np.broadcast_to(
+            (np.full(bands, _FNV_OFFSET, dtype=np.uint64) ^ np.arange(bands, dtype=np.uint64))
+            * _FNV_PRIME,
+            (n_docs, bands),
+        ).copy()
+        for k in range(rows):
+            bh = (bh ^ g[:, :, k]) * _FNV_PRIME
+        mh_i = mh.astype(np.int64)
+        bh_i = bh.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "minhash": [mh_i[i].tolist() for i in range(n_docs)],
+                "band_hashes": [bh_i[i].tolist() for i in range(n_docs)],
+                "simhash": sh.tolist(),
+            }
+        )
 
     return sig_batch
 

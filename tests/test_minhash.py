@@ -51,3 +51,27 @@ def test_signature_length(spark):
     cfg = DedupConfig(n_perms=64)
     sigs = _sig_df(spark, ["a b c d e"], cfg, "sql")
     assert len(sigs["p0"]) == cfg.sig_len == cfg.bands * cfg.rows
+
+
+def test_fused_batch_udf_matches_per_doc_udf(spark):
+    """The whole-batch vectorized signature UDF (pipeline path) must emit
+    VALUE-identical minhash arrays to the per-doc UDF (same multiply-shift
+    params), identical simhash to simhash_one, and handle empty docs."""
+    from sick_spark.operators.minhash import minhash_signatures
+    from sick_spark.operators.simhash import simhash_one
+
+    cfg = DedupConfig(minhash_impl="pandas")
+    texts = ["w1 w2 w3 w4 w5 w6", "a b c d e", "", "  ", "x y z w1 w2 w3 q"]
+    df = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", t) for i, t in enumerate(texts)], CORPUS_SCHEMA
+    )
+    df = with_token_shingle_hashes(df, "content", cfg.shingle_k)
+    fused = {
+        r["path"]: (r["minhash"], r["simhash"])
+        for r in minhash_signatures(df, cfg).collect()
+    }
+    perdoc = {r["path"]: r["minhash"] for r in minhash_pandas(df, cfg).collect()}
+    shingles = {r["path"]: r["shingle_hashes"] for r in df.collect()}
+    for p in fused:
+        assert fused[p][0] == perdoc[p], p
+        assert fused[p][1] == simhash_one(shingles[p]), p
