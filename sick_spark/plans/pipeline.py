@@ -85,7 +85,15 @@ def run_pipeline(
     store = ckpt(store, "store")
 
     # 2. shingle + signatures: narrow, whole-stage codegen (+ Arrow for json rows)
-    sig = with_shingle_hashes(store.select("sha", "lang", "content"), cfg.shingle_k, cfg.json_aware)
+    # adaptive branch pruning (same driver-side reasoning as AQE's broadcast
+    # threshold): the json structural-shingle branch is a Python/Arrow stage
+    # over every partition even when the corpus has zero json rows — one
+    # cheap probe of the already-checkpointed store decides whether the
+    # branch exists at all. limit(1) short-circuits the scan.
+    json_aware = cfg.json_aware and not (
+        store.where(F.col("lang") == F.lit("json")).limit(1).isEmpty()
+    )
+    sig = with_shingle_hashes(store.select("sha", "lang", "content"), cfg.shingle_k, json_aware)
     sig = minhash_signatures(sig, cfg)
     sig = with_band_hashes(sig, cfg)  # no-op on the pandas path (fused in the UDF)
     if with_simhash and "simhash" not in sig.columns:
