@@ -1,0 +1,129 @@
+"""Custom stateful streaming operators: cross-batch exact dedup and
+watermarked windowed aggregation.
+
+The reference is batch-only (streaming is an explicit non-goal,
+``README.md:44-45``); these are the Structured-Streaming analogues of its
+core interning semantics for a continuously-ingesting corpus:
+
+* :func:`streaming_first_seen` — the hash-consing identity check
+  (``DeduplicatingRefTableBuilder.scala:17-26``: "identical values →
+  identical refs, insert only if absent") as a keyed state lookup across
+  micro-batches: the FIRST occurrence of a content sha is emitted with
+  ``is_first=true``; every later occurrence (same batch or any later batch)
+  only bumps the running ref count (E10 frequency counting, streaming form).
+* :func:`streaming_windowed_counts` — event-time windowed aggregation with
+  a watermark, the idiomatic late-data-tolerant rollup.
+
+Scale notes: state is keyed by sha — uniformly distributed, no skew by
+construction. One state row is ~100 bytes; at 10^9 distinct shas per state
+store use the RocksDB state-store provider
+(``spark.sql.streaming.stateStore.providerClass``) so state spills to local
+SSD instead of living on the executor heap. State ops shuffle once on the
+group key per micro-batch — same shuffle budget as the batch groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FIRST_SEEN_SCHEMA = StructType(
+    [
+        StructField("sha", StringType(), False),
+        StructField("repo", StringType(), True),
+        StructField("path", StringType(), True),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("is_first", BooleanType(), False),
+        StructField("batch_refs", LongType(), False),
+        StructField("total_refs", LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("total_refs", LongType(), False)])
+
+
+def _first_seen_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (sha,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic representative: min (repo, path, commit) — retries of a
+    # micro-batch must emit the same row (exactly-once sink contract)
+    batch = batch.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    prior = state.get[0] if state.exists else 0
+    total = prior + len(batch)
+    state.update((total,))
+    rep = batch.iloc[0]
+    yield pd.DataFrame(
+        [
+            {
+                "sha": sha,
+                "repo": rep["repo"],
+                "path": rep["path"],
+                "commit": rep["commit"],
+                "lang": rep["lang"],
+                "is_first": prior == 0,
+                "batch_refs": len(batch),
+                "total_refs": total,
+            }
+        ]
+    )
+
+
+def streaming_first_seen(corpus_stream: DataFrame) -> DataFrame:
+    """Streaming corpus (repo, path, commit, lang, content) → one row per
+    (sha, micro-batch): ``is_first`` marks the batch where the sha was first
+    seen across the WHOLE stream history (state persists in the streaming
+    checkpoint, so a restarted query keeps its memory of what it has seen —
+    the reference's freeze/reopen contract, E8, in streaming form).
+
+    Downstream: ``where(is_first)`` is the deduplicated new-content feed to
+    the signature stages; the full row set is the running ref-count table.
+    """
+    from sick_spark.operators.exact_dedup import with_content_sha
+
+    keyed = with_content_sha(corpus_stream).select(
+        "sha", "repo", "path", "commit", "lang"
+    )
+    return keyed.groupBy("sha").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Event-time windowed counts with late-data tolerance: rows later than
+    ``watermark`` behind the max seen event time are dropped, everything
+    else lands in its event-time window regardless of arrival order. Append
+    mode emits a window only once it can no longer change — the streaming
+    form of the batch ``events_hourly`` rollup."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

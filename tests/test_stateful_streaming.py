@@ -1,0 +1,120 @@
+"""Stateful streaming: cross-batch first-seen dedup + watermarked windows.
+
+The first-seen operator is the reference's insert-if-absent interning
+(``DeduplicatingRefTableBuilder.scala:17-26``) lifted to keyed streaming
+state; the restart half of each test exercises the E8 freeze/reopen
+contract (state survives in the checkpoint)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.streaming.stateful import (
+    streaming_first_seen,
+    streaming_windowed_counts,
+)
+from sick_spark.corpus import CORPUS_SCHEMA
+
+
+def _write_wave(spark, path, rows):
+    spark.createDataFrame(rows, CORPUS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_wave(spark, landing, out, ckpt):
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA).parquet(landing)
+    )
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_first_seen_across_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: A twice (same batch), B once
+    _write_wave(
+        spark,
+        landing,
+        [
+            ("r1", "a1", "c1", "py", "alpha beta gamma"),
+            ("r1", "a2", "c1", "py", "alpha beta gamma"),
+            ("r1", "b1", "c1", "py", "delta epsilon zeta"),
+        ],
+    )
+    _run_wave(spark, landing, out, ckpt)
+    w1 = spark.read.parquet(out).toPandas().set_index("path")
+    # same-batch dup collapses to ONE row (the min-path representative)
+    assert set(w1.index) == {"a1", "b1"}
+    assert bool(w1.loc["a1", "is_first"]) and int(w1.loc["a1", "batch_refs"]) == 2
+    assert bool(w1.loc["b1", "is_first"]) and int(w1.loc["b1", "total_refs"]) == 1
+
+    # wave 2 (separate micro-batch, restarted query = reopened state):
+    # A again -> not first, total_refs carries over; C new -> first
+    _write_wave(
+        spark,
+        landing,
+        [
+            ("r2", "a3", "c2", "py", "alpha beta gamma"),
+            ("r2", "c1", "c2", "py", "eta theta iota"),
+        ],
+    )
+    _run_wave(spark, landing, out, ckpt)
+    rows = spark.read.parquet(out).toPandas()
+    w2 = rows[rows["path"].isin(["a3", "c1"])].set_index("path")
+    assert not bool(w2.loc["a3", "is_first"])
+    assert int(w2.loc["a3", "total_refs"]) == 3  # 2 from wave 1 + 1 now
+    assert bool(w2.loc["c1", "is_first"])
+    # dedup feed = where(is_first): exactly one row per distinct content
+    firsts = rows[rows["is_first"]]
+    assert len(firsts) == 3 and firsts["sha"].nunique() == 3
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    landing = str(tmp_path / "ev")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2026-01-01 00:05", "2026-01-01 00:55", "2026-01-01 03:10"]
+                ),
+                "event_type": ["click", "click", "view"],
+                "value": [1.0, 2.0, 5.0],
+            }
+        )
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    q = (
+        streaming_windowed_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    # append mode emits only windows sealed by the watermark: the 00:00
+    # window (max event time 03:10 - 1h watermark > 01:00 close). The 03:00
+    # window stays open — correct late-data semantics, not a bug.
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["event_type"] == "click" and int(row["n"]) == 2
+    assert float(row["sum_value"]) == 3.0
