@@ -650,6 +650,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.clusters.select("path", "sha", "component").orderBy("path")
     q["full_pipeline_clusters"] = full_pipeline_clusters
 
+    # --- R13 cast/widening: read the narrowed numeric kinds back as wider
+    #     types (byte/short/int scalars -> bigint and double), the
+    #     reference's widening read contract (SickCursor.cs numeric query
+    #     methods; IncrementalEBAReader.scala int readback). Aggregates are
+    #     exact (BIGINT sums; the double mean is one exact-sum division).
+    def shred_cast_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        docs = e.select(
+            F.sha2(F.col("props").cast("binary"), 256).alias("sha"),
+            F.col("props").alias("content"),
+        )
+        nodes, _, _ = shred(docs)
+        num = nodes.where(F.col("kind").isin("byte", "short", "int", "long")).select(
+            "kind", F.col("scalar").cast("bigint").alias("v")
+        )
+        return (
+            num.groupBy("kind")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("min_long"),
+                F.max("v").alias("max_long"),
+                F.sum("v").alias("sum_long"),
+                (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_dbl"),
+            )
+            .orderBy("kind")
+        )
+    q["shred_cast_widening"] = shred_cast_widening
+
+    # --- E3 builder dispatch: per-kind dedup toggle. Interning numeric
+    #     kinds in APPEND mode (no_dedup_kinds) makes interned == instances
+    #     for those kinds while obj stays hash-consed — the reference's
+    #     per-table DeduplicatingRefTableBuilder vs RefTableBuilder choice
+    #     (RTModel.scala).
+    def shred_summary_nodedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.shred import interned_store
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        docs = e.select(
+            F.sha2(F.col("props").cast("binary"), 256).alias("sha"),
+            F.col("props").alias("content"),
+        )
+        nodes, _, _ = shred(docs)
+        store = interned_store(nodes, no_dedup_kinds=("int", "long"))
+        return (
+            store.groupBy("kind")
+            .agg(
+                F.count(F.lit(1)).alias("table_rows"),
+                F.sum("ref_count").alias("instances"),
+            )
+            .orderBy("kind")
+        )
+    q["shred_summary_nodedup"] = shred_summary_nodedup
+
     return q
 
 
@@ -887,6 +940,36 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'long' END AS kind,
                CAST(k AS VARCHAR) AS scalar
         FROM s ORDER BY sha LIMIT 5
+    """
+    # R13 widening readback: byte/short/int scalars as BIGINT/DOUBLE. Sums
+    # are exact integer sums (DuckDB SUM(BIGINT) is HUGEINT — cast back);
+    # the mean is one exact-sum double division, bit-identical cross-engine.
+    o["shred_cast_widening"] = """
+        WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        s AS (SELECT CASE WHEN k BETWEEN -128 AND 127 THEN 'byte'
+                          WHEN k BETWEEN -32768 AND 32767 THEN 'short'
+                          WHEN k BETWEEN -2147483648 AND 2147483647 THEN 'int'
+                          ELSE 'long' END AS kind, k FROM v)
+        SELECT kind, COUNT(*) AS n,
+               MIN(k) AS min_long, MAX(k) AS max_long,
+               CAST(SUM(k) AS BIGINT) AS sum_long,
+               CAST(SUM(k) AS DOUBLE) / COUNT(*) AS mean_dbl
+        FROM s GROUP BY kind ORDER BY kind
+    """
+    # E3 dispatch: int/long tables built append-only (one row per instance,
+    # ref_count 1) while obj stays hash-consed; inline kinds have no table
+    o["shred_summary_nodedup"] = """
+        WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        s AS (SELECT CASE WHEN k BETWEEN -128 AND 127 THEN 'byte'
+                          WHEN k BETWEEN -32768 AND 32767 THEN 'short'
+                          WHEN k BETWEEN -2147483648 AND 2147483647 THEN 'int'
+                          ELSE 'long' END AS kind, k FROM v)
+        SELECT kind, COUNT(*) AS table_rows, COUNT(*) AS instances
+        FROM s WHERE kind IN ('int', 'long') GROUP BY kind
+        UNION ALL
+        SELECT 'obj' AS kind, CAST(COUNT(DISTINCT k) AS BIGINT) AS table_rows,
+               COUNT(*) AS instances FROM v
+        ORDER BY kind
     """
     o["events_hourly"] = """
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
