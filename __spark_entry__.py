@@ -861,6 +861,57 @@ def oracle_sql() -> dict[str, str]:
     # full pipeline at sha granularity: 3-gram Jaccard >= 0.5 pairs over
     # distinct texts -> transitive closure -> component = least sha; every
     # file (path) carries its sha's component
+    # suffix-automaton partial-dup: exact LCS per (member, cluster rep),
+    # reproduced in SQL as the max-length member of the intersection of the
+    # two substring sets (O(n^2) substrings per doc — oracle-scale only;
+    # the Spark side is the O(n+m) automaton). Cluster assignment reuses
+    # the full_pipeline_clusters recursive-CTE closure.
+    o["partialdup_lcs"] = r"""
+        WITH RECURSIVE d AS (SELECT DISTINCT sha256(text) AS sha, text FROM documents),
+        w AS (SELECT sha, string_split_regex(trim(text), '\s+') AS ws FROM d),
+        sh AS (SELECT sha,
+                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+               FROM w),
+        sizes AS (SELECT sha, count(*) AS n FROM sh GROUP BY sha),
+        inter AS (SELECT a.sha AS sa, b.sha AS sb, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.sha < b.sha
+                  GROUP BY 1, 2),
+        truepairs AS (SELECT sa, sb FROM inter
+                      JOIN sizes x ON sa = x.sha
+                      JOIN sizes y ON sb = y.sha
+                      WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+        edges AS (SELECT sa AS a, sb AS b FROM truepairs
+                  UNION SELECT sb, sa FROM truepairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                        WHERE e.b <> r.a),
+        comp AS (SELECT a AS cid, least(a, min(b)) AS component FROM reach GROUP BY a),
+        comp2 AS (SELECT d.sha, coalesce(c.component, d.sha) AS component, d.text
+                  FROM d LEFT JOIN comp c ON d.sha = c.cid),
+        multi AS (SELECT component FROM comp2 GROUP BY component HAVING COUNT(*) >= 2),
+        m AS (SELECT comp2.* FROM comp2 JOIN multi USING(component)),
+        rep AS (SELECT component, min(sha) AS rep_sha FROM m GROUP BY component),
+        prs AS (SELECT m.component, m.sha, r.rep_sha
+                FROM m JOIN rep r USING(component) WHERE m.sha <> r.rep_sha),
+        texts AS (SELECT DISTINCT sha, text FROM m),
+        s1 AS (SELECT sha, text, unnest(generate_series(1, strlen(text))) AS i FROM texts),
+        subs AS (SELECT DISTINCT sha, substr(text, i, l) AS sub
+                 FROM (SELECT sha, text, i,
+                              unnest(generate_series(1, strlen(text) - i + 1)) AS l
+                       FROM s1)),
+        lcs AS (SELECT p.sha, max(length(sa.sub)) AS lcs_len
+                FROM prs p
+                JOIN subs sa ON sa.sha = p.rep_sha
+                JOIN subs sb ON sb.sha = p.sha AND sb.sub = sa.sub
+                GROUP BY p.sha)
+        SELECT p.component, p.sha, p.rep_sha,
+               CAST(coalesce(l.lcs_len, 0) AS INTEGER) AS lcs_len,
+               false AS truncated
+        FROM prs p LEFT JOIN lcs l ON p.sha = l.sha
+        ORDER BY p.sha
+    """
     o["full_pipeline_clusters"] = """
         WITH RECURSIVE d AS (SELECT DISTINCT sha256(text) AS sha, text FROM documents),
         w AS (SELECT sha, string_split_regex(trim(text), '\\s+') AS ws FROM d),
