@@ -369,6 +369,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_pairs_blocked(e, _COS).orderBy("id_a", "id_b")
     q["embedding_neardup_pairs"] = embedding_neardup_pairs
 
+    # --- embedding-cosine dedup clusters: the same pair->component
+    #     resolution as the text pipeline, over the vector modality (every
+    #     vector gets a cluster id; component = min vec_id of the cluster)
+    def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = cosine_pairs_blocked(e, _COS)
+        # CC's component = lexicographic-min id; zero-pad so string order ==
+        # numeric order for the non-negative vec_ids (else "10" < "9")
+        comp = connected_components(
+            pairs.select(
+                F.format_string("%019d", "id_a").alias("id_a"),
+                F.format_string("%019d", "id_b").alias("id_b"),
+            )
+        ).select(F.col("id").cast("bigint").alias("vec_id"), F.col("component").cast("bigint").alias("c"))
+        return (
+            e.select("vec_id")
+            .join(comp, "vec_id", "left")
+            .select(
+                "vec_id", F.coalesce("c", F.col("vec_id")).alias("component")
+            )
+            .orderBy("vec_id")
+        )
+    q["embedding_clusters"] = embedding_clusters
+
     # --- brute-force cosine top-k (exact ANN baseline)
     def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -730,6 +754,25 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_COS}
         ORDER BY id_a, id_b
+    """
+    # embedding clusters: transitive closure over the cosine>=threshold pair
+    # graph, component = numeric min vec_id, singletons = own component
+    o["embedding_clusters"] = f"""
+        WITH RECURSIVE p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_COS}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                        WHERE e.b <> r.a),
+        comp AS (SELECT a AS vid, least(a, min(b)) AS component FROM reach GROUP BY a)
+        SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vid
+        ORDER BY e.vec_id
     """
     o["ann_topk_bruteforce"] = """
         SELECT query_id, neighbor_id, rnk FROM (
