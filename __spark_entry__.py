@@ -3,8 +3,9 @@
 entry(spark)    — flagship: full near-dup clustering pipeline on sf0.001.
 queries()       — one entry per operator (SURVEY.md §2 inventory + the
                   training-data operators).
-oracle_sql()    — DuckDB-equivalent SQL per query (omitted only for
-                  genuinely non-SQL-expressible ops → rows-only check).
+oracle_sql()    — DuckDB-equivalent SQL per query; as of round 2 EVERY
+                  queries() entry has a value-level oracle (incl. the
+                  suffix-automaton LCS, via substring-set intersection).
 
 Column names/types are aligned 1:1 between each Spark query and its oracle.
 Float-bearing aggregates are computed in exact DECIMAL and cast to DOUBLE at
