@@ -669,6 +669,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("media_id")
     q["multimodal_features"] = multimodal_features
 
+    # --- real multimodal decode: synthesize BMP/WAV/SVID container bytes
+    #     deterministically from (doc_id, n_chars), then PARSE them back
+    #     (header walk, bottom-up rows, row padding, RIFF chunks, frame
+    #     sampling, nearest-neighbor resize) and emit exact integer stats.
+    #     The oracle recomputes the generator formula analytically — any
+    #     codec bug breaks the value match.
+    def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.multimodal import (
+            decode_media_stats,
+            synthetic_media_from_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+        media = synthetic_media_from_documents(docs)
+        return decode_media_stats(media, thumb=4, frame_stride=2).orderBy("media_id")
+    q["multimodal_decode_stats"] = multimodal_decode_stats
+
     def full_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = corpus_from_documents(spark, sf_dir)
         res = run_pipeline(spark, corpus, DedupConfig(shingle_k=_K, jaccard_threshold=_J))
@@ -901,6 +918,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT sha256(text) AS media_id, sha256(text) AS payload_sha,
                CAST(strlen(text) AS BIGINT) AS n_bytes
         FROM docs ORDER BY media_id
+    """
+    # real multimodal decode: Spark PARSES actual BMP/WAV/SVID bytes; the
+    # oracle recomputes every statistic from the closed-form generator
+    # (see operators/multimodal.py): kind by doc_id%3, seed = doc_id%251,
+    # image pixel(x,y,c) = (x*31+y*17+c*7+seed)%256 at w=8+doc_id%9,
+    # h=8+n_chars%9; video adds f*11 per frame (frames 0,2 sampled);
+    # audio sample(i) = (i*(seed+13)+7919)%65536-32768 at n=400+n_chars%200.
+    # thumb = nearest-neighbor 4x4: src index (d*dim)//4.
+    o["multimodal_decode_stats"] = """
+        WITH m AS (
+            SELECT doc_id, n_chars, doc_id % 251 AS seed, doc_id % 3 AS k,
+                   8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+            FROM documents
+        ),
+        aud AS (
+            SELECT doc_id AS media_id, 'audio' AS kind, 0 AS width, 0 AS height,
+                   CAST(400 + n_chars % 200 AS BIGINT) AS n_vals,
+                   CAST(SUM((i * (seed + 13) + 7919) % 65536 - 32768) AS BIGINT) AS sum_vals,
+                   CAST((3 * (seed + 13) + 7919) % 65536 - 32768 AS BIGINT) AS probe_val,
+                   CAST(0 AS BIGINT) AS thumb_sum
+            FROM m, generate_series(0, 599) AS g(i)
+            WHERE k = 0 AND i < 400 + n_chars % 200
+            GROUP BY doc_id, n_chars, seed
+        ),
+        thumb AS (
+            SELECT doc_id,
+                   CAST(SUM(((xd * w) // 4 * 31 + (yd * h) // 4 * 17 + c * 7 + seed) % 256)
+                        AS BIGINT) AS thumb_sum
+            FROM m, generate_series(0, 3) AS gx(xd), generate_series(0, 3) AS gy(yd),
+                 generate_series(0, 2) AS gc(c)
+            WHERE k IN (1, 2)
+            GROUP BY doc_id
+        ),
+        img AS (
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(3 * w * h AS BIGINT) AS n_vals,
+                   CAST(SUM((x * 31 + y * 17 + c * 7 + seed) % 256) AS BIGINT) AS sum_vals,
+                   CAST((2 * 31 + 17 + seed) % 256 AS BIGINT) AS probe_val,
+                   MAX(t.thumb_sum) AS thumb_sum
+            FROM m JOIN thumb t USING (doc_id),
+                 generate_series(0, 15) AS gx(x), generate_series(0, 15) AS gy(y),
+                 generate_series(0, 2) AS gc(c)
+            WHERE k = 1 AND x < w AND y < h
+            GROUP BY doc_id, w, h, seed
+        ),
+        vid AS (
+            SELECT doc_id AS media_id, 'video' AS kind,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(2 * 3 * w * h AS BIGINT) AS n_vals,
+                   CAST(SUM((x * 31 + y * 17 + c * 7 + f * 11 + seed) % 256) AS BIGINT) AS sum_vals,
+                   CAST((2 * 31 + 17 + seed) % 256 AS BIGINT) AS probe_val,
+                   MAX(t.thumb_sum) AS thumb_sum
+            FROM m JOIN thumb t USING (doc_id),
+                 generate_series(0, 15) AS gx(x), generate_series(0, 15) AS gy(y),
+                 generate_series(0, 2) AS gc(c), generate_series(0, 2, 2) AS gf(f)
+            WHERE k = 2 AND x < w AND y < h
+            GROUP BY doc_id, w, h, seed
+        )
+        SELECT * FROM aud UNION ALL SELECT * FROM img UNION ALL SELECT * FROM vid
+        ORDER BY media_id
     """
     # full pipeline at sha granularity: 3-gram Jaccard >= 0.5 pairs over
     # distinct texts -> transitive closure -> component = least sha; every
