@@ -1,0 +1,102 @@
+"""Physical-plan audits: regression-lock the plan properties that make the
+engine scale, not just the row values.
+
+Each test asserts a property the 100 TB design depends on: parquet filter
+pushdown + column pruning, broadcast joins for small dimensions, map-side
+partial aggregation, top-k without a global sort, JVM-only hot paths (no
+Python eval nodes in relational queries), and a bounded shuffle count in
+the LSH banding stage (its single-shuffle design, operators/lsh.py).
+"""
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.where(F.col("lang") == "en").select("doc_id")
+    p = plan_str(df)
+    assert "PushedFilters" in p and "EqualTo(lang,en)" in p, p
+    # ReadSchema must carry only the needed columns, not text/source
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "text" not in read[0] and "source" not in read[0], p
+
+
+def test_q5_uses_broadcast_joins_for_dimensions(spark):
+    p = plan_str(em.queries()["q5_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_anti_join_is_broadcast(spark):
+    p = plan_str(em.queries()["anti_join_customers_without_orders"](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_aggregation_has_mapside_partial(spark):
+    # partial_ functions in HashAggregate = map-side combine before shuffle
+    p = plan_str(em.queries()["agg_order_priority"](spark, SF), mode="extended")
+    assert "partial_" in p, p
+
+
+def test_topk_avoids_global_sort(spark):
+    p = plan_str(em.queries()["topk_lineitems"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_relational_hot_paths_have_no_python_eval(spark):
+    for name in (
+        "q1_pricing_summary",
+        "q5_nation_revenue",
+        "agg_order_priority",
+        "window_top_orders_per_customer",
+        "topk_lineitems",
+        "exact_dup_stats",
+        "doc_textstats",
+        "doc_quality",
+        "token_count_by_lang",
+        "events_hourly",
+    ):
+        p = plan_str(em.queries()[name](spark, SF))
+        assert "EvalPython" not in p, f"{name} has a Python eval node:\n{p}"
+
+
+def test_lsh_banding_shuffle_budget(spark):
+    """candidate_pairs routes the WIDE band rows through exactly one
+    collect_list aggregation (one partial+final ObjectHashAggregate pair —
+    everything else shuffles only bucket-level or pair-level aggregates); a
+    regression to the classic bucket self-join would add a second wide path,
+    and nothing in the plan may be a cartesian product."""
+    from sick_spark.config import DedupConfig
+    from sick_spark.corpus import corpus_from_documents
+    from sick_spark.functions.text import with_token_shingle_hashes
+    from sick_spark.operators.exact_dedup import exact_dedup
+    from sick_spark.operators.lsh import band_keys, candidate_pairs, with_band_hashes
+    from sick_spark.operators.minhash import minhash_signatures
+
+    cfg = DedupConfig()
+    _, store = exact_dedup(corpus_from_documents(spark, SF))
+    shingled = with_token_shingle_hashes(store, "content", cfg.shingle_k)
+    sig = with_band_hashes(minhash_signatures(shingled, cfg), cfg).localCheckpoint(eager=True)
+    pairs = candidate_pairs(band_keys(sig, cfg), cfg)
+    import re
+
+    p = plan_str(pairs)
+    # static explain prints a shared subtree once per consumer, so count
+    # DISTINCT collect_list aggregate signatures, not plan nodes
+    sigs = {m.group(0) for m in re.finditer(r"collect_list\([^)]*\)", p)}
+    assert len(sigs) == 1, sigs
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
