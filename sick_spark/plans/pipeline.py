@@ -69,12 +69,15 @@ def run_pipeline(
                 return warehouse.read(spark, stage)
             out = warehouse.write(df, stage)
         else:
-            # no warehouse = no resumability contract: compute-once via the
-            # COLUMNAR cache (compressed batches, ~1x data size, spillable)
-            # rather than localCheckpoint RDD blocks (deserialized objects,
-            # 3-5x data size — measured to thrash an 8g executor at 1.6M
-            # docs). Lazy: materializes inside the first consumer job.
-            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            # no warehouse = no resumability contract: cut lineage lazily
+            # (materializes inside the first consumer job, no scheduling
+            # barrier per stage) into SERIALIZED spillable blocks — ~1x data
+            # size like the columnar cache but without its batch-compression
+            # build cost, which measured ~1.7x on the whole pipeline
+            # (12.4s vs 7.4s at sf0.1); deserialized blocks (the
+            # MEMORY_AND_DISK_DESER default) are 3-5x data size and thrash an
+            # 8g executor at 1.6M docs. pyspark 4: MEMORY_AND_DISK = serialized.
+            out = df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         if metrics is not None:
             metrics.record(stage, out, wall_sec=time.time() - t0)
         return out
