@@ -39,6 +39,29 @@ def test_rhp_bucket_deterministic_and_collision(spark):
     assert b[0] != b[2]  # antipodal flips every sign bit
 
 
+def test_rhp_lsh_topk_recall_floor(spark, sf_dir):
+    """cosine_topk_lsh at the oracled query's config (4 bits x 8 tables, 64
+    dims) vs exact brute-force top-3 over the fixture embeddings. Top-3
+    neighbors sit at cos~0.33 here, so a SINGLE 8-bit table collides with
+    probability (1-acos(.33)/pi)^8 ~ 0.02 — measured recall 0.02, useless;
+    8 tables at 4 bits give 1-(1-0.136)^8 ~ 0.69 predicted, ~0.7 measured.
+    Deterministic hyperplanes, so exact reruns; the floor documents the
+    approximation honestly like the IVF gate."""
+    from sick_spark.operators.ann import cosine_topk_lsh
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(e, k=3, n_bits=4, dim=64, n_tables=8).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(e, e, k=3).collect()
+    }
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.5, f"recall@3 {recall:.2f} below floor"
+
+
 def test_rhp_candidates_find_near_neighbors(spark):
     rng = np.random.default_rng(2)
     base = rng.standard_normal(16).astype(np.float32)
