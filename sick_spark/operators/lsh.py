@@ -215,6 +215,62 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
     )
 
 
+def neardup_matches(
+    new_sigs: DataFrame, index_sigs: DataFrame, cfg: DedupConfig, threshold: float | None = None
+) -> DataFrame:
+    """Which NEW documents are near-dups of an already-indexed corpus?
+    → (new_sha, index_sha, jaccard), exact-Jaccard verified.
+
+    The incremental-ingest primitive (a streaming micro-batch or a daily
+    delta probing the full corpus): the new batch is orders of magnitude
+    smaller than the index, so its band keys BROADCAST to the index's band
+    table — the 10^12-row side is never shuffled, each index partition
+    probes the broadcast hash map and only colliding rows survive. Same
+    bounded-probe idea as the reference's KHash bucket lookup
+    (``EBACodecs.scala:527-543``), with "new batch" as the key set.
+
+    Exact matches (new_sha == index_sha, jaccard 1.0) are kept — an exact
+    dup IS a duplicate; callers filter if they only want near-misses.
+    Batch-pure: runs identically inside ``foreachBatch``
+    (:func:`sick_spark.streaming.ingest.start_neardup_sink`) or on a batch
+    delta."""
+    threshold = cfg.jaccard_threshold if threshold is None else threshold
+    st = band_keys(with_band_hashes(new_sigs, cfg), cfg).select(
+        F.col("id").alias("new_sha"), "bh"
+    )
+    ix = band_keys(with_band_hashes(index_sigs, cfg), cfg).select(
+        F.col("id").alias("index_sha"), "bh"
+    )
+    pairs = (
+        ix.join(F.broadcast(st), "bh")
+        .select("new_sha", "index_sha")
+        .dropDuplicates(["new_sha", "index_sha"])
+    )
+    # content granularity: several FILES may share one sha (exact dups within
+    # the batch or the index) — without this the shingle joins would emit one
+    # row per file pair instead of one per content pair
+    sh_new = (
+        new_sigs.select(F.col("sha").alias("new_sha"), F.col("shingle_hashes").alias("h_a"))
+        .dropDuplicates(["new_sha"])
+    )
+    sh_ix = (
+        index_sigs.select(F.col("sha").alias("index_sha"), F.col("shingle_hashes").alias("h_b"))
+        .dropDuplicates(["index_sha"])
+    )
+    return (
+        pairs.join(F.broadcast(sh_new), "new_sha")
+        .join(sh_ix, "index_sha")
+        .withColumn("intersect_n", F.size(F.array_intersect("h_a", "h_b")))
+        .withColumn(
+            "jaccard",
+            F.col("intersect_n")
+            / (F.size("h_a") + F.size("h_b") - F.col("intersect_n")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("new_sha", "index_sha", "jaccard")
+    )
+
+
 def overflow_report(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Pairs forgone to salting: hot buckets lose ~(1 - 1/s) of their
     intra-bucket pairs in THIS band (they may still be caught by other

@@ -58,6 +58,47 @@ def streaming_signatures(
     return sig.drop("content")
 
 
+def start_neardup_sink(
+    stream_sigs: DataFrame,
+    index_sigs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming near-dup flagging: every micro-batch of incoming signature
+    rows probes the static index via :func:`sick_spark.operators.lsh
+    .neardup_matches` (micro-batch band keys broadcast; the index is never
+    shuffled) and appends verified (new_sha, index_sha, jaccard) matches.
+
+    ``foreachBatch`` because the match needs batch-only ops (cross-band
+    pair dedup) — the standard Structured Streaming shape for stream-static
+    enrichment with post-join dedup. foreachBatch alone is at-least-once
+    (a batch replayed after a crash-before-commit would double-append), so
+    each batch overwrites its own ``batch_id=N`` subdirectory — replays are
+    idempotent, and the checkpoint's batch-id tracking makes the whole sink
+    exactly-once. Read ``out_dir`` with partition discovery."""
+    from sick_spark.operators.lsh import neardup_matches
+
+    cfg = cfg or DedupConfig()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        neardup_matches(batch_df, index_sigs, cfg).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    w = (
+        stream_sigs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def start_signature_sink(
     signatures: DataFrame,
     out_dir: str,

@@ -1,0 +1,79 @@
+"""Streaming near-dup flagging: micro-batches probing a static LSH index
+produce exactly the batch neardup_matches answer, exactly-once across
+restarts, with planted dups found."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import synthetic_corpus
+from sick_spark.functions.text import with_shingle_hashes
+from sick_spark.operators.exact_dedup import with_content_sha
+from sick_spark.operators.lsh import neardup_matches
+from sick_spark.operators.minhash import minhash_signatures
+from sick_spark.streaming.ingest import start_neardup_sink, streaming_signatures
+
+
+def _sigs(corpus, cfg):
+    return minhash_signatures(
+        with_shingle_hashes(
+            with_content_sha(corpus).select("repo", "path", "commit", "lang", "sha", "content"),
+            cfg.shingle_k,
+        ),
+        cfg,
+    )
+
+
+def test_streaming_neardup_matches_batch(spark, tmp_path):
+    cfg = DedupConfig()
+    # one corpus, split: the index sees the first 70 files, the "incoming"
+    # stream the rest — synthetic_corpus plants dups/near-dups of EARLIER
+    # files, so the tail is guaranteed to contain matches against the index
+    corpus = synthetic_corpus(spark, n_files=100, seed=33).withColumn(
+        "__i", F.regexp_extract("path", r"(\d+)", 1).cast("int")
+    )
+    index_corpus = corpus.where("__i < 70").drop("__i")
+    new_corpus = corpus.where("__i >= 70").drop("__i")
+
+    index_sigs = _sigs(index_corpus, cfg).localCheckpoint(eager=True)
+    expected_df = neardup_matches(_sigs(new_corpus, cfg), index_sigs, cfg)
+    expected_rows = expected_df.collect()
+    expected = {
+        (r["new_sha"], r["index_sha"], round(r["jaccard"], 9)) for r in expected_rows
+    }
+    # content granularity: one row per (new content, index content) pair even
+    # though the fixture plants several FILES per sha
+    assert len(expected_rows) == len(expected)
+    assert expected, "fixture must plant cross-split matches"
+    # exact dups of index docs appear at jaccard 1.0
+    assert any(j == 1.0 for _, _, j in expected)
+
+    landing = str(tmp_path / "landing")
+    new_corpus.write.parquet(landing)
+    q = start_neardup_sink(
+        streaming_signatures(spark, landing, cfg, max_files_per_trigger=8),
+        index_sigs,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        cfg,
+    )
+    q.awaitTermination(180)
+    def read_matches():
+        return (
+            spark.read.parquet(str(tmp_path / "matches"))
+            .select("new_sha", "index_sha", "jaccard")
+        )
+
+    got = {(r["new_sha"], r["index_sha"], round(r["jaccard"], 9)) for r in read_matches().collect()}
+    assert got == expected
+
+    # restart on the same checkpoint with no new files -> nothing re-emitted
+    q2 = start_neardup_sink(
+        streaming_signatures(spark, landing, cfg, max_files_per_trigger=8),
+        index_sigs,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        cfg,
+    )
+    q2.awaitTermination(180)
+    assert read_matches().count() == len(expected)
