@@ -377,6 +377,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _verified_pairs_ngram(spark, sf_dir).orderBy("doc_a", "doc_b")
     q["neardup_pairs_ngram"] = neardup_pairs_ngram
 
+    # --- incremental dedup: which NEW docs (doc_id % 5 == 0 plays the
+    #     incoming delta/micro-batch) near-dup the already-indexed rest?
+    #     neardup_matches broadcasts the delta's band keys to the index —
+    #     the streaming ingest primitive (streaming/ingest.start_neardup_sink)
+    #     run as a batch query. Oracle = exact cross-split Jaccard (LSH
+    #     banding has recall 1.0 at this config on this corpus, proven by
+    #     neardup_pairs_minhash matching the same exact oracle).
+    def incremental_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.lsh import neardup_matches
+
+        cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
+        sh = _doc_shingles(spark, sf_dir)
+        sig = _memo(
+            spark, sf_dir, "minhash_sig", lambda: with_band_hashes(minhash_sql(sh, cfg), cfg)
+        ).withColumn("sha", F.col("doc_id").cast("string"))
+        m = neardup_matches(
+            sig.where(F.col("doc_id") % 5 == 0), sig.where(F.col("doc_id") % 5 != 0), cfg
+        )
+        return m.select(
+            F.col("new_sha").cast("bigint").alias("new_doc"),
+            F.col("index_sha").cast("bigint").alias("index_doc"),
+            "jaccard",
+        ).orderBy("new_doc", "index_doc")
+    q["incremental_neardup_matches"] = incremental_neardup_matches
+
     # --- duplicate clusters: connected components (large-star/small-star)
     def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = _verified_pairs_minhash(spark, sf_dir)
@@ -791,6 +816,27 @@ def oracle_sql() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
     o["neardup_pairs_minhash"] = _DUCK_PAIR_SQL
+    # incremental dedup: exact cross-split Jaccard (delta = doc_id % 5 == 0)
+    o["incremental_neardup_matches"] = """
+        WITH docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+               FROM w),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS nd, b.doc_id AS xd, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s
+                  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                  GROUP BY 1, 2)
+        SELECT nd AS new_doc, xd AS index_doc,
+               i * 1.0 / (x.n + y.n - i) AS jaccard
+        FROM inter
+        JOIN sizes x ON nd = x.doc_id
+        JOIN sizes y ON xd = y.doc_id
+        WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
+        ORDER BY new_doc, index_doc
+    """
     o["neardup_pairs_ngram"] = _DUCK_PAIR_SQL
     o["dedup_clusters"] = _DUCK_CLUSTER_SQL
     o["embedding_neardup_pairs"] = f"""

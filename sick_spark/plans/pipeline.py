@@ -20,6 +20,7 @@ Dataflow & shuffle budget (the plan you'd want at 100 TB):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -69,15 +70,31 @@ def run_pipeline(
                 return warehouse.read(spark, stage)
             out = warehouse.write(df, stage)
         else:
-            # no warehouse = no resumability contract: cut lineage lazily
-            # (materializes inside the first consumer job, no scheduling
-            # barrier per stage) into SERIALIZED spillable blocks — ~1x data
-            # size like the columnar cache but without its batch-compression
-            # build cost, which measured ~1.7x on the whole pipeline
-            # (12.4s vs 7.4s at sf0.1); deserialized blocks (the
-            # MEMORY_AND_DISK_DESER default) are 3-5x data size and thrash an
-            # 8g executor at 1.6M docs. pyspark 4: MEMORY_AND_DISK = serialized.
-            out = df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+            # no warehouse = no resumability contract: compute-once, strategy
+            # by deployment (override: SICK_CKPT=localckpt|cache).
+            #
+            # * single-JVM local session → LAZY localCheckpoint into
+            #   serialized spillable blocks: no columnar batch-compression
+            #   build cost (measured 7.4s vs 12.4s e2e at sf0.1 on
+            #   local[32]), no per-stage scheduling barrier. (pyspark 4:
+            #   MEMORY_AND_DISK = serialized; the _DESER default is 3-5x
+            #   data size and thrashes an 8g executor at 1.6M docs.)
+            # * multi-executor session → columnar cache: every block handoff
+            #   crosses a JVM boundary anyway so the compressed batches pay
+            #   for themselves in transfer, and InMemoryRelation keeps real
+            #   size stats while a checkpointed LogicalRDD reports unknown
+            #   (= max) size — losing static broadcast joins. Measured on a
+            #   pinned local-cluster[4,4]: 65s wall with localCheckpoint vs
+            #   ~30s with the cache on the same 800k-file input.
+            strategy = os.environ.get("SICK_CKPT") or (
+                "localckpt" if spark.sparkContext.master.startswith("local[") else "cache"
+            )
+            if strategy == "localckpt":
+                out = df.localCheckpoint(
+                    eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+                )
+            else:
+                out = df.persist(StorageLevel.MEMORY_AND_DISK)
         if metrics is not None:
             metrics.record(stage, out, wall_sec=time.time() - t0)
         return out
