@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis) — the reference's config-grid
+round-trip style (EBAReaderWriterTest walks every (dedup, index) config over
+every sample) applied to our pure kernels: media codecs, SimHash votes, the
+suffix-automaton LCS."""
+from __future__ import annotations
+
+import difflib
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sick_spark.operators.multimodal import (
+    decode_bmp24,
+    decode_video_frames,
+    decode_wav_pcm16,
+    encode_bmp24,
+    encode_video_frames,
+    encode_wav_pcm16,
+    resize_nearest,
+)
+from sick_spark.operators.partialdup import _SuffixAutomaton
+from sick_spark.operators.simhash import simhash_one
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 17),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_any_geometry(w, h, seed):
+    # every width exercises a different 4-byte row-padding remainder
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp24(encode_bmp24(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_any_length(n, rate, seed):
+    s = np.random.default_rng(seed).integers(-(2**15), 2**15, size=n).astype(np.int16)
+    dec, r = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert r == rate and np.array_equal(dec, s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_frames=st.integers(1, 6),
+    stride=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_video_stride_roundtrip(n_frames, stride, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8) for _ in range(n_frames)]
+    out = decode_video_frames(encode_video_frames(frames), stride)
+    expected = frames[::stride]
+    assert len(out) == len(expected)
+    assert all(np.array_equal(a, b) for a, b in zip(out, expected))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 20), h=st.integers(1, 20),
+    ow=st.integers(1, 8), oh=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_nearest_matches_index_formula(w, h, ow, oh, seed):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    th = resize_nearest(img, ow, oh)
+    assert th.shape == (oh, ow, 3)
+    for y in range(oh):
+        for x in range(ow):
+            assert np.array_equal(th[y, x], img[(y * h) // oh, (x * w) // ow])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), max_size=64))
+def test_simhash_matches_naive_bit_votes(hs):
+    got = simhash_one(hs)
+    if not hs:
+        assert got == 0
+        return
+    expect = 0
+    for b in range(64):
+        votes = sum((h >> b) & 1 for h in hs)
+        if 2 * votes > len(hs):
+            expect |= 1 << b
+    # simhash_one returns a signed int64 view of the bit pattern
+    assert got & (2**64 - 1) == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.text(alphabet="abc", max_size=60),
+    b=st.text(alphabet="abc", max_size=60),
+)
+def test_suffix_automaton_lcs_matches_difflib(a, b):
+    # tiny alphabet forces long repeats — the automaton's hard case
+    length, end = _SuffixAutomaton(a).lcs(b)
+    m = difflib.SequenceMatcher(None, a, b, autojunk=False).find_longest_match(
+        0, len(a), 0, len(b)
+    )
+    assert length == m.size
+    if length:
+        # the reported substring really is common
+        assert a[end - length + 1 : end + 1] in b
