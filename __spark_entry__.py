@@ -402,6 +402,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("new_doc", "index_doc")
     q["incremental_neardup_matches"] = incremental_neardup_matches
 
+    # --- deterministic per-group sampling: n smallest portable id hashes
+    #     per group (seedless, retry-stable, engine-reproducible — no rand())
+    def doc_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.sample import sample_per_group
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            sample_per_group(d, "source", "doc_id", 3)
+            .select("source", "doc_id")
+            .orderBy("source", "doc_id")
+        )
+    q["doc_sample_per_source"] = doc_sample_per_source
+
+    # --- vocabulary building: top-k tokens per language with counts
+    #     (map-side-combinable explode+count, per-group window top-k)
+    def token_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.sample import token_vocab
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return token_vocab(d, "text", "lang", 10).orderBy("lang", "rank")
+    q["token_vocab_by_lang"] = token_vocab_by_lang
+
     # --- duplicate clusters: connected components (large-star/small-star)
     def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = _verified_pairs_minhash(spark, sf_dir)
@@ -836,6 +858,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes y ON xd = y.doc_id
         WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
         ORDER BY new_doc, index_doc
+    """
+    # deterministic sampling: the portable sha-prefix hash replayed in SQL
+    o["doc_sample_per_source"] = """
+        WITH h AS (SELECT source, doc_id,
+                          CAST(CONCAT('0x', SUBSTR(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+                               AS BIGINT) AS hv
+                   FROM documents),
+        r AS (SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+              FROM h)
+        SELECT source, doc_id FROM r WHERE rk <= 3 ORDER BY source, doc_id
+    """
+    o["token_vocab_by_lang"] = r"""
+        WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+                   FROM documents),
+        c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+              FROM t WHERE token <> '' GROUP BY lang, token),
+        r AS (SELECT lang, token, n,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC)
+                          AS INTEGER) AS rank
+              FROM c)
+        SELECT lang, token, n, rank FROM r WHERE rank <= 10 ORDER BY lang, rank
     """
     o["neardup_pairs_ngram"] = _DUCK_PAIR_SQL
     o["dedup_clusters"] = _DUCK_CLUSTER_SQL

@@ -1,0 +1,56 @@
+"""Deterministic sampling + token-vocabulary operators for training-data
+pipelines.
+
+Sampling uses the portable 60-bit sha-prefix id hash (same device as IVF's
+centroid seeding, :func:`sick_spark.operators.ivf.portable_id_hash`): ids
+are hash-shuffled, so "n smallest hashes per group" is a uniform, seedless,
+retry-stable sample that any SQL engine can reproduce — no ``rand()``, no
+``TABLESAMPLE`` (both non-deterministic across retries/engines).
+
+Scale shape: one window per group over the hash — a single shuffle on the
+group key, partial top-n via the rank filter; no global sort. Vocabulary is
+explode → two-level aggregate (map-side combinable) → per-group top-k
+window; hot tokens are exactly what the partial aggregation combines away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sick_spark.operators.ivf import portable_id_hash
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, n: int
+) -> DataFrame:
+    """n rows per group, chosen as the smallest portable id hashes —
+    deterministic, uniform, reproducible in plain SQL."""
+    w = Window.partitionBy(group_col).orderBy(
+        portable_id_hash(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def token_vocab(
+    df: DataFrame, text_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Top-k whitespace tokens per group with counts → (group, token, n, rank).
+
+    The vocabulary-building primitive: explode + count is map-side
+    combinable (hot stop-words collapse before the shuffle), top-k is a
+    per-group window — never a global sort."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "token", "n", "rank")
+    )

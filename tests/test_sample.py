@@ -1,0 +1,39 @@
+"""Deterministic sampling + vocab: uniformity-free invariants (exact n per
+group, rerun-stability, top-k ordering)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sick_spark.operators.sample import sample_per_group, token_vocab
+
+
+def test_sample_per_group_exact_and_stable(spark):
+    df = spark.createDataFrame(
+        [(f"g{g}", g * 100 + i) for g in range(4) for i in range(20)],
+        "grp string, id long",
+    )
+    s1 = {(r["grp"], r["id"]) for r in sample_per_group(df, "grp", "id", 5).collect()}
+    s2 = {(r["grp"], r["id"]) for r in sample_per_group(df, "grp", "id", 5).collect()}
+    assert s1 == s2  # retry/rerun-stable: no rand() anywhere
+    per_group = {}
+    for g, _ in s1:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group == {f"g{g}": 5 for g in range(4)}
+
+
+def test_sample_smaller_group_keeps_all(spark):
+    df = spark.createDataFrame([("g", 1), ("g", 2)], "grp string, id long")
+    assert sample_per_group(df, "grp", "id", 5).count() == 2
+
+
+def test_token_vocab_topk(spark):
+    df = spark.createDataFrame(
+        [("en", "a a a b b c"), ("en", "a b  d"), ("de", "x y x")],
+        "lang string, text string",
+    )
+    rows = {(r["lang"], r["token"]): (r["n"], r["rank"]) for r in token_vocab(df, "text", "lang", 2).collect()}
+    assert rows[("en", "a")] == (4, 1)
+    assert rows[("en", "b")] == (3, 2)
+    assert rows[("de", "x")] == (2, 1)
+    assert rows[("de", "y")] == (1, 2)
+    assert ("en", "c") not in rows  # beyond top-k
