@@ -212,14 +212,20 @@ _SHARED_SQL: dict[str, str] = {
     """,
 }
 
-# doc/text shingle CTE fragments (DuckDB dialect)
-_DUCK_DOCS = """
+# doc/text shingle CTE fragments (DuckDB dialect). ONE definition of the
+# distinct-doc + tokenize + 3-gram-shingle prefix — _DUCK_DOCS, _DUCK_SHA60
+# and the incremental oracle all compose it, so a change to shingle
+# semantics cannot silently desynchronize one of them.
+_DUCK_SHINGLE_CTES = """
     docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
     w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
     sh AS (SELECT doc_id,
                   unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
                                         FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
-           FROM w),
+           FROM w)"""
+
+_DUCK_DOCS = f"""
+    {_DUCK_SHINGLE_CTES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -231,13 +237,8 @@ _DUCK_DOCS = """
 """
 
 # distinct docs -> 3-gram shingles -> portable sha60 hashes as HUGEINT
-_DUCK_SHA60 = """
-    docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
-                                        FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
-           FROM w),
+_DUCK_SHA60 = f"""
+    {_DUCK_SHINGLE_CTES},
     h AS (SELECT doc_id,
                  CAST(CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT) AS HUGEINT) AS h
           FROM sh)
@@ -839,13 +840,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["neardup_pairs_minhash"] = _DUCK_PAIR_SQL
     # incremental dedup: exact cross-split Jaccard (delta = doc_id % 5 == 0)
-    o["incremental_neardup_matches"] = """
-        WITH docs AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM docs),
-        sh AS (SELECT doc_id,
-                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
-                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
-               FROM w),
+    o["incremental_neardup_matches"] = f"""
+        WITH {_DUCK_SHINGLE_CTES},
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS nd, b.doc_id AS xd, count(*) AS i
                   FROM sh a JOIN sh b ON a.s = b.s

@@ -64,16 +64,16 @@ def _hyperplanes(n_bits: int, dim: int, seed: int) -> np.ndarray:
 
 
 def make_rhp_udf(n_bits: int, dim: int, seed: int):
+    planes = _hyperplanes(n_bits, dim, seed)  # closure-captured, not per-batch
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
     @F.pandas_udf(LongType())
     def rhp_bucket(emb: pd.Series) -> pd.Series:
-        planes = _hyperplanes(n_bits, dim, seed)
-
-        def one(v) -> int:
-            x = np.asarray(v, dtype=np.float64)
-            bits = (planes @ x) > 0
-            return int(bits.dot(1 << np.arange(n_bits, dtype=np.int64)))
-
-        return emb.map(one)
+        if emb.empty:
+            return pd.Series([], dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (mat @ planes.T) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
 
     return rhp_bucket
 
@@ -90,10 +90,15 @@ def make_rhp_multi_udf(n_bits: int, dim: int, seed: int, n_tables: int):
     (dim, batch) matmul per Arrow batch, not a per-row loop."""
     from pyspark.sql.types import ArrayType
 
+    # built once here and closure-captured (they ride the UDF pickle to the
+    # executors) — NOT rebuilt per Arrow batch
+    planes = np.vstack([_hyperplanes(n_bits, dim, seed + t) for t in range(n_tables)])
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
     @F.pandas_udf(ArrayType(LongType()))
     def rhp_buckets(emb: pd.Series) -> pd.Series:
-        planes = np.vstack([_hyperplanes(n_bits, dim, seed + t) for t in range(n_tables)])
-        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        if emb.empty:
+            return pd.Series([], dtype=object)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])  # (batch, dim)
         bits = (mat @ planes.T) > 0                                     # (batch, L*n_bits)
         buckets = bits.reshape(len(mat), n_tables, n_bits) @ weights    # (batch, L)
@@ -209,26 +214,24 @@ def cosine_topk_lsh(
     near-uniform 64-dim vectors; n_bits=4, L=8 measures ~0.7).
     Candidate pairs are deduped across tables BEFORE the exact cosine, so
     re-collisions cost nothing; ``n_bits`` should grow with log2(corpus) to
-    keep per-bucket occupancy (and the in-bucket join) bounded."""
-    if n_tables > 1:
-        b = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec).alias("v"),
-            F.posexplode(make_rhp_multi_udf(n_bits, dim, seed, n_tables)(F.col(vec))).alias(
-                "tbl", "bucket"
-            ),
-        )
-        left = b.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        right = b.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        cand = (
-            left.join(right, ["tbl", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .withColumn("cos", cosine("va", "vb"))
-            .select("id_a", "id_b", "cos")
-        )
-    else:
-        cand = rhp_bucket_candidates(df, n_bits, dim, seed, id_col, vec)
+    keep per-bucket occupancy (and the in-bucket join) bounded. One code
+    path for any ``n_tables`` (1 table = posexplode of a 1-element array)."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v"),
+        F.posexplode(make_rhp_multi_udf(n_bits, dim, seed, n_tables)(F.col(vec))).alias(
+            "tbl", "bucket"
+        ),
+    )
+    left = b.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = b.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine("va", "vb"))
+        .select("id_a", "id_b", "cos")
+    )
     sym = cand.unionByName(
         cand.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.col("cos")

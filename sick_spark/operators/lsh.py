@@ -245,21 +245,29 @@ def neardup_matches(
         ix.join(F.broadcast(st), "bh")
         .select("new_sha", "index_sha")
         .dropDuplicates(["new_sha", "index_sha"])
+        .localCheckpoint(eager=True)  # consumed twice (prune + verify): compute the band probe once
     )
     # content granularity: several FILES may share one sha (exact dups within
-    # the batch or the index) — without this the shingle joins would emit one
-    # row per file pair instead of one per content pair
+    # the batch or the index) — without the dedup the shingle joins would
+    # emit one row per file pair instead of one per content pair
     sh_new = (
         new_sigs.select(F.col("sha").alias("new_sha"), F.col("shingle_hashes").alias("h_a"))
         .dropDuplicates(["new_sha"])
     )
+    # verify-side index access must not shuffle the 10^12-row side either:
+    # prune the index scan to the (small, broadcastable) candidate sha set
+    # first — a broadcast semi-join keeps it narrow — THEN dedup and join
+    # the now-tiny slice broadcast. Without the prune, the dropDuplicates
+    # and the pair join would each shuffle the full index shingle table.
+    cand_ix = pairs.select("index_sha").distinct()
     sh_ix = (
         index_sigs.select(F.col("sha").alias("index_sha"), F.col("shingle_hashes").alias("h_b"))
+        .join(F.broadcast(cand_ix), "index_sha", "left_semi")
         .dropDuplicates(["index_sha"])
     )
     return (
         pairs.join(F.broadcast(sh_new), "new_sha")
-        .join(sh_ix, "index_sha")
+        .join(F.broadcast(sh_ix), "index_sha")
         .withColumn("intersect_n", F.size(F.array_intersect("h_a", "h_b")))
         .withColumn(
             "jaccard",

@@ -86,9 +86,15 @@ def run_pipeline(
             #   (= max) size — losing static broadcast joins. Measured on a
             #   pinned local-cluster[4,4]: 65s wall with localCheckpoint vs
             #   ~30s with the cache on the same 800k-file input.
+            master = spark.sparkContext.master
+            single_jvm = master == "local" or master.startswith("local[")
             strategy = os.environ.get("SICK_CKPT") or (
-                "localckpt" if spark.sparkContext.master.startswith("local[") else "cache"
+                "localckpt" if single_jvm else "cache"
             )
+            if strategy not in ("localckpt", "cache"):
+                raise ValueError(
+                    f"SICK_CKPT={strategy!r}: expected 'localckpt' or 'cache'"
+                )
             if strategy == "localckpt":
                 out = df.localCheckpoint(
                     eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
