@@ -425,6 +425,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return token_vocab(d, "text", "lang", 10).orderBy("lang", "rank")
     q["token_vocab_by_lang"] = token_vocab_by_lang
 
+    # --- sequence packing: next-fit token-budget bins per language
+    #     (sequential inside a group via applyInPandas, parallel across
+    #     groups; bin assignment replayed by a recursive-CTE oracle)
+    def doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.pack import pack_documents
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pack_documents(d, budget=512, group_col="lang").select(
+            "grp", "doc_id", "n_tokens", "bin"
+        ).orderBy("grp", "doc_id")
+    q["doc_packing_bins"] = doc_packing_bins
+
     # --- duplicate clusters: connected components (large-star/small-star)
     def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = _verified_pairs_minhash(spark, sf_dir)
@@ -865,6 +877,28 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
               FROM h)
         SELECT source, doc_id FROM r WHERE rk <= 3 ORDER BY source, doc_id
+    """
+    # sequence packing: the next-fit fold replayed as a recursive CTE
+    o["doc_packing_bins"] = r"""
+        WITH RECURSIVE
+        d AS (SELECT lang AS grp, doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              FROM documents),
+        ord AS (SELECT grp, doc_id, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+                FROM d),
+        pack AS (
+            SELECT grp, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS cum
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.grp, o.rn, o.doc_id, o.n_tokens,
+                   CASE WHEN p.cum + o.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+                   CASE WHEN p.cum + o.n_tokens <= 512 THEN p.cum + o.n_tokens
+                        ELSE o.n_tokens END
+            FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1
+        )
+        SELECT grp, doc_id, n_tokens, CAST(bin AS INTEGER) AS bin
+        FROM pack ORDER BY grp, doc_id
     """
     o["token_vocab_by_lang"] = r"""
         WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -1,0 +1,82 @@
+"""Sequence packing: assign documents to fixed token-budget bins
+(context-window construction for training pipelines).
+
+Next-fit discipline per group: walk the group's documents in a
+deterministic order (ascending id), accumulate whitespace token counts,
+close the current bin when the next document would overflow the budget; a
+document larger than the budget gets a bin of its own. Next-fit (not
+first-fit/best-fit) because it is single-pass, order-deterministic, and
+exactly reproducible by a sequential fold in plain SQL — the property the
+value-level oracle needs.
+
+Scale shape: packing is sequential WITHIN a group and parallel ACROSS
+groups — ``applyInPandas`` keyed on the group column (the documented
+escape hatch for genuinely sequential per-group logic). At corpus scale
+the group key is a deterministic shard (e.g. ``pmod(xxhash64(id), n)``)
+so group sizes are bounded and uniform; bin ids are only unique within a
+group, so the global bin key is (group, bin).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("grp", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("bin", IntegerType(), False),
+    ]
+)
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(grp, doc_id, n_tokens, bin): next-fit token packing per group."""
+    toks = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, cur_bin, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if cur > 0 and cur + n > budget:
+                cur_bin += 1
+                cur = 0
+            cur += int(n)
+            bins.append(cur_bin)
+        pdf["bin"] = pd.Series(bins, dtype="int32")
+        return pdf[["grp", "doc_id", "n_tokens", "bin"]]
+
+    return toks.groupBy("grp").applyInPandas(pack, PACK_SCHEMA)
+
+
+def bin_fill_report(packed: DataFrame, budget: int) -> DataFrame:
+    """(grp, bin, docs, tokens, fill): packing efficiency accounting —
+    reported, because every capped/approximate stage in this engine
+    reports what it cost (SURVEY.md §4.4)."""
+    return (
+        packed.groupBy("grp", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .withColumn("fill", F.col("tokens") / F.lit(budget))
+    )

@@ -26,6 +26,40 @@ def test_sample_smaller_group_keeps_all(spark):
     assert sample_per_group(df, "grp", "id", 5).count() == 2
 
 
+def test_pack_documents_invariants(spark):
+    from sick_spark.operators.pack import bin_fill_report, pack_documents
+
+    docs = spark.createDataFrame(
+        [(g, i, " ".join(["t"] * (7 + (i * 13) % 40))) for g in ("a", "b") for i in range(30)],
+        "lang string, doc_id long, text string",
+    )
+    packed = pack_documents(docs, budget=64, group_col="lang", text_col="text")
+    rows = packed.collect()
+    assert len(rows) == 60
+    fills = {(r["grp"], r["bin"]): r["tokens"] for r in bin_fill_report(packed, 64).collect()}
+    # no bin over budget (no single doc here exceeds it)
+    assert all(t <= 64 for t in fills.values())
+    # next-fit leaves no bin that could have absorbed its successor's FIRST doc
+    by_grp: dict = {}
+    for r in sorted(rows, key=lambda r: (r["grp"], r["doc_id"])):
+        by_grp.setdefault(r["grp"], []).append(r)
+    for g, rs in by_grp.items():
+        bins = [r["bin"] for r in rs]
+        assert bins == sorted(bins)  # monotone in doc order
+        assert set(bins) == set(range(max(bins) + 1))  # contiguous ids
+        for prev, cur in zip(rs, rs[1:]):
+            if cur["bin"] != prev["bin"]:
+                assert fills[(g, prev["bin"])] + cur["n_tokens"] > 64
+    # oversized doc gets its own bin, and packing is rerun-stable
+    big = spark.createDataFrame(
+        [("a", 1, "x y"), ("a", 2, " ".join(["t"] * 100)), ("a", 3, "z")],
+        "lang string, doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bin"] for r in pack_documents(big, 64, "lang").collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    assert {r["doc_id"]: r["bin"] for r in pack_documents(big, 64, "lang").collect()} == got
+
+
 def test_token_vocab_topk(spark):
     df = spark.createDataFrame(
         [("en", "a a a b b c"), ("en", "a b  d"), ("de", "x y x")],
