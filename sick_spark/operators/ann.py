@@ -178,7 +178,7 @@ def cosine_pairs_blocked(
         [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
     )
 
-    def cell(key, pdf: pd.DataFrame):
+    def cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
         ids = pdf["id"].to_numpy(dtype=np.int64)
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)

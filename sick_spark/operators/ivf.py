@@ -72,18 +72,20 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
 def make_cell_udf(centroids: np.ndarray, nprobe: int):
     """pandas UDF: vector → its ``nprobe`` nearest cells by cosine, ties
     broken toward the smaller cell index (stable argsort — matches the
-    oracle's ORDER BY cos DESC, cell ASC)."""
+    oracle's ORDER BY cos DESC, cell ASC). Fully batch-vectorized: ONE
+    (batch, dim) @ (dim, n_cells) matmul + one argsort per Arrow batch —
+    no per-row Python (the north rule's no-per-row-Python invariant)."""
     cn = _normalized(centroids)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def cells(emb: pd.Series) -> pd.Series:
-        def one(v) -> list[int]:
-            x = np.asarray(v, dtype=np.float64)
-            cos = cn @ (x / max(np.linalg.norm(x), 1e-12))
-            order = np.argsort(-cos, kind="stable")
-            return [int(c) for c in order[:nprobe]]
-
-        return emb.map(one)
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        mat = _normalized(np.array([np.asarray(v, dtype=np.float64) for v in emb]))
+        cos = mat @ cn.T                                   # (batch, n_cells)
+        order = np.argsort(-cos, axis=1, kind="stable")    # ties -> smaller cell
+        top = order[:, :nprobe].astype(np.int32)
+        return pd.Series([row.tolist() for row in top])
 
     return cells
 

@@ -241,11 +241,19 @@ def neardup_matches(
     ix = band_keys(with_band_hashes(index_sigs, cfg), cfg).select(
         F.col("id").alias("index_sha"), "bh"
     )
+    # consumed twice (prune + verify): cut the band probe's lineage once.
+    # LAZY checkpoint — materialization happens on first downstream action,
+    # so building the plan (e.g. a foreachBatch that ends up empty, or a
+    # caller that never consumes) launches no job. Trade-off at cluster
+    # scale: localCheckpoint blocks are not lineage-recoverable, so an
+    # executor loss mid-query fails this query (retry recomputes from the
+    # source); acceptable for a micro-batch-sized delta probe, and the
+    # 10^12-row index side is never checkpointed or shuffled at all.
     pairs = (
         ix.join(F.broadcast(st), "bh")
         .select("new_sha", "index_sha")
         .dropDuplicates(["new_sha", "index_sha"])
-        .localCheckpoint(eager=True)  # consumed twice (prune + verify): compute the band probe once
+        .localCheckpoint(eager=False)
     )
     # content granularity: several FILES may share one sha (exact dups within
     # the batch or the index) — without the dedup the shingle joins would

@@ -326,9 +326,12 @@ def decode_media_stats(media: DataFrame, thumb: int = 4, frame_stride: int = 2) 
                 b = bytes(payload)
                 if kind == "audio":
                     samples, _rate = decode_wav_pcm16(b)
+                    # probe index clamped: a structurally valid WAV with <4
+                    # samples must not raise inside the task
+                    probe = int(samples[min(3, len(samples) - 1)]) if len(samples) else 0
                     out.append(
                         (int(mid), kind, 0, 0, len(samples), int(samples.astype(np.int64).sum()),
-                         int(samples[3]), 0)
+                         probe, 0)
                     )
                     continue
                 frames = [decode_bmp24(b)] if kind == "image" else decode_video_frames(b, frame_stride)
@@ -336,9 +339,11 @@ def decode_media_stats(media: DataFrame, thumb: int = 4, frame_stride: int = 2) 
                 total = sum(int(fr.astype(np.int64).sum()) for fr in frames)
                 n_vals = sum(fr.size for fr in frames)
                 th = resize_nearest(frames[0], thumb, thumb)
+                # (y=1, x=2) clamped for degenerate tiny images (h<2 or w<3)
+                probe = int(frames[0][min(1, h - 1), min(2, w - 1), 0])
                 out.append(
                     (int(mid), kind, w, h, n_vals, total,
-                     int(frames[0][1, 2, 0]), int(th.astype(np.int64).sum()))
+                     probe, int(th.astype(np.int64).sum()))
                 )
             yield pd.DataFrame(
                 out,

@@ -28,10 +28,14 @@ def sample_per_group(
     w = Window.partitionBy(group_col).orderBy(
         portable_id_hash(id_col).asc(), F.col(id_col).asc()
     )
+    # temp rank column name is derived to never collide with input columns
+    rk = "__rk"
+    while rk in df.columns:
+        rk += "_"
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= n)
-        .drop("__rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= n)
+        .select(*df.columns)
     )
 
 

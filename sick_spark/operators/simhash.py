@@ -36,7 +36,31 @@ def simhash_one(hs) -> int:
 
 @F.pandas_udf(LongType())
 def simhash64(hashes: pd.Series) -> pd.Series:
-    return hashes.map(simhash_one)
+    """Batch form of :func:`simhash_one`: ONE flattened unpackbits over the
+    whole Arrow batch + a segment-sum (``np.add.reduceat``) per document —
+    no per-row Python call in the hot path."""
+    if hashes.empty:
+        return pd.Series([], dtype=np.int64)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=len(hashes)
+    )
+    votes = np.zeros((len(hashes), 64), dtype=np.int64)
+    nonzero = lens > 0
+    if nonzero.any():
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        )
+        bits = np.unpackbits(
+            np.ascontiguousarray(flat).view(np.uint8).reshape(len(flat), 8),
+            axis=1,
+            bitorder="little",
+        ).astype(np.int64)
+        offs = np.zeros(int(nonzero.sum()), dtype=np.int64)
+        offs[1:] = np.cumsum(lens[nonzero])[:-1]
+        votes[nonzero] = np.add.reduceat(bits, offs, axis=0)
+    fp_bits = (2 * votes) > lens[:, None]  # strict majority; empty doc -> 0
+    out = np.packbits(fp_bits, axis=1, bitorder="little").view(np.int64).ravel()
+    return pd.Series(out)
 
 
 def simhash_fingerprints(df: DataFrame, hashes: str = "shingle_hashes", out: str = "simhash") -> DataFrame:
