@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sick_spark.config import DedupConfig
+from sick_spark.config import DedupConfig, derive_rhp
 from sick_spark.corpus import corpus_from_documents
 from sick_spark.functions.text import (
     sha60_shingle_hashes,
@@ -63,6 +63,8 @@ _COS = 0.45       # embedding near-dup threshold
 _W = 4            # winnowing window (fingerprints ~ 2/(w+1) of k-grams)
 _WIN_MAXDF = 50   # winnow hot-fingerprint cap (boilerplate exclusion)
 _WIN_MINSH = 2    # min shared fingerprints for a partial-dup candidate pair
+_ANN_COS_FLOOR = 0.25  # lowest 3rd-neighbor cosine observed on the fixture corpus
+_ANN_PROBES = 2   # margin-ordered multiprobe flips per (vector, table)
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
@@ -303,6 +305,45 @@ def _rhp_multi_bucket_cte(n_bits: int, n_tables: int, seed: int = 42) -> str:
                       SUM(CASE WHEN list_dot_product(v, p) > 0
                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
                FROM e CROSS JOIN planes GROUP BY e.vec_id, tbl)
+    """
+
+
+def _rhp_probe_bucket_cte(n_bits: int, n_tables: int, n_probes: int, seed: int = 42) -> str:
+    """Margin-ordered multiprobe variant of :func:`_rhp_multi_bucket_cte`:
+    same seeded planes, plus ``pk`` = the query-side probe set — the main
+    bucket AND its ``n_probes`` lowest-|margin| single-bit flips per
+    (vector, table). Replays ``make_rhp_multiprobe_udf`` value-for-value:
+    the UDF's stable argsort of |dot| breaks ties by bit index, mirrored
+    here by ORDER BY ABS(d), i. ``bk`` (main buckets only) stays the index
+    side, exactly like the Spark plan."""
+    from sick_spark.operators.ann import _hyperplanes
+
+    rows = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            t, i, ", ".join(repr(float(x)) for x in planes[i])
+        )
+        for t in range(n_tables)
+        for planes in [_hyperplanes(n_bits, 64, seed + t)]
+        for i in range(n_bits)
+    )
+    return f"""
+        planes AS (SELECT * FROM (VALUES {rows}) AS t(tbl, i, p)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dots AS (SELECT e.vec_id, tbl, i, list_dot_product(v, p) AS d
+                 FROM e CROSS JOIN planes),
+        bk AS (SELECT vec_id, tbl,
+                      SUM(CASE WHEN d > 0
+                               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+               FROM dots GROUP BY vec_id, tbl),
+        flipbits AS (SELECT vec_id, tbl, i FROM (
+                        SELECT vec_id, tbl, i,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id, tbl
+                                                  ORDER BY ABS(d), i) AS rk
+                        FROM dots) WHERE rk <= {n_probes}),
+        pk AS (SELECT vec_id, tbl, bucket FROM bk
+               UNION ALL
+               SELECT m.vec_id, m.tbl, xor(m.bucket, CAST(1 AS BIGINT) << f.i) AS bucket
+               FROM bk m JOIN flipbits f ON f.vec_id = m.vec_id AND f.tbl = m.tbl)
     """
 
 
@@ -720,10 +761,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        # n_bits=4, 8 tables: measured recall@3 ~0.7 vs brute force on the
-        # near-uniform test embeddings (single-table n_bits=8 measured 0.02);
-        # n_bits scales with log2(corpus) at real sizes
-        return cosine_topk_lsh(e, k=3, n_bits=4, dim=64, n_tables=8).select(
+        # corpus-size-derived params + margin-ordered multiprobe: n_bits
+        # from occupancy (grows with log2(n)), n_tables from the
+        # Goemans-Williamson S-curve at the fixture's 3rd-neighbor cosine
+        # floor (~0.25). At n=500 this derives (3 bits, 4 tables, 2 probes)
+        # and measures recall@3 ~0.98 vs brute force (round-2's hand-picked
+        # 4x8 no-probe config measured ~0.7); gated >=0.9 in test_ann.py.
+        n_bits, n_tables = derive_rhp(e.count(), _ANN_COS_FLOOR, target_recall=0.9,
+                                      n_probes=_ANN_PROBES)
+        return cosine_topk_lsh(
+            e, k=3, n_bits=n_bits, dim=64, n_tables=n_tables, n_probes=_ANN_PROBES
+        ).select(
             "query_id", "neighbor_id", F.col("rank").alias("rnk")
         ).orderBy("query_id", "rnk")
     q["ann_topk_lsh"] = ann_topk_lsh
@@ -1235,18 +1283,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(ea.v, eb.v) >= {_COS}
         ORDER BY id_a, id_b
     """
+    # replays derive_rhp's instantiation at the oracle's n=500 corpus
+    # (3 bits, 4 tables, 2 margin-ordered probes) — the probe side joins
+    # the main-bucket index asymmetrically, so pairs are normalized to
+    # (least, greatest) before the DISTINCT + symmetric cosine, exactly
+    # like cosine_topk_lsh
+    _ann_b, _ann_l = derive_rhp(500, _ANN_COS_FLOOR, target_recall=0.9,
+                                n_probes=_ANN_PROBES)
     o["ann_topk_lsh"] = f"""
-        WITH {_rhp_multi_bucket_cte(4, 8)},
-        cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid,
-                        list_cosine_similarity(ea.v, eb.v) AS cos
-                 FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
-                                    AND a.vec_id <> b.vec_id
-                 JOIN e ea ON ea.vec_id = a.vec_id
-                 JOIN e eb ON eb.vec_id = b.vec_id)
+        WITH {_rhp_probe_bucket_cte(_ann_b, _ann_l, _ANN_PROBES)},
+        pairs AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS qid,
+                         greatest(a.vec_id, b.vec_id) AS nid
+                  FROM pk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                                     AND a.vec_id <> b.vec_id),
+        cand AS (SELECT qid, nid, list_cosine_similarity(ea.v, eb.v) AS cos
+                 FROM pairs
+                 JOIN e ea ON ea.vec_id = qid
+                 JOIN e eb ON eb.vec_id = nid),
+        sym AS (SELECT qid, nid, cos FROM cand
+                UNION ALL
+                SELECT nid, qid, cos FROM cand)
         SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
             SELECT qid, nid,
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
-            FROM cand
+            FROM sym
         ) t WHERE rnk <= 3 ORDER BY query_id, rnk
     """
     o["shred_point_lookup"] = """

@@ -37,6 +37,59 @@ def derive_bands(n_perms: int, threshold: float, target_recall: float = 0.99) ->
     return n_perms, 1
 
 
+def derive_rhp(
+    n_vectors: int,
+    target_cos: float,
+    target_recall: float = 0.9,
+    n_probes: int = 0,
+    max_occupancy: int = 64,
+    max_tables: int = 64,
+    min_bits: int = 2,
+    max_bits: int = 24,
+) -> tuple[int, int]:
+    """Derive RHP-LSH ``(n_bits, n_tables)`` from corpus size and a cosine
+    floor — the vector-space mirror of :func:`derive_bands` (and of the
+    reference deriving its KHash bucket count from settings,
+    ``SICKSettings.scala:3-15``). Nothing here is hand-tuned to a fixture.
+
+    * ``n_bits``: smallest b with expected bucket occupancy
+      ``n_vectors / 2^b <= max_occupancy`` — occupancy is what bounds the
+      in-bucket join (pairs grow as occupancy², exactly like the MinHash
+      ``max_bucket`` cap), so b grows with log2(corpus).
+    * ``n_tables``: per-bit collision probability for a pair at cosine c is
+      ``p = 1 - arccos(c)/pi`` (Goemans–Williamson); one table collides with
+      probability ``p^b``. With margin-ordered multiprobe (the query also
+      probes its ``n_probes`` lowest-|dot| single-bit flips) a conservative
+      lower bound adds the Hamming-distance-1 term with a uniform
+      ``n_probes/b`` hit fraction — margin ordering only improves on it:
+
+          P1 >= p^b + min(n_probes, b) * p^(b-1) * (1 - p)
+
+      then ``L = ceil(ln(1-target) / ln(1-P1))``, capped at ``max_tables``
+      (cap hit => the floor is not analytically reachable; the caller sees
+      it as measured recall and the recall gate fails loudly).
+
+    Recall at cosine ABOVE the floor is strictly higher (p is monotone in
+    c), so ``target_cos`` should be the LOWEST neighbor cosine that must
+    still be found — e.g. the corpus's observed 3rd-neighbor floor for a
+    recall@3 target.
+    """
+    import math
+
+    if not -1.0 < target_cos < 1.0:
+        raise ValueError("target_cos must be in (-1, 1)")
+    n_bits = min_bits
+    while n_vectors / (1 << n_bits) > max_occupancy and n_bits < max_bits:
+        n_bits += 1
+    p = 1.0 - math.acos(target_cos) / math.pi
+    p1 = p**n_bits + min(n_probes, n_bits) * p ** (n_bits - 1) * (1.0 - p)
+    p1 = min(p1, 1.0 - 1e-12)
+    if p1 <= 0.0:
+        return n_bits, max_tables
+    n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1))
+    return n_bits, max(1, min(n_tables, max_tables))
+
+
 @dataclass(frozen=True)
 class DedupConfig:
     """The "identical shingle/signature config" knob from the north rule.

@@ -107,6 +107,40 @@ def make_rhp_multi_udf(n_bits: int, dim: int, seed: int, n_tables: int):
     return rhp_buckets
 
 
+def make_rhp_multiprobe_udf(n_bits: int, dim: int, seed: int, n_tables: int, n_probes: int):
+    """Multiprobe query-side buckets: per table, the main bucket PLUS the
+    ``n_probes`` single-bit flips with the smallest |dot| margin (Lv et al.,
+    VLDB'07 — the near-boundary bits are exactly the ones most likely to
+    disagree between true neighbors, so probing them buys recall without
+    more tables). One Arrow pass, one (batch, dim) @ (dim, L*n_bits) matmul;
+    output is a flat array of length ``n_tables * (1 + n_probes)`` — table
+    of position i is ``i // (1 + n_probes)``."""
+    from pyspark.sql.types import ArrayType
+
+    n_probes = min(n_probes, n_bits)
+    planes = np.vstack([_hyperplanes(n_bits, dim, seed + t) for t in range(n_tables)])
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def rhp_probe_buckets(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        d = (mat @ planes.T).reshape(len(mat), n_tables, n_bits)   # margins
+        buckets = (d > 0) @ weights                                # (batch, L)
+        # lowest-|margin| bit indices per (row, table), stable ties
+        order = np.argsort(np.abs(d), axis=2, kind="stable")[:, :, :n_probes]
+        flips = np.bitwise_xor(
+            buckets[:, :, None].astype(np.int64), (1 << order).astype(np.int64)
+        )                                                          # (batch, L, n_probes)
+        out = np.concatenate(
+            [buckets[:, :, None].astype(np.int64), flips], axis=2
+        ).reshape(len(mat), n_tables * (1 + n_probes))
+        return pd.Series([row.tolist() for row in out])
+
+    return rhp_probe_buckets
+
+
 def rhp_bucket_candidates(
     df: DataFrame, n_bits: int, dim: int, seed: int = 42, id_col: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:
@@ -205,29 +239,58 @@ def cosine_pairs_blocked(
 def cosine_topk_lsh(
     df: DataFrame, k: int, n_bits: int, dim: int, seed: int = 42,
     id_col: str = "vec_id", vec: str = "embedding", n_tables: int = 1,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate all-pairs top-k: neighbors restricted to bucket
     collisions in ANY of ``n_tables`` independent hash tables (the classic
     multi-table LSH recall lever: per-table collision probability for
-    neighbors at angle θ is (1-θ/π)^n_bits, across L tables
-    1-(1-p)^L — a single table at n_bits=8 measured recall@3 = 0.02 on
-    near-uniform 64-dim vectors; n_bits=4, L=8 measures ~0.7).
+    neighbors at angle θ is (1-θ/π)^n_bits, across L tables 1-(1-p)^L).
     Candidate pairs are deduped across tables BEFORE the exact cosine, so
-    re-collisions cost nothing; ``n_bits`` should grow with log2(corpus) to
-    keep per-bucket occupancy (and the in-bucket join) bounded. One code
-    path for any ``n_tables`` (1 table = posexplode of a 1-element array)."""
-    b = df.select(
+    re-collisions cost nothing.
+
+    Parameters should come from :func:`sick_spark.config.derive_rhp` —
+    ``n_bits`` grows with log2(corpus) to bound per-bucket occupancy (and
+    the in-bucket join), ``n_tables`` from the Goemans–Williamson S-curve
+    at the corpus's neighbor-cosine floor. ``n_probes > 0`` turns on
+    margin-ordered multiprobe (each vector ALSO probes its ``n_probes``
+    lowest-margin single-bit-flip buckets per table): same recall with
+    ~n_probes× fewer tables, i.e. fewer index rows and shuffle bytes —
+    the index side always stores exactly one bucket per (vector, table).
+    """
+    index = df.select(
         F.col(id_col).alias("id"),
         F.col(vec).alias("v"),
         F.posexplode(make_rhp_multi_udf(n_bits, dim, seed, n_tables)(F.col(vec))).alias(
             "tbl", "bucket"
         ),
     )
-    left = b.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = b.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    if n_probes > 0:
+        step = 1 + min(n_probes, n_bits)
+        probe = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).alias("v"),
+            F.posexplode(
+                make_rhp_multiprobe_udf(n_bits, dim, seed, n_tables, n_probes)(F.col(vec))
+            ).alias("pos", "bucket"),
+        ).select("id", "v", (F.col("pos") / step).cast("int").alias("tbl"), "bucket")
+    else:
+        probe = index
+    left = probe.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = index.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # probe ⋈ index is asymmetric under multiprobe (a finds b when b's MAIN
+    # bucket is in a's probe set, not necessarily vice versa), so normalize
+    # the pair to (min, max) — NOT filter id_a < id_b, which would drop
+    # pairs found only by the larger id — and dedup before the (symmetric)
+    # cosine, so each pair is scored once
     cand = (
         left.join(right, ["tbl", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "va",
+            "vb",
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", cosine("va", "vb"))
         .select("id_a", "id_b", "cos")

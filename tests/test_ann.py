@@ -39,27 +39,63 @@ def test_rhp_bucket_deterministic_and_collision(spark):
     assert b[0] != b[2]  # antipodal flips every sign bit
 
 
-def test_rhp_lsh_topk_recall_floor(spark, sf_dir):
-    """cosine_topk_lsh at the oracled query's config (4 bits x 8 tables, 64
-    dims) vs exact brute-force top-3 over the fixture embeddings. Top-3
-    neighbors sit at cos~0.33 here, so a SINGLE 8-bit table collides with
-    probability (1-acos(.33)/pi)^8 ~ 0.02 — measured recall 0.02, useless;
-    8 tables at 4 bits give 1-(1-0.136)^8 ~ 0.69 predicted, ~0.7 measured.
-    Deterministic hyperplanes, so exact reruns; the floor documents the
-    approximation honestly like the IVF gate."""
+def test_rhp_lsh_topk_recall_derived_config(spark, sf_dir):
+    """cosine_topk_lsh at the CORPUS-DERIVED config (derive_rhp from n=500
+    and the fixture's observed 3rd-neighbor cosine floor ~0.25, 2
+    margin-ordered probes => 3 bits x 4 tables) vs exact brute-force top-3.
+    The analytic bound guarantees per-pair recall >=0.9 AT the floor;
+    measured aggregate recall@3 is ~0.98 on both sf0.001 and sf0.01
+    (round 2's hand-picked 4x8 no-probe config measured ~0.7 — the
+    multiprobe config beats it with HALF the index rows). Deterministic
+    hyperplanes, so exact reruns. Gate at the derivation's own target."""
+    from sick_spark.config import derive_rhp
     from sick_spark.operators.ann import cosine_topk_lsh
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    n_bits, n_tables = derive_rhp(n, 0.25, target_recall=0.9, n_probes=2)
+    assert (n_bits, n_tables) == (3, 4), "derivation drifted for n=500"
     lsh = {
         (r["query_id"], r["neighbor_id"])
-        for r in cosine_topk_lsh(e, k=3, n_bits=4, dim=64, n_tables=8).collect()
+        for r in cosine_topk_lsh(
+            e, k=3, n_bits=n_bits, dim=64, n_tables=n_tables, n_probes=2
+        ).collect()
     }
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk_bruteforce(e, e, k=3).collect()
     }
     recall = len(lsh & exact) / max(len(exact), 1)
-    assert recall >= 0.5, f"recall@3 {recall:.2f} below floor"
+    assert recall >= 0.9, f"recall@3 {recall:.2f} below derived-config floor"
+
+
+def test_rhp_multiprobe_probes_lowest_margin_bits(spark):
+    """The multiprobe UDF's probe set = main bucket + n_probes lowest-|dot|
+    single-bit flips, checked against a direct numpy recomputation."""
+    from sick_spark.operators.ann import _hyperplanes, make_rhp_multiprobe_udf
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    df = _vec_df(spark, vecs)
+    n_bits, n_tables, n_probes, seed = 5, 3, 2, 42
+    rows = df.select(
+        "vec_id",
+        make_rhp_multiprobe_udf(n_bits, 16, seed, n_tables, n_probes)(
+            df.embedding
+        ).alias("bk"),
+    ).collect()
+    got = {r["vec_id"]: r["bk"] for r in rows}
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    for vid in range(20):
+        v = np.asarray(vecs[vid], dtype=np.float64)
+        expect = []
+        for t in range(n_tables):
+            d = _hyperplanes(n_bits, 16, seed + t) @ v
+            main = int(((d > 0) @ weights))
+            expect.append(main)
+            order = np.argsort(np.abs(d), kind="stable")[:n_probes]
+            expect.extend(int(main ^ (1 << int(i))) for i in order)
+        assert got[vid] == expect, f"vec {vid}"
 
 
 def test_rhp_candidates_find_near_neighbors(spark):

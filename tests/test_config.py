@@ -29,3 +29,38 @@ def test_config_frozen_and_derived():
     c = DedupConfig(jaccard_threshold=0.5)
     assert c.bands * c.rows == c.sig_len <= c.n_perms
     assert c.expected_recall(c.jaccard_threshold) >= c.target_recall
+
+
+def test_derive_rhp_occupancy_and_recall_bound():
+    import math
+
+    from sick_spark.config import derive_rhp
+
+    for n in (500, 50_000, 5_000_000):
+        for cos in (0.25, 0.5, 0.8):
+            for probes in (0, 2):
+                b, L = derive_rhp(n, cos, target_recall=0.9, n_probes=probes)
+                # occupancy bound: expected bucket size <= 64 (or b capped)
+                assert n / (1 << b) <= 64 or b == 24
+                # the analytic recall bound the L-derivation used must hold
+                p = 1 - math.acos(cos) / math.pi
+                p1 = p**b + min(probes, b) * p ** (b - 1) * (1 - p)
+                if L < 64:  # cap not hit => floor analytically reachable
+                    assert 1 - (1 - p1) ** L >= 0.9 - 1e-9
+
+
+def test_derive_rhp_multiprobe_needs_fewer_tables():
+    from sick_spark.config import derive_rhp
+
+    b0, l0 = derive_rhp(500, 0.25, target_recall=0.9, n_probes=0)
+    b2, l2 = derive_rhp(500, 0.25, target_recall=0.9, n_probes=2)
+    assert b0 == b2  # occupancy-driven, probe-independent
+    assert l2 < l0  # probes buy recall => fewer tables / index rows
+
+
+def test_derive_rhp_bits_grow_with_corpus():
+    from sick_spark.config import derive_rhp
+
+    b_small, _ = derive_rhp(500, 0.25)
+    b_big, _ = derive_rhp(2_000_000, 0.25)
+    assert b_big > b_small
