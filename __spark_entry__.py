@@ -826,6 +826,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.clusters.select("path", "sha", "component").orderBy("path")
     q["full_pipeline_clusters"] = full_pipeline_clusters
 
+    # --- incremental corpus evolution: three deltas ingested one at a time
+    #     (sign only never-seen shas, broadcast-probe the accumulated index,
+    #     append — the index is never rewritten or shuffled), then one
+    #     periodic re-cluster over the accumulated verified edges. The
+    #     oracle is the FULL-BATCH cluster SQL: the driver's gate is
+    #     literally the incremental == batch equivalence claim.
+    #     (plans/incremental.py; reference open-and-extend surface:
+    #     IncrementalEBAReader.scala:38-101)
+    def incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from sick_spark.plans.incremental import ingest_delta, recluster
+        from sick_spark.sources.io import Warehouse
+
+        corpus = corpus_from_documents(spark, sf_dir)
+        cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
+        wh = Warehouse(tempfile.mkdtemp(prefix="sick_inc_"))
+        for i in range(3):
+            delta = corpus.where(F.pmod(F.xxhash64("path"), F.lit(3)) == F.lit(i))
+            ingest_delta(spark, delta, wh, cfg, delta_id=str(i))
+        return recluster(spark, wh).select("path", "sha", "component").orderBy("path")
+    q["incremental_clusters"] = incremental_clusters
+
     # --- R13 cast/widening: read the narrowed numeric kinds back as wider
     #     types (byte/short/int scalars -> bigint and double), the
     #     reference's widening read contract (SickCursor.cs numeric query
@@ -1228,7 +1251,8 @@ def oracle_sql() -> dict[str, str]:
         FROM prs p LEFT JOIN lcs l ON p.sha = l.sha
         ORDER BY p.sha
     """
-    o["full_pipeline_clusters"] = """
+    # incremental == batch: the incremental query's oracle IS the batch SQL
+    o["incremental_clusters"] = o_full_clusters = """
         WITH RECURSIVE d AS (SELECT DISTINCT sha256(text) AS sha, text FROM documents),
         w AS (SELECT sha, string_split_regex(trim(text), '\\s+') AS ws FROM d),
         sh AS (SELECT sha,
@@ -1256,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         FROM files f LEFT JOIN comp c ON f.sha = c.cid
         ORDER BY path
     """
+    o["full_pipeline_clusters"] = o_full_clusters
     # arrow/pandas MinHash backend: exact replay of the multiply-shift
     # signature family over portable sha60 shingle hashes. HUGEINT holds
     # a*h (< 2^124); min is over the UNSIGNED value, then mapped to the

@@ -1,0 +1,149 @@
+"""Incremental corpus evolution: ingest deltas, extend the signature index,
+probe new-vs-indexed, periodically re-cluster.
+
+The reference's analogous surface is the incremental reader — open an
+existing structure and extend it without rewriting what is already there
+(``IncrementalEBAReader.scala:38-101``). Here the "structure" is an
+append-only signature index (one parquet/Iceberg partition per delta,
+:meth:`sick_spark.sources.io.Warehouse.append`) plus an append-only table
+of verified match edges; re-clustering reads only the accumulated edges.
+
+Equivalence invariant (tested, and oracled by the driver against the
+FULL-BATCH SQL): after any sequence of deltas,
+
+    recluster(warehouse) == run_pipeline(union of all deltas).clusters
+
+Decomposition argument: an LSH band collision is a pairwise predicate, so
+every colliding pair (a, b) is found exactly once —
+
+* intra-delta: by :func:`candidate_pairs` on the first delta that contains
+  both shas (later deltas resume-filter both away);
+* cross-delta: by the broadcast probe (:func:`neardup_matches`) of the
+  later sha's delta against the index that already holds the earlier one;
+
+and both paths apply the same exact-Jaccard threshold, so the verified
+edge sets are equal and connected components agree. (Holds verbatim while
+no bucket exceeds ``cfg.max_bucket``; under salting the full-batch and
+per-delta salt boundaries may differ — both sides still report via
+``overflow_report``, never silently drop.)
+
+Scale shape (the 100 TB story): each delta is micro-batch-sized, so its
+band keys and signature rows broadcast; the 10^12-row index is only ever
+APPENDED (never rewritten) and only ever read through the broadcast probe
+(never shuffled — plan-asserted for ``neardup_matches`` in
+``tests/test_plans.py``). Re-clustering touches the match-edge table,
+which scales with the number of duplicate pairs, not the corpus.
+
+Crash safety: the delta is the commit unit. Every append overwrites its
+own ``delta=<id>`` subdir and the SIGNATURE append goes last — its marker
+is the delta's commit point (:func:`ingest_delta` replays the whole delta
+when it is absent, and every write is idempotent under replay). Uncommitted
+partitions stay invisible to readers (``Warehouse.read_deltas`` loads only
+marker-committed subdirs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sick_spark.config import DedupConfig
+from sick_spark.operators.components import attach_components, connected_components
+from sick_spark.operators.exact_dedup import exact_dedup
+from sick_spark.operators.lsh import band_keys, candidate_pairs, neardup_matches
+from sick_spark.operators.verify import verify_pairs
+from sick_spark.plans.pipeline import signature_stage
+from sick_spark.sources.io import Warehouse, resume_filter
+
+ROOTS = "inc_roots"        # (repo, path, commit, lang, sha) per delta
+SIGS = "inc_sig_index"     # (sha, lang, shingle_hashes, minhash, band_hashes)
+MATCHES = "inc_matches"    # (id_a, id_b, jaccard) — verified near-dup edges
+
+
+@dataclass
+class DeltaStats:
+    delta_id: str
+    files: int
+    new_shas: int
+    cross_matches: int
+    intra_matches: int
+    skipped: bool = False
+
+
+def ingest_delta(
+    spark: SparkSession,
+    delta_corpus: DataFrame,
+    warehouse: Warehouse,
+    cfg: DedupConfig | None = None,
+    delta_id: str = "0",
+) -> DeltaStats:
+    """Ingest one corpus delta: sha-collapse, sign only never-seen shas,
+    probe them against the accumulated index, find intra-delta pairs, and
+    extend the index. Idempotent per delta_id (safe to replay after a
+    kill); a fully-committed delta is skipped outright."""
+    cfg = cfg or DedupConfig()
+    delta_id = str(delta_id)
+    if warehouse.delta_complete(SIGS, delta_id):
+        return DeltaStats(delta_id, 0, 0, 0, 0, skipped=True)
+
+    roots, store = exact_dedup(delta_corpus)
+    warehouse.append(roots, ROOTS, delta_id)
+
+    # shas already in the index are fully processed (their signatures,
+    # intra pairs, and cross matches were produced by their first delta) —
+    # the same seen-value skip as the reference's dedup-table lookup
+    # (``DeduplicatingRefTableBuilder.scala:17-26``)
+    index = warehouse.read_deltas(spark, SIGS)
+    new_store = resume_filter(store, index, "sha")
+    sig = signature_stage(new_store, cfg).localCheckpoint(eager=False)
+    n_new = sig.count()
+
+    n_cross = 0
+    if index is not None and n_new:
+        cross = neardup_matches(sig, index, cfg).select(
+            F.least("new_sha", "index_sha").alias("id_a"),
+            F.greatest("new_sha", "index_sha").alias("id_b"),
+            "jaccard",
+        )
+        warehouse.append(cross, MATCHES, f"{delta_id}-cross")
+        n_cross = cross.count()
+    intra = verify_pairs(
+        candidate_pairs(band_keys(sig, cfg), cfg, ids=sig.select(F.col("sha").alias("id"))),
+        sig,
+        cfg.jaccard_threshold,
+    ).select("id_a", "id_b", "jaccard")
+    warehouse.append(intra, MATCHES, f"{delta_id}-intra")
+
+    # the signature append commits the delta — everything above replays
+    # idempotently if we die before this line
+    warehouse.append(sig, SIGS, delta_id)
+    return DeltaStats(
+        delta_id, delta_corpus.count(), n_new, n_cross, intra.count()
+    )
+
+
+def recluster(spark: SparkSession, warehouse: Warehouse) -> DataFrame:
+    """Periodic global step: connected components over ALL accumulated
+    verified edges → the same cluster table the batch pipeline emits
+    (repo, path, commit, lang, sha, component). Reads only the edge and
+    root tables — the signature index is not touched."""
+    # the SIGS marker is each delta's commit point: a crashed delta may
+    # have committed its roots/matches appends but not its signatures —
+    # those rows stay invisible until the delta is replayed to completion
+    done = warehouse.committed_deltas(SIGS)
+    edges = warehouse.read_deltas(
+        spark, MATCHES, only=[f"{d}-{kind}" for d in done for kind in ("cross", "intra")]
+    )
+    roots = warehouse.read_deltas(spark, ROOTS, only=done)
+    if roots is None:
+        raise ValueError("recluster before any ingest_delta")
+    universe = roots.select("sha").distinct()
+    if edges is None:
+        sha_comp = universe.withColumn("component", F.col("sha"))
+    else:
+        comp = connected_components(edges.select("id_a", "id_b"))
+        sha_comp = attach_components(universe, comp, "sha")
+    return roots.join(sha_comp, "sha").select(
+        "repo", "path", "commit", "lang", "sha", "component"
+    )

@@ -39,6 +39,30 @@ from sick_spark.operators.verify import verify_pairs
 from sick_spark.sources.io import Warehouse
 
 
+def signature_stage(
+    store: DataFrame, cfg: DedupConfig, with_simhash: bool = False
+) -> DataFrame:
+    """store (sha, lang, content, …) → signature rows
+    (sha, lang, shingle_hashes, minhash, band_hashes[, simhash]).
+
+    Shingle + signatures: narrow, whole-stage codegen (+ Arrow for json
+    rows). Adaptive branch pruning (same driver-side reasoning as AQE's
+    broadcast threshold): the json structural-shingle branch is a
+    Python/Arrow stage over every partition even when the corpus has zero
+    json rows — one cheap limit(1) probe of the store decides whether the
+    branch exists at all. Shared by the batch pipeline and the incremental
+    delta path (one definition — the two modes cannot drift)."""
+    json_aware = cfg.json_aware and not (
+        store.where(F.col("lang") == F.lit("json")).limit(1).isEmpty()
+    )
+    sig = with_shingle_hashes(store.select("sha", "lang", "content"), cfg.shingle_k, json_aware)
+    sig = minhash_signatures(sig, cfg)
+    sig = with_band_hashes(sig, cfg)  # no-op on the pandas path (fused in the UDF)
+    if with_simhash and "simhash" not in sig.columns:
+        sig = simhash_fingerprints(sig)
+    return sig.drop("content")
+
+
 @dataclass
 class PipelineResult:
     roots: DataFrame        # (repo, path, commit, lang, sha)
@@ -110,21 +134,7 @@ def run_pipeline(
     roots = ckpt(roots, "roots")
     store = ckpt(store, "store")
 
-    # 2. shingle + signatures: narrow, whole-stage codegen (+ Arrow for json rows)
-    # adaptive branch pruning (same driver-side reasoning as AQE's broadcast
-    # threshold): the json structural-shingle branch is a Python/Arrow stage
-    # over every partition even when the corpus has zero json rows — one
-    # cheap probe of the already-checkpointed store decides whether the
-    # branch exists at all. limit(1) short-circuits the scan.
-    json_aware = cfg.json_aware and not (
-        store.where(F.col("lang") == F.lit("json")).limit(1).isEmpty()
-    )
-    sig = with_shingle_hashes(store.select("sha", "lang", "content"), cfg.shingle_k, json_aware)
-    sig = minhash_signatures(sig, cfg)
-    sig = with_band_hashes(sig, cfg)  # no-op on the pandas path (fused in the UDF)
-    if with_simhash and "simhash" not in sig.columns:
-        sig = simhash_fingerprints(sig)
-    sig = ckpt(sig.drop("content"), "signatures")
+    sig = ckpt(signature_stage(store, cfg, with_simhash=with_simhash), "signatures")
 
     # 3. LSH banding → candidate pairs (salted hot buckets)
     bands = band_keys(sig, cfg)

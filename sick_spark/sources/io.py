@@ -69,6 +69,63 @@ class Warehouse:
             return self.read(spark, stage)
         return None
 
+    # --- append-only stages (open-and-extend, the incremental-reader
+    #     surface: ``IncrementalEBAReader.scala:38-101`` opens an existing
+    #     structure and extends it without rewriting what is already there)
+
+    def _delta_marker(self, stage: str, delta_id: str) -> str:
+        return os.path.join(self.root, f"_manifest_{stage}@{delta_id}.json")
+
+    def delta_complete(self, stage: str, delta_id: str) -> bool:
+        return os.path.exists(self._delta_marker(stage, str(delta_id)))
+
+    def append(self, df: DataFrame, stage: str, delta_id: str) -> None:
+        """Append one delta to a stage as its own partition directory.
+
+        The delta's subdir is OVERWRITTEN (never the stage): a killed run
+        replayed with the same delta_id is idempotent, and the completion
+        marker written after the data makes the delta the commit unit —
+        exactly-once at the delta granularity. At corpus scale this is one
+        new parquet/Iceberg partition per micro-batch; the accumulated
+        history is never rewritten."""
+        delta_id = str(delta_id)
+        df.write.mode("overwrite").format(self.fmt).save(
+            os.path.join(self._path(stage), f"delta={delta_id}")
+        )
+        with open(self._delta_marker(stage, delta_id), "w") as f:
+            json.dump(
+                {"stage": stage, "delta": delta_id, "completed_unix": int(time.time())},
+                f,
+            )
+
+    def committed_deltas(self, stage: str) -> list[str]:
+        prefix = f"_manifest_{stage}@"
+        return sorted(
+            f[len(prefix):-len(".json")]
+            for f in os.listdir(self.root)
+            if f.startswith(prefix) and f.endswith(".json")
+        )
+
+    def read_deltas(
+        self, spark: SparkSession, stage: str, only: list[str] | None = None
+    ) -> DataFrame | None:
+        """Union of every COMMITTED delta; None when none committed yet.
+        Loads only marker-committed subdirs — a kill mid-append leaves a
+        partial ``delta=X`` dir that must stay invisible until its rerun
+        overwrites it and commits, otherwise the resume filter would treat
+        half-written rows as indexed and the rerun would drop them. Readers
+        see one logical table, like the reference reader seeing one logical
+        structure. ``only`` further restricts to a caller-supplied id set
+        (e.g. deltas whose COMMITTING stage is complete)."""
+        deltas = self.committed_deltas(stage)
+        if only is not None:
+            allowed = set(only)
+            deltas = [d for d in deltas if d in allowed]
+        if not deltas:
+            return None
+        paths = [os.path.join(self._path(stage), f"delta={d}") for d in deltas]
+        return spark.read.format(self.fmt).load(paths)
+
     def manifest(self, stage: str) -> dict | None:
         if not self.is_complete(stage):
             return None
@@ -120,6 +177,47 @@ class CatalogWarehouse(Warehouse):
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.table(self._table(stage))
+
+    def append(self, df: DataFrame, stage: str, delta_id: str) -> None:
+        """Iceberg append-only stage: one snapshot per delta, tagged by a
+        ``__delta`` column. Replay safety = delete-this-delta-then-append
+        (both are atomic snapshot operations, and the local marker written
+        after the append is still the commit point, mirroring the parquet
+        path)."""
+        from pyspark.sql import functions as F
+
+        delta_id = str(delta_id)
+        spark = df.sparkSession
+        tagged = df.withColumn("__delta", F.lit(delta_id))
+        table = self._table(stage)
+        if spark.catalog.tableExists(table):
+            spark.sql(f"DELETE FROM {table} WHERE __delta = '{delta_id}'")
+            tagged.writeTo(table).append()
+        else:
+            tagged.writeTo(table).using(self.fmt).create()
+        with open(self._delta_marker(stage, delta_id), "w") as f:
+            json.dump(
+                {"stage": stage, "delta": delta_id, "table": table,
+                 "completed_unix": int(time.time())},
+                f,
+            )
+
+    def read_deltas(
+        self, spark: SparkSession, stage: str, only: list[str] | None = None
+    ) -> DataFrame | None:
+        deltas = self.committed_deltas(stage)
+        if only is not None:
+            allowed = set(only)
+            deltas = [d for d in deltas if d in allowed]
+        if not deltas or not spark.catalog.tableExists(self._table(stage)):
+            return None
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.table(self._table(stage))
+            .where(F.col("__delta").isin(deltas))
+            .drop("__delta")
+        )
 
 
 def resume_filter(new_input: DataFrame, done: DataFrame | None, key: str = "sha") -> DataFrame:
