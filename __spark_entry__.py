@@ -35,6 +35,7 @@ from sick_spark.functions.textstats import (
 )
 from sick_spark.operators.ann import (
     cosine_pairs_blocked,
+    cosine_pairs_lsh,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     rhp_bucket_candidates,
@@ -487,8 +488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "component").orderBy("doc_id")
     q["dedup_clusters"] = dedup_clusters
 
-    # --- embedding near-dup pairs (cosine >= threshold): broadcast numpy
-    #     block-matmul (one BLAS call per partition, not 25M JVM lambdas)
+    # --- embedding near-dup pairs, EXACT mode (oracle-only at scale: the
+    #     block-grid BLAS replicates n·B rows — quadratic by problem
+    #     statement; the queried 100×-scale plan is
+    #     embedding_neardup_pairs_lsh below, which must return the same
+    #     answer and has its own CORRECTNESS row)
     def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return cosine_pairs_blocked(e, _COS).orderBy("id_a", "id_b")
@@ -776,6 +780,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rnk")
     q["ann_topk_lsh"] = ann_topk_lsh
 
+    # --- embedding near-dup, SCALE mode: multi-table+multiprobe RHP
+    #     candidates -> exact-cosine verify. Oracled against the EXACT
+    #     all-pairs SQL — the correctness row IS the claim that the
+    #     100×-scale plan returns the same answer as the quadratic exact
+    #     mode (which stays oracle-only, like ngram's max_df=None mode).
+    #     Candidate recall at this derived config is gated by a dedicated
+    #     pytest (test_ann.py) so a fixture/config drift fails with a
+    #     recall message, not an opaque oracle mismatch.
+    def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_bits, n_tables = derive_rhp(e.count(), _COS, target_recall=0.999,
+                                      n_probes=_ANN_PROBES)
+        return (
+            cosine_pairs_lsh(e, _COS, n_bits=n_bits, dim=64,
+                             n_tables=n_tables, n_probes=_ANN_PROBES)
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b")
+        )
+    q["embedding_neardup_pairs_lsh"] = embedding_neardup_pairs_lsh
+
     def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return (
@@ -990,6 +1014,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_COS}
         ORDER BY id_a, id_b
     """
+    # the SCALE mode must return the exact mode's answer — same oracle
+    o["embedding_neardup_pairs_lsh"] = o["embedding_neardup_pairs"]
     # embedding clusters: transitive closure over the cosine>=threshold pair
     # graph, component = numeric min vec_id, singletons = own component
     o["embedding_clusters"] = f"""

@@ -236,6 +236,78 @@ def cosine_pairs_blocked(
     return rep.groupBy("bi", "bj").applyInPandas(cell, out_schema)
 
 
+def rhp_candidate_pairs(
+    df: DataFrame, n_bits: int, dim: int, seed: int = 42, n_tables: int = 1,
+    n_probes: int = 0, id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Multi-table (+ optional multiprobe) RHP candidates with their exact
+    cosine: (id_a < id_b, cos), each pair scored once.
+
+    The index side stores exactly ONE bucket per (vector, table); when
+    ``n_probes > 0`` the probe side ALSO visits its n_probes lowest-margin
+    single-bit flips per table. Probe ⋈ index is asymmetric under
+    multiprobe (a finds b when b's MAIN bucket is in a's probe set, not
+    necessarily vice versa), so pairs are normalized to (least, greatest) —
+    NOT filtered id_a < id_b, which would drop pairs found only by the
+    larger id — and deduped across tables BEFORE the (symmetric) cosine."""
+    index = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v"),
+        F.posexplode(make_rhp_multi_udf(n_bits, dim, seed, n_tables)(F.col(vec))).alias(
+            "tbl", "bucket"
+        ),
+    )
+    if n_probes > 0:
+        step = 1 + min(n_probes, n_bits)
+        probe = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).alias("v"),
+            F.posexplode(
+                make_rhp_multiprobe_udf(n_bits, dim, seed, n_tables, n_probes)(F.col(vec))
+            ).alias("pos", "bucket"),
+        ).select("id", "v", (F.col("pos") / step).cast("int").alias("tbl"), "bucket")
+    else:
+        probe = index
+    left = probe.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = index.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "va",
+            "vb",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine("va", "vb"))
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame, threshold: float, n_bits: int, dim: int, seed: int = 42,
+    id_col: str = "vec_id", vec: str = "embedding", n_tables: int = 1,
+    n_probes: int = 0,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, via RHP candidates + exact
+    verify — the 100×-scale plan for embedding near-dup (the exact
+    counterpart, :func:`cosine_pairs_blocked`, replicates n·B rows and is
+    quadratic by problem statement; this one's candidate volume is
+    O(n · L · occupancy)).
+
+    Parameters from :func:`sick_spark.config.derive_rhp` at the THRESHOLD
+    cosine (every wanted pair sits at or above it, so per-pair recall is
+    bounded below by the derivation's target — push target_recall toward
+    1 to make candidate recall effectively exhaustive; the exact-cosine
+    verify keeps precision exact either way)."""
+    return (
+        rhp_candidate_pairs(df, n_bits, dim, seed, n_tables, n_probes, id_col, vec)
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame, k: int, n_bits: int, dim: int, seed: int = 42,
     id_col: str = "vec_id", vec: str = "embedding", n_tables: int = 1,
@@ -257,44 +329,7 @@ def cosine_topk_lsh(
     ~n_probes× fewer tables, i.e. fewer index rows and shuffle bytes —
     the index side always stores exactly one bucket per (vector, table).
     """
-    index = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec).alias("v"),
-        F.posexplode(make_rhp_multi_udf(n_bits, dim, seed, n_tables)(F.col(vec))).alias(
-            "tbl", "bucket"
-        ),
-    )
-    if n_probes > 0:
-        step = 1 + min(n_probes, n_bits)
-        probe = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec).alias("v"),
-            F.posexplode(
-                make_rhp_multiprobe_udf(n_bits, dim, seed, n_tables, n_probes)(F.col(vec))
-            ).alias("pos", "bucket"),
-        ).select("id", "v", (F.col("pos") / step).cast("int").alias("tbl"), "bucket")
-    else:
-        probe = index
-    left = probe.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = index.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    # probe ⋈ index is asymmetric under multiprobe (a finds b when b's MAIN
-    # bucket is in a's probe set, not necessarily vice versa), so normalize
-    # the pair to (min, max) — NOT filter id_a < id_b, which would drop
-    # pairs found only by the larger id — and dedup before the (symmetric)
-    # cosine, so each pair is scored once
-    cand = (
-        left.join(right, ["tbl", "bucket"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "va",
-            "vb",
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", cosine("va", "vb"))
-        .select("id_a", "id_b", "cos")
-    )
+    cand = rhp_candidate_pairs(df, n_bits, dim, seed, n_tables, n_probes, id_col, vec)
     sym = cand.unionByName(
         cand.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.col("cos")

@@ -106,3 +106,29 @@ def test_rhp_candidates_find_near_neighbors(spark):
     df = _vec_df(spark, [base, near, far])
     cand = {(r["id_a"], r["id_b"]) for r in rhp_bucket_candidates(df, 6, 16).collect()}
     assert (0, 1) in cand
+
+
+def test_cosine_pairs_lsh_full_recall_at_query_config(spark):
+    """embedding_neardup_pairs_lsh is oracled against the EXACT all-pairs
+    SQL, which silently assumes candidate recall 1.0 at its derived config
+    on this fixture. Gate that assumption here so fixture/config drift
+    fails with a recall message instead of an opaque oracle hash mismatch
+    (same pattern as incremental_neardup_matches' recall gate)."""
+    from sick_spark.config import derive_rhp
+    from sick_spark.operators.ann import cosine_pairs_blocked, cosine_pairs_lsh
+
+    for sf in ("0.001", "0.01"):
+        e = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        n_bits, n_tables = derive_rhp(e.count(), 0.45, target_recall=0.999, n_probes=2)
+        exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs_blocked(e, 0.45).collect()}
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_pairs_lsh(
+                e, 0.45, n_bits=n_bits, dim=64, n_tables=n_tables, n_probes=2
+            ).collect()
+        }
+        assert lsh == exact, (
+            f"sf{sf}: scale-mode pair recall < 1.0 at derived config "
+            f"(b={n_bits}, L={n_tables}): missed {exact - lsh}, extra {lsh - exact} "
+            "— embedding_neardup_pairs_lsh's exact-SQL oracle is no longer valid"
+        )

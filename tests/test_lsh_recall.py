@@ -48,3 +48,49 @@ def test_identical_config_identical_clusters(spark):
     c1 = {(r["sha"], r["component"]) for r in r1.clusters.select("sha", "component").collect()}
     c2 = {(r["sha"], r["component"]) for r in r2.clusters.select("sha", "component").collect()}
     assert c1 == c2
+
+
+def test_cross_split_probe_recall_is_exactly_one(spark):
+    """incremental_neardup_matches is value-oracled against an EXACT
+    cross-split Jaccard SQL, which silently assumes LSH banding recall 1.0
+    at the query's config on the fixture corpus. Gate that assumption here
+    (ADVICE round 2): a fixture or bands/rows drift fails THIS test with a
+    recall message instead of surfacing as an opaque oracle hash mismatch."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from sick_spark.operators.lsh import neardup_matches
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.5)
+    sf_dir = "/root/testdata/sf0.01"
+    sh = em._doc_shingles(spark, sf_dir)
+    from sick_spark.operators.minhash import minhash_sql
+    from sick_spark.operators.lsh import with_band_hashes
+
+    sig = with_band_hashes(minhash_sql(sh, cfg), cfg).withColumn(
+        "sha", F.col("doc_id").cast("string")
+    )
+    new, ix = sig.where(F.col("doc_id") % 5 == 0), sig.where(F.col("doc_id") % 5 != 0)
+    got = {
+        (int(r["new_sha"]), int(r["index_sha"]))
+        for r in neardup_matches(new, ix, cfg).collect()
+    }
+    # exact ground truth: cross-split Jaccard over the same shingle sets
+    h = {r["doc_id"]: set(r["shingle_hashes"]) for r in sh.collect()}
+    truth = set()
+    for a in h:
+        if a % 5 != 0:
+            continue
+        for b in h:
+            if b % 5 == 0 or not h[a] or not h[b]:
+                continue
+            inter = len(h[a] & h[b])
+            if inter / (len(h[a]) + len(h[b]) - inter) >= cfg.jaccard_threshold:
+                truth.add((a, b))
+    assert truth, "fixture must contain cross-split matches"
+    missed = truth - got
+    assert not missed, (
+        f"cross-split LSH recall {1 - len(missed)/len(truth):.3f} < 1.0 at "
+        f"bands={cfg.bands} rows={cfg.rows} — incremental_neardup_matches' "
+        f"exact oracle is no longer valid; missed {missed}"
+    )
+    assert got <= truth, f"false positives after exact verify: {got - truth}"
