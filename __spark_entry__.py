@@ -1,6 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)    — flagship: full near-dup clustering pipeline on sf0.001.
+entry(spark)    — flagship: full near-dup clustering pipeline on sf0.01
+                  (override via SICK_ENTRY_SF_DIR; scale-invariance gated
+                  by tests/test_entry_scale.py).
 queries()       — one entry per operator (SURVEY.md §2 inventory + the
                   training-data operators).
 oracle_sql()    — DuckDB-equivalent SQL per query; as of round 2 EVERY
@@ -14,6 +16,7 @@ the end so both engines produce bit-identical values.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -74,8 +77,18 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: near-dup clustering of the sf0.001 document corpus."""
-    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001")
+    """Flagship: near-dup clustering of the document corpus.
+
+    Runs at sf0.01 by default (non-trivial size: exercises the memoized
+    shingle/signature DAG and the deployment-aware stage-checkpoint path,
+    not just the toy fixture). Override the corpus with
+    ``SICK_ENTRY_SF_DIR=/root/testdata/sf0.1`` to smoke at bench scale.
+    Scale-invariance of the recovered clusters is gated by
+    ``tests/test_entry_scale.py`` (same planted clusters recovered
+    identically when the background corpus grows 4x).
+    """
+    sf_dir = os.environ.get("SICK_ENTRY_SF_DIR", "/root/testdata/sf0.01")
+    corpus = corpus_from_documents(spark, sf_dir)
     res = run_pipeline(spark, corpus, DedupConfig(shingle_k=_K, jaccard_threshold=_J))
     return res.clusters
 

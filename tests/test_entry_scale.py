@@ -1,0 +1,88 @@
+"""Flagship scale-invariance: the same planted near-dup clusters are
+recovered IDENTICALLY when the background corpus grows 4x.
+
+This is the `entry()` promotion gate (round-2 verdict item 7): the flagship
+runs at sf0.01 by default, and this test proves the pipeline's cluster
+output over a fixed set of planted documents does not depend on how much
+unrelated corpus surrounds them — i.e. promoting the flagship to a bigger
+sf changes wall-clock, not answers. Mirrors the reference's fixture
+strategy (SURVEY.md §5: corpora whose dedup structure is known up front).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import __spark_entry__ as em
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import CORPUS_SCHEMA, synthetic_corpus
+from sick_spark.plans.pipeline import run_pipeline
+
+# Hand-planted clusters: 2 groups of mutual near-dups + 2 exact-dup pairs.
+# Each group has its own disjoint vocabulary so inter-group Jaccard is ~0;
+# within-group variants differ by 1-2 tokens of ~40 (Jaccard >> 0.5).
+def _text(stem: str) -> str:
+    return " ".join(f"{stem}{i}" for i in range(40))
+
+
+def _swap(text: str, old: str, new: str) -> str:
+    """Exact-token replacement (str.replace would also hit prefix tokens,
+    e.g. 'beta3' -> 'beta30'..'beta39')."""
+    return " ".join(new if t == old else t for t in text.split())
+
+
+_A, _B, _C, _D = _text("alpha"), _text("beta"), _text("gamma"), _text("delta")
+_PLANTED: dict[str, list[str]] = {
+    "groupA": [_A, _swap(_A, "alpha7", "alpha99"), _swap(_A, "alpha20", "alpha98")],
+    "groupB": [_B, _swap(_B, "beta3", "beta97")],
+    "exactC": [_C] * 2,
+    "exactD": [_D] * 2,
+}
+
+
+def _planted_rows():
+    rows = []
+    for gname, texts in _PLANTED.items():
+        for i, text in enumerate(texts):
+            sha = hashlib.sha1(f"{gname}:{i}".encode()).hexdigest()[:12]
+            rows.append((f"planted/{gname}", f"src/{gname}_{i}.py", sha, "py", text))
+    return rows
+
+
+def _clusters_over_planted(spark, n_background: int) -> frozenset[frozenset[str]]:
+    bg = synthetic_corpus(spark, n_files=n_background, seed=7, json_fraction=0.0)
+    planted = spark.createDataFrame(_planted_rows(), CORPUS_SCHEMA)
+    corpus = bg.unionByName(planted)
+    res = run_pipeline(spark, corpus, DedupConfig(shingle_k=3, jaccard_threshold=0.5))
+    rows = (
+        res.clusters.filter(res.clusters.repo.startswith("planted/"))
+        .select("path", "component")
+        .collect()
+    )
+    by_comp: dict[str, set[str]] = defaultdict(set)
+    for r in rows:
+        by_comp[r["component"]].add(r["path"])
+    return frozenset(frozenset(v) for v in by_comp.values())
+
+
+def test_planted_clusters_scale_invariant(spark):
+    small = _clusters_over_planted(spark, 150)
+    large = _clusters_over_planted(spark, 600)
+    assert small == large
+    # and the planted structure itself is recovered: 4 groups, sizes 3/2/2/2
+    sizes = sorted(len(c) for c in small)
+    assert sizes == [2, 2, 2, 3]
+
+
+def test_entry_default_is_sf001(spark, monkeypatch):
+    monkeypatch.delenv("SICK_ENTRY_SF_DIR", raising=False)
+    df = em.entry(spark)
+    assert df.count() == 500  # sf0.01 documents
+
+
+def test_entry_env_override(spark, monkeypatch):
+    monkeypatch.setenv("SICK_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    df = em.entry(spark)
+    assert df.count() == 500  # sf0.001 is also 500 docs — but texts differ
+    assert {"repo", "path", "sha", "component"} <= set(df.columns)
