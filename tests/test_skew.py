@@ -1,0 +1,95 @@
+"""Skew-adversarial pipeline test (round-2 verdict item 6).
+
+Worst-case corpus, planted:
+  * 50% byte-identical files (one 300-copy mega-sha) — exact-dup collapse
+    must absorb the skew before LSH ever sees it;
+  * one 100-member mega-cluster of MUTUAL near-dups — every LSH band
+    funnels ~all of them into one bucket, far beyond ``max_bucket``, so
+    dynamic salting MUST fire (and connected components must still sew the
+    salted fragments back into one cluster via the other bands);
+  * hot boilerplate shingles — a 10-token header shared by EVERY file, the
+    classic license-banner skew.
+
+Asserts the three no-silent-degradation contracts: salting fired and was
+REPORTED (``overflow_report`` non-empty, accounted), nothing was lost
+(mega-cluster fully recovered as one component; 300-copy sha collapsed to
+one store row with ref_count=300), and wall stays sane on local[4].
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from sick_spark.config import DedupConfig
+from sick_spark.corpus import CORPUS_SCHEMA
+from sick_spark.metrics import MetricsCollector
+from sick_spark.operators.lsh import band_keys, overflow_report
+from sick_spark.plans.pipeline import run_pipeline
+
+_BOILER = "copyright license header spark engine pipeline dedup corpus boilerplate notice"
+_N_EXACT = 300   # copies of one file = 50% of the corpus
+_N_MEGA = 100    # mutual near-dup mega-cluster
+_N_BG = 200      # unique background files
+
+
+def _skew_corpus(spark):
+    rows = []
+
+    def add(group: str, i: int, text: str) -> None:
+        sha = hashlib.sha1(f"{group}:{i}".encode()).hexdigest()[:12]
+        rows.append((f"skew/{group}", f"src/{group}_{i}.py", sha, "py", text))
+
+    exact_text = _BOILER + " " + " ".join(f"ex{j}" for j in range(40))
+    for i in range(_N_EXACT):
+        add("exact", i, exact_text)
+
+    mega_base = [f"mega{j}" for j in range(40)]
+    for i in range(_N_MEGA):
+        toks = list(mega_base)
+        toks[(i * 7) % 40] = f"mut{i}"  # 2 differing positions per pair => J ~ 0.7
+        add("mega", i, _BOILER + " " + " ".join(toks))
+
+    for i in range(_N_BG):
+        add("bg", i, _BOILER + " " + " ".join(f"bg{i}x{j}" for j in range(40)))
+
+    return spark.createDataFrame(rows, CORPUS_SCHEMA)
+
+
+def test_skew_adversarial_pipeline(spark):
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.5, max_bucket=20)
+    metrics = MetricsCollector(run_id="skew")
+    res = run_pipeline(spark, _skew_corpus(spark), cfg, metrics=metrics)
+    clusters = res.clusters.collect()
+
+    # wall sanity: worst-case skew must not blow up local[4]
+    assert res.wall_sec < 120
+
+    # exact-dup skew absorbed before LSH: 300 copies -> ONE store row
+    assert res.store.count() == 1 + _N_MEGA + _N_BG
+    mega_sha_rc = {r["ref_count"] for r in res.store.filter("ref_count > 1").collect()}
+    assert mega_sha_rc == {_N_EXACT}
+    exact_rows = [r for r in clusters if r["repo"] == "skew/exact"]
+    assert len(exact_rows) == _N_EXACT
+    assert len({r["component"] for r in exact_rows}) == 1
+    assert all(r["is_exact_dup"] for r in exact_rows)
+
+    # mega near-dup cluster fully recovered as ONE component despite salting
+    mega_comps = {r["component"] for r in clusters if r["repo"] == "skew/mega"}
+    assert len(mega_comps) == 1
+    # and it did not swallow the boilerplate-sharing background files
+    bg_comps = {r["component"] for r in clusters if r["repo"] == "skew/bg"}
+    assert mega_comps.isdisjoint(bg_comps)
+    assert len(bg_comps) == _N_BG  # all singletons
+
+    # salting FIRED and was REPORTED: hot buckets exist and are accounted
+    bands = band_keys(res.signatures, cfg)
+    report = overflow_report(bands, cfg).collect()
+    assert report, "expected hot buckets above max_bucket=20"
+    for r in report:
+        assert r["members"] > cfg.max_bucket
+        assert 0 <= r["pairs_forgone_est"] < r["pairs_full"]
+    # the hottest bucket is the mega-cluster (~N_MEGA members in some band)
+    assert max(r["members"] for r in report) >= _N_MEGA * 0.5
+
+    # pipeline surfaced it through metrics too (no silent degradation)
+    assert any(m.stage == "hot_buckets" for m in metrics.stages)
