@@ -39,6 +39,14 @@ PACK_SCHEMA = StructType(
 )
 
 
+def _tokenized(df: DataFrame, group_col: str, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,
@@ -47,11 +55,7 @@ def pack_documents(
     text_col: str = "text",
 ) -> DataFrame:
     """(grp, doc_id, n_tokens, bin): next-fit token packing per group."""
-    toks = df.select(
-        F.col(group_col).cast("string").alias("grp"),
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
-    )
+    toks = _tokenized(df, group_col, id_col, text_col)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -66,6 +70,75 @@ def pack_documents(
         return pdf[["grp", "doc_id", "n_tokens", "bin"]]
 
     return toks.groupBy("grp").applyInPandas(pack, PACK_SCHEMA)
+
+
+def pack_documents_ffd(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-fit-decreasing variant: same (grp, doc_id, n_tokens) universe
+    as :func:`pack_documents`, tighter fill (FFD uses at most 11/9·OPT+1
+    bins vs next-fit's 2·OPT).
+
+    Deterministic: documents sorted by (n_tokens desc, doc_id asc), each
+    placed in the LOWEST-indexed bin with room, new bin otherwise; a
+    document larger than the budget still gets a bin of its own. First-fit
+    needs per-bin free-capacity state, which a sequential SQL fold cannot
+    replay — so next-fit stays the value-oracled mode and FFD's evidence
+    is the fill comparison (``tests/test_sample.py``) plus the
+    :func:`bin_fill_report` accounting. The linear first-fit scan is
+    O(bins) per doc — fine because the group key is a bounded shard (same
+    contract as the module doc); swap in the classic segment-tree scan if
+    shards ever exceed ~10^5 docs.
+    """
+    toks = _tokenized(df, group_col, id_col, text_col)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        free: list[int] = []  # remaining capacity per open bin
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = -1
+            for b, room in enumerate(free):
+                if n <= room:
+                    placed = b
+                    free[b] = room - n
+                    break
+            if placed < 0:
+                free.append(max(budget - n, 0))
+                placed = len(free) - 1
+            assign.append(placed)
+        pdf["bin"] = pd.Series(assign, dtype="int32")
+        return pdf[["grp", "doc_id", "n_tokens", "bin"]]
+
+    return toks.groupBy("grp").applyInPandas(pack, PACK_SCHEMA)
+
+
+def pack_with_report(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "nextfit",
+    metrics=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pack + fill accounting in one call; records the report into a
+    :class:`~sick_spark.metrics.MetricsCollector` when given (stage name
+    ``pack_fill_<strategy>``) so packing efficiency shows up next to the
+    skew/overflow metrics."""
+    packer = {"nextfit": pack_documents, "ffd": pack_documents_ffd}[strategy]
+    packed = packer(df, budget, group_col, id_col=id_col, text_col=text_col)
+    report = bin_fill_report(packed, budget)
+    if metrics is not None:
+        metrics.record(f"pack_fill_{strategy}", report)
+    return packed, report
 
 
 def bin_fill_report(packed: DataFrame, budget: int) -> DataFrame:

@@ -71,3 +71,44 @@ def test_token_vocab_topk(spark):
     assert rows[("de", "x")] == (2, 1)
     assert rows[("de", "y")] == (1, 2)
     assert ("en", "c") not in rows  # beyond top-k
+
+
+def test_pack_ffd_fill_beats_nextfit(spark):
+    from sick_spark.metrics import MetricsCollector
+    from sick_spark.operators.pack import pack_with_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    metrics = MetricsCollector("pack")
+    nf_packed, nf_report = pack_with_report(
+        docs, 128, "lang", metrics=metrics
+    )
+    ffd_packed, ffd_report = pack_with_report(
+        docs, 128, "lang", strategy="ffd", metrics=metrics
+    )
+
+    # identical (grp, doc_id, n_tokens) universe — FFD only reorders bins
+    key = lambda r: (r["grp"], r["doc_id"], r["n_tokens"])
+    assert sorted(map(key, nf_packed.collect())) == sorted(map(key, ffd_packed.collect()))
+
+    nf = {(r["grp"], r["bin"]): r for r in nf_report.collect()}
+    ffd = {(r["grp"], r["bin"]): r for r in ffd_report.collect()}
+    # validity: no multi-doc bin over budget in either discipline
+    for rep in (nf, ffd):
+        assert all(r["tokens"] <= 128 for r in rep.values() if r["docs"] > 1)
+
+    def per_group_bins(rep):
+        out: dict[str, int] = {}
+        for (g, _), r in rep.items():
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    nf_bins, ffd_bins = per_group_bins(nf), per_group_bins(ffd)
+    assert set(nf_bins) == set(ffd_bins)
+    # FFD fill >= next-fit fill: fewer-or-equal bins in every group
+    # (same token mass => mean fill is inversely proportional to bins)
+    assert all(ffd_bins[g] <= nf_bins[g] for g in nf_bins)
+    assert sum(ffd_bins.values()) < sum(nf_bins.values())
+
+    # fill accounting reached the metrics channel for both strategies
+    stages = {m.stage for m in metrics.stages}
+    assert {"pack_fill_nextfit", "pack_fill_ffd"} <= stages
