@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sick_spark import DedupConfig, get_spark
+from sick_spark.session import silence_benign_accumulator_errors
 from sick_spark.corpus import corpus_from_documents
 from sick_spark.plans.pipeline import run_pipeline
 
@@ -37,27 +38,6 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def _materialize(df: DataFrame) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
-
-
-def _silence_benign_accumulator_errors(spark: SparkSession) -> None:
-    """Keep the bench's recorded stderr tail meaningful.
-
-    The lazy ``localCheckpoint`` + async ContextCleaner combination can log
-    a benign ``Failed to update accumulator`` ERROR from DAGScheduler: a
-    straggler task from an already-cleaned stage reports metrics for
-    accumulators the cleaner has GC'd. The task *result* is unaffected (the
-    update is metrics-only), but an ERROR line in the bench log masks real
-    failures. Real scheduler problems still surface to this process as job
-    exceptions — logging is not the failure channel — so the bench raises
-    only this one logger to FATAL. No-op if the log4j2 API moves."""
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
-        )
-    except Exception:
-        pass
 
 
 def warmup(spark: SparkSession, sf_dir: str) -> None:
@@ -291,7 +271,7 @@ def run_scale_one(n_executors: int) -> None:
         extra_conf=dict(_SMALL_INPUT_CONF, **{"spark.executor.memory": SCALE_EXECUTOR_MEM}),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    _silence_benign_accumulator_errors(spark)
+    silence_benign_accumulator_errors(spark)
     _pin_cluster(n_executors, SCALE_CORES_PER_EXECUTOR)
     corpus = spark.read.parquet(_SCALED_CORPUS)
     n_files = corpus.count()
@@ -456,7 +436,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    _silence_benign_accumulator_errors(spark)
+    silence_benign_accumulator_errors(spark)
     warmup(spark, SF_DIR)
     pipeline_sec, n_files = bench_pipeline(spark, SF_DIR)
     qtimes = bench_queries(spark, SF_DIR)

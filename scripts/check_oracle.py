@@ -17,6 +17,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 from sick_spark import get_spark
+from sick_spark.session import silence_benign_accumulator_errors
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -44,6 +45,7 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
+    silence_benign_accumulator_errors(spark)
     con = duckdb.connect()
     for t in entrymod.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

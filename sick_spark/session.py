@@ -83,3 +83,24 @@ def _parallelism_of(master: str) -> int:
         except ValueError:
             return 8
     return 32
+
+
+def silence_benign_accumulator_errors(spark: SparkSession) -> None:
+    """Keep recorded stderr tails meaningful on lazy-localCheckpoint runs.
+
+    The lazy ``localCheckpoint`` + async ContextCleaner combination can log
+    a benign ``Failed to update accumulator`` ERROR from DAGScheduler: a
+    straggler task from an already-cleaned stage reports metrics for
+    accumulators the cleaner has GC'd. The task *result* is unaffected (the
+    update is metrics-only), but an ERROR line in a harness log masks real
+    failures. Real scheduler problems still surface to the driver process
+    as job exceptions — logging is not the failure channel — so this raises
+    only the DAGScheduler logger to FATAL. No-op if the log4j2 API moves."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass
