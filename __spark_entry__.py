@@ -49,7 +49,7 @@ from sick_spark.operators.winnow import winnow_candidates, with_winnow_fingerpri
 from sick_spark.operators.lsh import band_keys, candidate_pairs, with_band_hashes
 from sick_spark.operators.minhash import minhash_pandas, minhash_sql
 from sick_spark.operators.multimodal import decode_image_features, media_table_from_documents
-from sick_spark.operators.ngram import ngram_jaccard_pairs
+from sick_spark.operators.ngram import hot_shingle_report, ngram_jaccard_pairs
 from sick_spark.operators.partialdup import partial_dup_report
 from sick_spark.operators.shred import reconstruct_docs, shred, shred_summary
 from sick_spark.operators.simhash import simhash_fingerprints, simhash_pairs
@@ -67,6 +67,7 @@ _COS = 0.45       # embedding near-dup threshold
 _W = 4            # winnowing window (fingerprints ~ 2/(w+1) of k-grams)
 _WIN_MAXDF = 50   # winnow hot-fingerprint cap (boilerplate exclusion)
 _WIN_MINSH = 2    # min shared fingerprints for a partial-dup candidate pair
+_NG_MAXDF = 5     # ngram scale-mode df cap (bites on the fixture corpora)
 _ANN_COS_FLOOR = 0.25  # lowest 3rd-neighbor cosine observed on the fixture corpus
 _ANN_PROBES = 2   # margin-ordered multiprobe flips per (vector, table)
 
@@ -432,6 +433,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def neardup_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _verified_pairs_ngram(spark, sf_dir).orderBy("doc_a", "doc_b")
     q["neardup_pairs_ngram"] = neardup_pairs_ngram
+
+    # --- ngram SCALE mode as its own green row (the 100x plan): shingles
+    #     with df > _NG_MAXDF are excluded from pair generation, set sizes
+    #     stay full (Jaccard never inflated) — the cap is replayed
+    #     identically in the oracle, same split as embedding exact/LSH.
+    #     _NG_MAXDF=5 genuinely bites on this corpus (29 hot shingles at
+    #     sf0.01, max df 7).
+    def neardup_pairs_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return ngram_jaccard_pairs(
+            _doc_shingles(spark, sf_dir), _J, id_col="doc_id", max_df=_NG_MAXDF
+        ).orderBy("doc_a", "doc_b")
+    q["neardup_pairs_ngram_capped"] = neardup_pairs_ngram_capped
+
+    # --- the cap's overflow accounting (never silent, SURVEY.md §4.4):
+    #     per-df shingle counts + pairs forgone. Keyed by df, not by the
+    #     engine-local hash, so DuckDB replays it from string shingles.
+    def ngram_hot_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rep = hot_shingle_report(_doc_shingles(spark, sf_dir), _NG_MAXDF, id_col="doc_id")
+        return (
+            rep.groupBy("df")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum("pairs_forgone").alias("pairs_forgone"),
+            )
+            .orderBy("df")
+        )
+    q["ngram_hot_shingle_stats"] = ngram_hot_shingle_stats
 
     # --- incremental dedup: which NEW docs (doc_id % 5 == 0 plays the
     #     incoming delta/micro-batch) near-dup the already-indexed rest?
@@ -1020,6 +1048,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, token, n, rank FROM r WHERE rank <= 10 ORDER BY lang, rank
     """
     o["neardup_pairs_ngram"] = _DUCK_PAIR_SQL
+
+    o["neardup_pairs_ngram_capped"] = f"""
+        WITH {_DUCK_SHINGLE_CTES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {_NG_MAXDF}),
+        cold AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truepairs AS (SELECT da, db FROM inter
+                      JOIN sizes x ON da = x.doc_id
+                      JOIN sizes y ON db = y.doc_id
+                      WHERE i * 1.0 / (x.n + y.n - i) >= {_J})
+        SELECT da AS doc_a, db AS doc_b FROM truepairs ORDER BY doc_a, doc_b
+    """
+
+    o["ngram_hot_shingle_stats"] = f"""
+        WITH {_DUCK_SHINGLE_CTES},
+        df AS (SELECT s, count(*) AS df FROM sh GROUP BY s HAVING count(*) > {_NG_MAXDF})
+        SELECT df, count(*) AS n_shingles,
+               CAST(sum(CAST(df * (df - 1) / 2 AS BIGINT)) AS BIGINT) AS pairs_forgone
+        FROM df GROUP BY df ORDER BY df
+    """
     o["dedup_clusters"] = _DUCK_CLUSTER_SQL
     o["embedding_neardup_pairs"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
