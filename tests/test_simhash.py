@@ -67,3 +67,23 @@ def test_simhash_pairs_block_join(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("p0", "p1") in got
     assert all({a, b} != {"p0", "p2"} for a, b in got)
+
+
+def test_simhash64_batch_matches_per_row_across_segment_sizes(spark):
+    """The SWAR batch kernel is byte-exact vs simhash_one for every segment
+    class: empty, 1, SWAR boundary (255), fallback (256+), and large."""
+    import numpy as np
+
+    from sick_spark.operators.simhash import simhash_fingerprints, simhash_one
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i, n in enumerate([0, 1, 3, 50, 255, 256, 300, 1000] * 4):
+        rows.append((f"d{i}", [int(x) for x in rng.integers(-2**62, 2**62, size=n)]))
+    df = spark.createDataFrame(rows, "sha string, shingle_hashes array<long>")
+    got = {r["sha"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    for sha, hs in rows:
+        want = 0 if not hs else simhash_one(np.array(hs, dtype=np.int64))
+        if want >= 2**63:
+            want -= 2**64
+        assert got[sha] == want, sha
