@@ -520,6 +520,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("grp", "doc_id")
     q["doc_packing_bins"] = doc_packing_bins
 
+    # --- the COMPOSED training-data prep pipeline, end to end, as one
+    #     value-oracled query: quality gate (Gopher-ish score >= 0.65 —
+    #     off the 0.4+0.3 float boundary) -> exact-dup collapse -> near-dup
+    #     clustering (MinHash/LSH/verify/CC) -> one representative per
+    #     cluster (min doc_id) -> next-fit packing per lang. The oracle
+    #     replays the whole chain in SQL (filter CASEs + truepairs +
+    #     recursive-CTE components + next-fit fold), so this row proves
+    #     the operators COMPOSE identically on both engines — the query a
+    #     training-data user actually runs.
+    def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.pack import pack_documents
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # quality gate + exact collapse. The representative ids coincide
+        # with _docs_distinct's (quality is a function of text, so every
+        # copy of a text passes or fails together), which is what lets the
+        # near-dup stage below REUSE the memoized checkpointed pair DAG.
+        ok = d.where(quality_score("text") >= F.lit(0.65))
+        reps = ok.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        ids = reps.select("doc_id").localCheckpoint(eager=False)
+        # exact Jaccard between two docs is independent of the rest of the
+        # corpus, so pairs-among-filtered == all-pairs restricted to the
+        # filtered ids; the restriction is two broadcast semi-joins against
+        # the (tiny) surviving id set — no signature recompute.
+        pairs_all = _verified_pairs_minhash(spark, sf_dir)
+        ver = (
+            pairs_all.join(
+                F.broadcast(ids.select(F.col("doc_id").alias("id_a"))), "id_a", "semi"
+            )
+            .join(F.broadcast(ids.select(F.col("doc_id").alias("id_b"))), "id_b", "semi")
+            .localCheckpoint(eager=False)
+        )
+        comp = connected_components(ver)
+        cl = attach_components(ids, comp, id_col="doc_id")
+        keep = cl.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
+        kept = keep.join(d.select("doc_id", "lang", "text"), "doc_id")
+        packed = pack_documents(kept, budget=512, group_col="lang")
+        return (
+            packed.groupBy(F.col("grp").alias("lang"), "bin")
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens"))
+            .orderBy("lang", "bin")
+        )
+    q["training_prep_e2e"] = training_prep_e2e
+
     # --- duplicate clusters: connected components (large-star/small-star)
     def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = _verified_pairs_minhash(spark, sf_dir)
@@ -1035,6 +1079,64 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT grp, doc_id, n_tokens, CAST(bin AS INTEGER) AS bin
         FROM pack ORDER BY grp, doc_id
+    """
+    o["training_prep_e2e"] = r"""
+        WITH RECURSIVE
+        t0 AS (SELECT doc_id, lang, text,
+                      string_split_regex(trim(text), '\s+') AS toks,
+                      length(text) - length(regexp_replace(text, '[^ \tA-Za-z0-9]', '', 'g')) AS punct_n
+               FROM documents),
+        s0 AS (SELECT doc_id, lang, text, len(toks) AS n,
+                      list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1) AS mwl,
+                      punct_n * 1.0 / greatest(length(text), 1) AS pr
+               FROM t0),
+        ok AS (SELECT doc_id, lang, text FROM s0
+               WHERE (CASE WHEN n >= 10 AND n <= 100000 THEN 1 ELSE 0 END) * 0.4
+                   + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1 ELSE 0 END) * 0.3
+                   + (CASE WHEN pr <= 0.3 THEN 1 ELSE 0 END) * 0.3 >= 0.65),
+        reps AS (SELECT min(doc_id) AS doc_id, text FROM ok GROUP BY text),
+        w2 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM reps),
+        sh2 AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                             FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+                FROM w2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truepairs AS (SELECT da, db FROM inter
+                      JOIN sizes x ON da = x.doc_id
+                      JOIN sizes y ON db = y.doc_id
+                      WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+        edges AS (SELECT da AS a, db AS b FROM truepairs
+                  UNION SELECT db, da FROM truepairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                        WHERE e.b <> r.a),
+        comp AS (SELECT a AS cid, least(a, min(b)) AS component FROM reach GROUP BY a),
+        clusters AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                     FROM reps d LEFT JOIN comp c ON d.doc_id = c.cid),
+        keep AS (SELECT min(doc_id) AS doc_id FROM clusters GROUP BY component),
+        kd AS (SELECT k.doc_id, o.lang,
+                      CAST(len(string_split_regex(trim(o.text), '\s+')) AS BIGINT) AS n_tokens
+               FROM keep k JOIN ok o USING (doc_id)),
+        ord AS (SELECT lang, doc_id, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM kd),
+        pack AS (
+            SELECT lang, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS cum
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.lang, o.rn, o.doc_id, o.n_tokens,
+                   CASE WHEN p.cum + o.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+                   CASE WHEN p.cum + o.n_tokens <= 512 THEN p.cum + o.n_tokens
+                        ELSE o.n_tokens END
+            FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1
+        )
+        SELECT lang, CAST(bin AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM pack GROUP BY lang, bin ORDER BY lang, bin
     """
     o["token_vocab_by_lang"] = r"""
         WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
