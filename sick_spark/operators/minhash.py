@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from sick_spark.config import DedupConfig
+from sick_spark.operators.simhash import segment_bit_votes
 
 
 def minhash_sql(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
@@ -119,13 +120,10 @@ def make_signature_pandas_udf(cfg: DedupConfig):
             for p in range(n_perms):
                 sub[:, p] = np.minimum.reduceat(a[p] * flat + b[p], offsets)
             mh[nonempty] = sub
-            # simhash: strict per-bit majority votes, segment-summed
-            bits = np.unpackbits(
-                flat.astype("<u8").view(np.uint8).reshape(len(flat), 8),
-                axis=1,
-                bitorder="little",
-            )
-            votes = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+            # simhash: strict per-bit majority votes via the shared SWAR
+            # segment kernel (simhash.segment_bit_votes — the int64-upcast
+            # reduceat it replaces was 0.65 s of this batch's 0.95 s)
+            votes = segment_bit_votes(flat, offsets, seglens)
             fp_bits = (2 * votes) > seglens[:, None]
             sh[nonempty] = (
                 np.packbits(fp_bits, axis=1, bitorder="little")
@@ -143,13 +141,15 @@ def make_signature_pandas_udf(cfg: DedupConfig):
         ).copy()
         for k in range(rows):
             bh = (bh ^ g[:, :, k]) * _FNV_PRIME
+        # rows stay numpy (pyarrow converts ndarray elements natively);
+        # materializing python list-of-int rows instead costs ~0.15 s/batch
         mh_i = mh.astype(np.int64)
         bh_i = bh.astype(np.int64)
         return pd.DataFrame(
             {
-                "minhash": [mh_i[i].tolist() for i in range(n_docs)],
-                "band_hashes": [bh_i[i].tolist() for i in range(n_docs)],
-                "simhash": sh.tolist(),
+                "minhash": list(mh_i),
+                "band_hashes": list(bh_i),
+                "simhash": sh,
             }
         )
 

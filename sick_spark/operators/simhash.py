@@ -39,6 +39,49 @@ def simhash_one(hs) -> int:
 _SWAR_MAX = 255
 
 
+def segment_bit_votes(flat: np.ndarray, offsets: np.ndarray, seglens: np.ndarray) -> np.ndarray:
+    """Per-segment, per-bit population counts over a flat 64-bit array —
+    the shared kernel behind :func:`simhash64` and the fused signature UDF
+    (``minhash.make_signature_pandas_udf``). Returns (n_segments, 64) int64.
+
+    Fast path: unpacked bits stay uint8 and are reduceat'd as 8 uint64
+    LANES of 8 one-byte counters (SWAR) — measured 0.03-0.12 s per
+    10k-doc/500k-shingle batch vs 0.4-0.65 s for the obvious int64-upcast
+    reduceat (the upcast alone is a (n_shingles x 64) int64 alloc, pure
+    DRAM traffic). Segments longer than 255 rows would overflow a byte
+    counter and are recomputed individually (rare: >255 shingles/doc)."""
+    votes = np.zeros((len(seglens), 64), dtype=np.int64)
+    if not len(flat):
+        return votes
+    small = seglens <= _SWAR_MAX
+    if small.any():
+        if small.all():
+            sflat, soffs = flat, offsets
+        else:
+            idx = np.concatenate(
+                [np.arange(o, o + n) for o, n in zip(offsets[small], seglens[small])]
+            )
+            sflat = flat[idx]
+            slens = seglens[small]
+            soffs = np.zeros(len(slens), dtype=np.int64)
+            soffs[1:] = np.cumsum(slens)[:-1]
+        bits = np.unpackbits(
+            np.ascontiguousarray(sflat.astype("<u8")).view(np.uint8).reshape(len(sflat), 8),
+            axis=1,
+            bitorder="little",
+        )
+        lanes = bits.view(np.uint64).reshape(len(bits), 8)
+        votes[small] = (
+            np.add.reduceat(lanes, soffs, axis=0).view(np.uint8).reshape(-1, 64)
+        )
+    for i in np.flatnonzero(~small):
+        seg = np.ascontiguousarray(flat[offsets[i] : offsets[i] + seglens[i]].astype("<u8"))
+        votes[i] = np.unpackbits(
+            seg.view(np.uint8).reshape(len(seg), 8), axis=1, bitorder="little"
+        ).sum(axis=0, dtype=np.int64)
+    return votes
+
+
 @F.pandas_udf(LongType())
 def simhash64(hashes: pd.Series) -> pd.Series:
     """Batch form of :func:`simhash_one`.
@@ -59,26 +102,15 @@ def simhash64(hashes: pd.Series) -> pd.Series:
         (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=len(hashes)
     )
     votes = np.zeros((len(hashes), 64), dtype=np.int64)
-    small = (lens > 0) & (lens <= _SWAR_MAX)
-    if small.any():
+    nonzero = lens > 0
+    if nonzero.any():
         flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h, keep in zip(hashes, small) if keep]
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
         )
-        bits = np.unpackbits(
-            np.ascontiguousarray(flat).view(np.uint8).reshape(len(flat), 8),
-            axis=1,
-            bitorder="little",
-        )
-        offs = np.zeros(int(small.sum()), dtype=np.int64)
-        offs[1:] = np.cumsum(lens[small])[:-1]
-        lanes = bits.view(np.uint64).reshape(len(bits), 8)
-        acc = np.add.reduceat(lanes, offs, axis=0)
-        votes[small] = acc.view(np.uint8).reshape(-1, 64)
-    for i in np.flatnonzero(lens > _SWAR_MAX):
-        h = np.ascontiguousarray(np.asarray(hashes.iloc[i], dtype=np.int64))
-        votes[i] = np.unpackbits(
-            h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little"
-        ).sum(axis=0, dtype=np.int64)
+        seglens = lens[nonzero]
+        offs = np.zeros(int(nonzero.sum()), dtype=np.int64)
+        offs[1:] = np.cumsum(seglens)[:-1]
+        votes[nonzero] = segment_bit_votes(flat, offs, seglens)
     fp_bits = (2 * votes) > lens[:, None]  # strict majority; empty doc -> 0
     out = np.packbits(fp_bits, axis=1, bitorder="little").view(np.int64).ravel()
     return pd.Series(out)
