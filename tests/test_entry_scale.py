@@ -86,3 +86,25 @@ def test_entry_env_override(spark, monkeypatch):
     df = em.entry(spark)
     assert df.count() == 500  # sf0.001 is also 500 docs — but texts differ
     assert {"repo", "path", "sha", "component"} <= set(df.columns)
+
+
+def test_pipeline_deterministic_across_partitionings(spark):
+    """North-rule determinism: equal DedupConfig => identical cluster
+    assignments, independent of the PHYSICAL layout of the input (the
+    distributed analogue of the reference's identical-values-intern-
+    identically contract, DeduplicatingRefTableBuilder.scala:17-26).
+    Catches order-dependent bugs: a min-reduction that silently became
+    first-wins, a collect_list consumer assuming arrival order, etc."""
+    from sick_spark.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_files=300, seed=11)
+    outs = []
+    for nparts in (1, 7):
+        res = run_pipeline(
+            spark, corpus.repartition(nparts), DedupConfig(shingle_k=3, jaccard_threshold=0.5)
+        )
+        outs.append({
+            (r["repo"], r["path"], r["commit"]): (r["sha"], r["component"], r["is_exact_dup"])
+            for r in res.clusters.collect()
+        })
+    assert outs[0] == outs[1]
