@@ -65,12 +65,20 @@ def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig: str = "minhash", out:
 
 
 def band_keys(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", sig: str = "minhash") -> DataFrame:
-    """(id, band, bh): one row per (document, band). Uses a precomputed
+    """(id, cid, band, bh): one row per (document, band). Uses a precomputed
     ``band_hashes`` column when present (see :func:`with_band_hashes`);
-    falls back to computing the slice hashes inline."""
+    falls back to computing the slice hashes inline.
+
+    ``cid = xxhash64(id, seed)`` is stamped BEFORE the explode — hashed
+    once per document, not once per (document, band) — so downstream
+    consumers (:func:`candidate_pairs`) can run their heavy passes on
+    16-byte (cid, bh) rows instead of dragging the 64-char sha through
+    the exploded stream."""
     src = F.col("band_hashes") if "band_hashes" in df.columns else band_hash_expr(cfg, sig)
     return df.select(
-        F.col(id_col).alias("id"), F.posexplode(src).alias("band", "bh")
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.col(id_col), F.lit(cfg.seed)).alias("cid"),
+        F.posexplode(src).alias("band", "bh"),
     )
 
 
@@ -152,8 +160,17 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
     # produce a pair, so nothing is lost. AQE picks broadcast for the bucket
     # side when it is small (the common case after exact-dup collapse) and
     # falls back to a shuffle join under extreme dup rates.
+    cid = F.xxhash64(F.col("id"), F.lit(cfg.seed))
+    # both heavy passes (count agg + bucket join) run on 16-byte (cid, bh)
+    # rows — band_keys stamps cid pre-explode; frames from other callers
+    # (e.g. simhash block keys) get it computed here, once per row
+    slim = (
+        bands.select("cid", "bh")
+        if "cid" in bands.columns
+        else bands.select(cid.alias("cid"), "bh")
+    )
     buckets = (
-        bands.groupBy("bh")
+        slim.groupBy("bh")
         .agg(F.count(F.lit(1)).alias("members"))
         .where(F.col("members") >= 2)
         .select(
@@ -164,17 +181,16 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
             ).alias("nsalt"),
         )
     )
-    cid = F.xxhash64(F.col("id"), F.lit(cfg.seed))
     # salt folded INTO the 8-byte group key (one column, fewer shuffle
     # bytes); a fold collision can only MERGE two buckets, which ADDS
     # candidates (verify filters truth), never loses one
-    keyed = bands.join(buckets, "bh").select(
-        cid.alias("cid"),
+    keyed = slim.join(buckets, "bh").select(
+        "cid",
         F.when(
             F.col("nsalt").isNotNull(),
             F.xxhash64(
                 F.col("bh"),
-                F.pmod(F.xxhash64(cid, F.lit(cfg.seed + 1)), F.col("nsalt")),
+                F.pmod(F.xxhash64(F.col("cid"), F.lit(cfg.seed + 1)), F.col("nsalt")),
             ),
         )
         .otherwise(F.col("bh"))
