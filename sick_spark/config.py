@@ -86,6 +86,10 @@ def derive_rhp(
     p1 = min(p1, 1.0 - 1e-12)
     if p1 <= 0.0:
         return n_bits, max_tables
+    # target_recall >= 1 would be log(0): the honest answer to "miss
+    # nothing" is the table cap (callers are invited to push toward 1)
+    if target_recall >= 1.0:
+        return n_bits, max_tables
     n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1))
     return n_bits, max(1, min(n_tables, max_tables))
 

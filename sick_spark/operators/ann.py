@@ -249,7 +249,17 @@ def rhp_candidate_pairs(
     multiprobe (a finds b when b's MAIN bucket is in a's probe set, not
     necessarily vice versa), so pairs are normalized to (least, greatest) —
     NOT filtered id_a < id_b, which would drop pairs found only by the
-    larger id — and deduped across tables BEFORE the (symmetric) cosine."""
+    larger id — and deduped across tables BEFORE the (symmetric) cosine.
+
+    Under multiprobe the corpus IS hashed twice (one Arrow matmul per join
+    side) even though the probe output contains every main bucket: a
+    self-join evaluates each side independently, so deriving the index by
+    filtering the probe frame would not save the second pass, and
+    persisting the exploded probe set to share it replicates the dim-wide
+    vector n·L·(1+p) times — more IO than the ~12-column matmul it avoids.
+    A long-lived ANN service would materialize the index ONCE instead
+    (that shape is :func:`sick_spark.operators.lsh.neardup_matches`'s —
+    static index, broadcast delta)."""
     index = df.select(
         F.col(id_col).alias("id"),
         F.col(vec).alias("v"),

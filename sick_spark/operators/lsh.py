@@ -144,7 +144,9 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
 
     ``ids``: one-column ("id") DataFrame with one row per distinct document;
     defaults to a distinct over ``bands`` — pass the signature table's id
-    column to skip that shuffle.
+    column to skip that shuffle. The fast path hashes ids with THIS call's
+    ``cfg.seed``, so ``bands`` must have been stamped (``band_keys``) with
+    the same cfg; omit ``ids`` if the seeds can differ.
     """
     # per-bucket salt count scales with the bucket (⌈members/max_bucket⌉), so
     # group size stays ≤ ~max_bucket no matter how skewed the key — a fixed
@@ -200,8 +202,17 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
     cpairs = _expand_bucket_pairs(grouped).dropDuplicates(["cid_a", "cid_b"])
 
     if ids is None:
-        idmap = bands.select("id").distinct().select(cid.alias("cid"), "id")
+        # derive the cid->id map FROM the stamped frame itself, so it is
+        # consistent with `slim` by construction even if the caller stamped
+        # cids with a different cfg.seed than ours
+        if "cid" in bands.columns:
+            idmap = bands.select("cid", "id").distinct()
+        else:
+            idmap = bands.select("id").distinct().select(cid.alias("cid"), "id")
     else:
+        # fast path (skips the distinct): REQUIRES bands' cids — stamped by
+        # band_keys or computed above — to use THIS cfg.seed; a seed
+        # mismatch would make these joins silently drop every pair
         idmap = ids.select(cid.alias("cid"), "id")
     pairs = (
         cpairs.join(idmap.select(F.col("cid").alias("cid_a"), F.col("id").alias("id_a")), "cid_a")

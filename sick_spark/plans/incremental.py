@@ -107,7 +107,6 @@ def ingest_delta(
             "jaccard",
         )
         warehouse.append(cross, MATCHES, f"{delta_id}-cross")
-        n_cross = cross.count()
     intra = verify_pairs(
         candidate_pairs(band_keys(sig, cfg), cfg, ids=sig.select(F.col("sha").alias("id"))),
         sig,
@@ -118,8 +117,22 @@ def ingest_delta(
     # the signature append commits the delta — everything above replays
     # idempotently if we die before this line
     warehouse.append(sig, SIGS, delta_id)
+
+    # stats counters read back the JUST-WRITTEN parquet instead of
+    # re-running the probe/verify DAGs (counting the lazy frames above
+    # would roughly double per-delta wall purely to fill this struct)
+    def _written(stage: str, did: str) -> int:
+        df = warehouse.read_deltas(spark, stage, only=[did])
+        return 0 if df is None else df.count()
+
+    if index is not None and n_new:
+        n_cross = _written(MATCHES, f"{delta_id}-cross")
     return DeltaStats(
-        delta_id, delta_corpus.count(), n_new, n_cross, intra.count()
+        delta_id,
+        _written(ROOTS, delta_id),
+        n_new,
+        n_cross,
+        _written(MATCHES, f"{delta_id}-intra"),
     )
 
 

@@ -93,14 +93,36 @@ def silence_benign_accumulator_errors(spark: SparkSession) -> None:
     straggler task from an already-cleaned stage reports metrics for
     accumulators the cleaner has GC'd. The task *result* is unaffected (the
     update is metrics-only), but an ERROR line in a harness log masks real
-    failures. Real scheduler problems still surface to the driver process
-    as job exceptions — logging is not the failure channel — so this raises
-    only the DAGScheduler logger to FATAL. No-op if the log4j2 API moves."""
+    failures.
+
+    Suppression is scoped to the MESSAGE (a log4j2 RegexFilter on "Failed
+    to update accumulator"), not the logger: raising the whole DAGScheduler
+    logger to FATAL would also swallow the real scheduler diagnostics
+    (executor loss, missing shuffle files) that the harness tail exists to
+    record. Falls back to the logger-level knob only if the filter API is
+    unavailable; no-op if the log4j2 API moves entirely."""
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
-        )
+        try:
+            ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+            lc = ctx.getConfiguration().getLoggerConfig(
+                "org.apache.spark.scheduler.DAGScheduler"
+            )
+            result = jvm.org.apache.logging.log4j.core.Filter.Result
+            lc.addFilter(
+                jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+                    ".*Failed to update accumulator.*",
+                    None,
+                    False,
+                    result.DENY,
+                    result.NEUTRAL,
+                )
+            )
+            ctx.updateLoggers()
+        except Exception:
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.scheduler.DAGScheduler",
+                jvm.org.apache.logging.log4j.Level.FATAL,
+            )
     except Exception:
         pass

@@ -16,6 +16,7 @@ values are skipped, ``DeduplicatingRefTableBuilder.scala:17-26``).
 from __future__ import annotations
 
 import json
+import re
 import os
 import time
 
@@ -187,6 +188,10 @@ class CatalogWarehouse(Warehouse):
         from pyspark.sql import functions as F
 
         delta_id = str(delta_id)
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", delta_id):
+            # delta_id is caller-supplied and lands inside a SQL predicate
+            # below — restrict it instead of quoting our way around it
+            raise ValueError(f"delta_id must match [A-Za-z0-9._-]+, got {delta_id!r}")
         spark = df.sparkSession
         tagged = df.withColumn("__delta", F.lit(delta_id))
         table = self._table(stage)

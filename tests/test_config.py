@@ -64,3 +64,12 @@ def test_derive_rhp_bits_grow_with_corpus():
     b_small, _ = derive_rhp(500, 0.25)
     b_big, _ = derive_rhp(2_000_000, 0.25)
     assert b_big > b_small
+
+
+def test_derive_rhp_total_recall_limit():
+    # target_recall=1.0 is the documented "miss nothing" limit: the honest
+    # answer is the table cap, not a math-domain crash
+    from sick_spark.config import derive_rhp
+
+    n_bits, n_tables = derive_rhp(500, 0.45, target_recall=1.0, n_probes=2)
+    assert n_bits >= 1 and n_tables >= 1
