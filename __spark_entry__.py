@@ -881,8 +881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     recall message, not an opaque oracle mismatch.
     def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # strict: this query's output is CLAIMED equal to the exact
+        # all-pairs oracle, so a corpus size where the table cap makes the
+        # 0.999 analytic bound unreachable must fail loudly here — not as
+        # an opaque value mismatch on a silently sub-target config
         n_bits, n_tables = derive_rhp(e.count(), _COS, target_recall=0.999,
-                                      n_probes=_ANN_PROBES)
+                                      n_probes=_ANN_PROBES, strict=True)
         return (
             cosine_pairs_lsh(e, _COS, n_bits=n_bits, dim=64,
                              n_tables=n_tables, n_probes=_ANN_PROBES)
@@ -961,8 +965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
         # deterministic per-(app, sf) dir, wiped on entry: repeated
         # invocations (oracle checks, bench reps) reuse ONE path instead of
-        # leaking a fresh mkdtemp index per call. Wiping is safe here and
-        # not later — the returned DataFrame reads these files lazily.
+        # leaking a fresh mkdtemp index per call. The returned frame is
+        # EAGERLY localCheckpoint-ed so it no longer depends on these files
+        # — otherwise a second invocation's wipe would pull the parquet out
+        # from under a still-unconsumed first result (a harness that builds
+        # every query DataFrame before collecting any would hit that).
         tag = re.sub(r"[^A-Za-z0-9._-]", "_", f"{spark.sparkContext.applicationId}_{sf_dir}")
         root = os.path.join(tempfile.gettempdir(), f"sick_inc_{tag}")
         shutil.rmtree(root, ignore_errors=True)
@@ -970,7 +977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for i in range(3):
             delta = corpus.where(F.pmod(F.xxhash64("path"), F.lit(3)) == F.lit(i))
             ingest_delta(spark, delta, wh, cfg, delta_id=str(i))
-        return recluster(spark, wh).select("path", "sha", "component").orderBy("path")
+        return (
+            recluster(spark, wh)
+            .select("path", "sha", "component")
+            .orderBy("path")
+            .localCheckpoint(eager=True)
+        )
     q["incremental_clusters"] = incremental_clusters
 
     # --- R13 cast/widening: read the narrowed numeric kinds back as wider

@@ -46,6 +46,7 @@ def derive_rhp(
     max_tables: int = 64,
     min_bits: int = 2,
     max_bits: int = 24,
+    strict: bool = False,
 ) -> tuple[int, int]:
     """Derive RHP-LSH ``(n_bits, n_tables)`` from corpus size and a cosine
     floor — the vector-space mirror of :func:`derive_bands` (and of the
@@ -69,6 +70,12 @@ def derive_rhp(
       (cap hit => the floor is not analytically reachable; the caller sees
       it as measured recall and the recall gate fails loudly).
 
+    ``strict=True`` turns the cap into an error: callers whose OUTPUT is
+    claimed equal to an exact computation (a value-oracled query) must not
+    silently ship an analytically-sub-target config — at a corpus size
+    where the cap bites, a missed pair would surface as an opaque value
+    mismatch instead of a recall diagnosis.
+
     Recall at cosine ABOVE the floor is strictly higher (p is monotone in
     c), so ``target_cos`` should be the LOWEST neighbor cosine that must
     still be found — e.g. the corpus's observed 3rd-neighbor floor for a
@@ -85,12 +92,31 @@ def derive_rhp(
     p1 = p**n_bits + min(n_probes, n_bits) * p ** (n_bits - 1) * (1.0 - p)
     p1 = min(p1, 1.0 - 1e-12)
     if p1 <= 0.0:
+        if strict:
+            raise ValueError(
+                f"derive_rhp: per-table collision probability is 0 at "
+                f"cos={target_cos} with {n_bits} bits — target recall "
+                f"{target_recall} is unreachable at any table count"
+            )
         return n_bits, max_tables
     # target_recall >= 1 would be log(0): the honest answer to "miss
     # nothing" is the table cap (callers are invited to push toward 1)
     if target_recall >= 1.0:
+        if strict:
+            raise ValueError(
+                "derive_rhp: target_recall=1.0 has no finite table count; "
+                "strict callers must pick a finite target (e.g. 0.999)"
+            )
         return n_bits, max_tables
     n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1))
+    if strict and n_tables > max_tables:
+        raise ValueError(
+            f"derive_rhp: reaching recall {target_recall} at cos="
+            f"{target_cos} needs {n_tables} tables but max_tables="
+            f"{max_tables} (n={n_vectors} forced n_bits={n_bits}); raise "
+            "max_tables/n_probes or lower the target instead of silently "
+            "shipping a sub-target config"
+        )
     return n_bits, max(1, min(n_tables, max_tables))
 
 

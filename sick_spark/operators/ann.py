@@ -259,10 +259,20 @@ def rhp_candidate_pairs(
     vector n·L·(1+p) times — more IO than the ~12-column matmul it avoids.
     A long-lived ANN service would materialize the index ONCE instead
     (that shape is :func:`sick_spark.operators.lsh.neardup_matches`'s —
-    static index, broadcast delta)."""
+    static index, broadcast delta).
+
+    The bucket join runs SLIM — (tbl, bucket, id) rows, no vectors — so
+    the in-bucket pair expansion and the dedup exchange move ~24-byte rows
+    instead of 2 dim-wide arrays per candidate; the vectors are joined
+    back onto the (much smaller, deduped) pair set for the exact cosine.
+    On the symmetric n_probes=0 self-join, ``id_a < id_b`` prunes the
+    mirrored half BEFORE the dedup shuffle; under multiprobe the join is
+    asymmetric (a finds b when b's MAIN bucket is in a's probe set, not
+    necessarily vice versa), so pairs are instead normalized to
+    (least, greatest) — a plain ``<`` filter would drop pairs found only
+    by the larger id."""
     index = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec).alias("v"),
         F.posexplode(make_rhp_multi_udf(n_bits, dim, seed, n_tables)(F.col(vec))).alias(
             "tbl", "bucket"
         ),
@@ -271,25 +281,27 @@ def rhp_candidate_pairs(
         step = 1 + min(n_probes, n_bits)
         probe = df.select(
             F.col(id_col).alias("id"),
-            F.col(vec).alias("v"),
             F.posexplode(
                 make_rhp_multiprobe_udf(n_bits, dim, seed, n_tables, n_probes)(F.col(vec))
             ).alias("pos", "bucket"),
-        ).select("id", "v", (F.col("pos") / step).cast("int").alias("tbl"), "bucket")
+        ).select("id", (F.col("pos") / step).cast("int").alias("tbl"), "bucket")
     else:
         probe = index
-    left = probe.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = index.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        left.join(right, ["tbl", "bucket"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
+    left = probe.select("tbl", "bucket", F.col("id").alias("id_a"))
+    right = index.select("tbl", "bucket", F.col("id").alias("id_b"))
+    joined = left.join(right, ["tbl", "bucket"])
+    if n_probes > 0:
+        cand = joined.where(F.col("id_a") != F.col("id_b")).select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            "va",
-            "vb",
         )
-        .dropDuplicates(["id_a", "id_b"])
+    else:
+        cand = joined.where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cos", cosine("va", "vb"))
         .select("id_a", "id_b", "cos")
     )

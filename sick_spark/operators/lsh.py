@@ -77,7 +77,12 @@ def band_keys(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", sig: str = "
     src = F.col("band_hashes") if "band_hashes" in df.columns else band_hash_expr(cfg, sig)
     return df.select(
         F.col(id_col).alias("id"),
-        F.xxhash64(F.col(id_col), F.lit(cfg.seed)).alias("cid"),
+        # the seed rides along as column METADATA so candidate_pairs can
+        # refuse (loudly) a cfg whose seed disagrees with the stamp — a
+        # mismatch would otherwise return zero pairs with no error
+        F.xxhash64(F.col(id_col), F.lit(cfg.seed)).alias(
+            "cid", metadata={"cid_seed": cfg.seed}
+        ),
         F.posexplode(src).alias("band", "bh"),
     )
 
@@ -146,8 +151,18 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
     defaults to a distinct over ``bands`` — pass the signature table's id
     column to skip that shuffle. The fast path hashes ids with THIS call's
     ``cfg.seed``, so ``bands`` must have been stamped (``band_keys``) with
-    the same cfg; omit ``ids`` if the seeds can differ.
+    the same cfg; a stamp from a different seed raises (checked via the
+    ``cid_seed`` column metadata ``band_keys`` records).
     """
+    if "cid" in bands.columns:
+        stamped = bands.schema["cid"].metadata.get("cid_seed")
+        if stamped is not None and int(stamped) != cfg.seed:
+            raise ValueError(
+                f"bands' cid column was stamped with seed {stamped}, but this "
+                f"call uses cfg.seed={cfg.seed}; the cid joins would silently "
+                "match nothing — re-stamp with band_keys(df, cfg) or pass a "
+                "consistent cfg"
+            )
     # per-bucket salt count scales with the bucket (⌈members/max_bucket⌉), so
     # group size stays ≤ ~max_bucket no matter how skewed the key — a fixed
     # salt factor would still let a 10M-member bucket OOM one task. The band

@@ -96,21 +96,39 @@ def silence_benign_accumulator_errors(spark: SparkSession) -> None:
     failures.
 
     Suppression is scoped to the MESSAGE (a log4j2 RegexFilter on "Failed
-    to update accumulator"), not the logger: raising the whole DAGScheduler
-    logger to FATAL would also swallow the real scheduler diagnostics
-    (executor loss, missing shuffle files) that the harness tail exists to
-    record. Falls back to the logger-level knob only if the filter API is
-    unavailable; no-op if the log4j2 API moves entirely."""
+    to update accumulator") on a LoggerConfig DEDICATED to DAGScheduler:
+    Spark's stock log4j2 config defines no such LoggerConfig, and
+    ``getLoggerConfig`` returns the closest ancestor — the ROOT config —
+    so filtering whatever it returns would deny the message process-wide
+    (including a user logger reporting a genuinely broken accumulator).
+    ``Configurator.setLevel`` at the logger's CURRENT effective level
+    materializes the dedicated config first, without changing any level.
+    Idempotent per application (repeat calls — e.g. bench scale reps in
+    one JVM — don't stack duplicate filters). Falls back to the
+    logger-level knob only if the filter API is unavailable; no-op if the
+    log4j2 API moves entirely."""
+    name = "org.apache.spark.scheduler.DAGScheduler"
     try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _ACC_FILTERED_APPS:
+            return
         jvm = spark.sparkContext._jvm
+        log4j = jvm.org.apache.logging.log4j
         try:
-            ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
-            lc = ctx.getConfiguration().getLoggerConfig(
-                "org.apache.spark.scheduler.DAGScheduler"
-            )
-            result = jvm.org.apache.logging.log4j.core.Filter.Result
+            eff = log4j.LogManager.getLogger(name).getLevel()
+            log4j.core.config.Configurator.setLevel(name, eff)
+            ctx = log4j.LogManager.getContext(False)
+            lc = ctx.getConfiguration().getLoggerConfig(name)
+            if lc.getName() != name:
+                raise RuntimeError("no dedicated LoggerConfig materialized")
+            if lc.getFilter() is not None:
+                # already installed by an earlier session in this JVM
+                # (app ids differ across restarts, the JVM persists)
+                _ACC_FILTERED_APPS.add(app_id)
+                return
+            result = log4j.core.Filter.Result
             lc.addFilter(
-                jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+                log4j.core.filter.RegexFilter.createFilter(
                     ".*Failed to update accumulator.*",
                     None,
                     False,
@@ -120,9 +138,11 @@ def silence_benign_accumulator_errors(spark: SparkSession) -> None:
             )
             ctx.updateLoggers()
         except Exception:
-            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                "org.apache.spark.scheduler.DAGScheduler",
-                jvm.org.apache.logging.log4j.Level.FATAL,
-            )
+            log4j.core.config.Configurator.setLevel(name, log4j.Level.FATAL)
+        _ACC_FILTERED_APPS.add(app_id)
     except Exception:
         pass
+
+
+# applications whose JVM already carries the accumulator-message filter
+_ACC_FILTERED_APPS: set[str] = set()

@@ -20,7 +20,7 @@ import re
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class Warehouse:
@@ -74,6 +74,19 @@ class Warehouse:
     #     surface: ``IncrementalEBAReader.scala:38-101`` opens an existing
     #     structure and extends it without rewriting what is already there)
 
+    @staticmethod
+    def _check_delta_id(delta_id: str) -> str:
+        """delta_id is caller-supplied and lands in a filesystem path (and,
+        on the catalog backend, a SQL predicate) — restrict it instead of
+        quoting around it. Enforced identically by BOTH backends so a
+        parquet-tested id can't start failing on the Iceberg path."""
+        delta_id = str(delta_id)
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", delta_id):
+            raise ValueError(
+                f"delta_id must match [A-Za-z0-9._-]+, got {delta_id!r}"
+            )
+        return delta_id
+
     def _delta_marker(self, stage: str, delta_id: str) -> str:
         return os.path.join(self.root, f"_manifest_{stage}@{delta_id}.json")
 
@@ -89,7 +102,7 @@ class Warehouse:
         exactly-once at the delta granularity. At corpus scale this is one
         new parquet/Iceberg partition per micro-batch; the accumulated
         history is never rewritten."""
-        delta_id = str(delta_id)
+        delta_id = self._check_delta_id(delta_id)
         df.write.mode("overwrite").format(self.fmt).save(
             os.path.join(self._path(stage), f"delta={delta_id}")
         )
@@ -185,13 +198,7 @@ class CatalogWarehouse(Warehouse):
         (both are atomic snapshot operations, and the local marker written
         after the append is still the commit point, mirroring the parquet
         path)."""
-        from pyspark.sql import functions as F
-
-        delta_id = str(delta_id)
-        if not re.fullmatch(r"[A-Za-z0-9._-]+", delta_id):
-            # delta_id is caller-supplied and lands inside a SQL predicate
-            # below — restrict it instead of quoting our way around it
-            raise ValueError(f"delta_id must match [A-Za-z0-9._-]+, got {delta_id!r}")
+        delta_id = self._check_delta_id(delta_id)
         spark = df.sparkSession
         tagged = df.withColumn("__delta", F.lit(delta_id))
         table = self._table(stage)
@@ -225,8 +232,30 @@ class CatalogWarehouse(Warehouse):
         )
 
 
-def resume_filter(new_input: DataFrame, done: DataFrame | None, key: str = "sha") -> DataFrame:
-    """Rows of new_input whose key has not been processed yet (left-anti)."""
+def resume_filter(
+    new_input: DataFrame,
+    done: DataFrame | None,
+    key: str = "sha",
+    new_is_small: bool = True,
+) -> DataFrame:
+    """Rows of new_input whose key has not been processed yet.
+
+    Shaped for the incremental-ingest case — a micro-batch delta against a
+    huge accumulated index: the delta's key set BROADCASTS into a semi-join
+    that scans ``done`` column-pruned to ``key`` without shuffling it, and
+    the resulting already-seen key set (<= |delta| rows) broadcasts back
+    into the anti-join. The naive ``left_anti`` against
+    ``done.distinct()`` would shuffle the whole 10^12-row index once per
+    delta. Pass ``new_is_small=False`` when new_input may exceed broadcast
+    size — that takes the shuffling form instead of OOMing the driver."""
     if done is None:
         return new_input
-    return new_input.join(done.select(key).distinct(), key, "left_anti")
+    if not new_is_small:
+        return new_input.join(done.select(key).distinct(), key, "left_anti")
+    new_keys = new_input.select(key).distinct()
+    present = (
+        done.select(key)
+        .join(F.broadcast(new_keys), key, "left_semi")
+        .distinct()
+    )
+    return new_input.join(F.broadcast(present), key, "left_anti")

@@ -1,0 +1,65 @@
+"""Loud-failure contracts: misconfigurations that used to produce silently
+wrong/empty results must now raise with a diagnosis.
+
+Each test pins one guard: the cid seed stamp (a bands/cfg seed mismatch
+would otherwise return zero candidate pairs), strict derive_rhp (an
+analytically sub-target LSH config behind a value-oracled query would
+otherwise surface as an opaque hash mismatch), and delta_id validation
+(a path-escaping id would otherwise write data then crash on the marker,
+identically on both warehouse backends).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.config import DedupConfig, derive_rhp
+from sick_spark.corpus import synthetic_corpus
+from sick_spark.operators.lsh import band_keys, candidate_pairs
+from sick_spark.plans.pipeline import signature_stage
+from sick_spark.sources.io import Warehouse
+
+
+def test_candidate_pairs_rejects_seed_mismatch(spark):
+    cfg_a = DedupConfig(seed=1)
+    cfg_b = DedupConfig(seed=2)
+    sig = signature_stage(
+        synthetic_corpus(spark, n_files=20, seed=3).select(
+            F.sha2("content", 256).alias("sha"), "lang", "content"
+        ),
+        cfg_a,
+    )
+    bands = band_keys(sig, cfg_a)
+    with pytest.raises(ValueError, match="seed"):
+        candidate_pairs(bands, cfg_b, ids=sig.select(F.col("sha").alias("id")))
+    # matching cfg still works (and the metadata stamp survives band_keys)
+    assert candidate_pairs(bands, cfg_a).count() >= 0
+
+
+def test_derive_rhp_strict_raises_when_cap_binds():
+    # n=5000 forces n_bits=7; at cos=0.45 the 0.999 target needs >64 tables
+    with pytest.raises(ValueError, match="max_tables"):
+        derive_rhp(5_000, 0.45, target_recall=0.999, n_probes=2, strict=True)
+    # non-strict keeps the documented cap behavior
+    n_bits, n_tables = derive_rhp(5_000, 0.45, target_recall=0.999, n_probes=2)
+    assert n_tables == 64
+    # strict passes where the target IS analytically reachable
+    assert derive_rhp(500, 0.45, target_recall=0.999, n_probes=2, strict=True)
+
+
+def test_derive_rhp_strict_rejects_total_recall():
+    with pytest.raises(ValueError, match="finite"):
+        derive_rhp(500, 0.45, target_recall=1.0, strict=True)
+
+
+def test_warehouse_append_rejects_path_escaping_delta_id(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame([("a",)], ["sha"])
+    # ".." stays allowed: the id is always embedded as "delta=<id>" /
+    # "_manifest_<stage>@<id>.json", so dots can't traverse upward
+    for bad in ("x/y", "a b", "x@y", "a\\b", ""):
+        with pytest.raises(ValueError, match="delta_id"):
+            wh.append(df, "sigs", bad)
+    wh.append(df, "sigs", "ok-1.2_3")
+    assert wh.committed_deltas("sigs") == ["ok-1.2_3"]

@@ -118,3 +118,21 @@ def test_cross_delta_exact_dup_single_node(spark, tmp_path):
     assert by_path["a/one"]["component"] == by_path["b/two"]["component"]
     assert by_path["c/three"]["component"] != by_path["a/one"]["component"]
     assert wh.read_deltas(spark, SIGS).count() == 2  # one per distinct sha
+
+
+def test_entry_incremental_clusters_survives_reinvocation(spark):
+    """The entry query wipes and reuses one per-(app, sf) warehouse dir; a
+    frame returned by an EARLIER invocation must stay consumable after a
+    later invocation wiped the files (it is pinned via eager
+    localCheckpoint) — a harness that constructs every query DataFrame
+    before collecting any would otherwise read deleted parquet."""
+    import __spark_entry__ as em
+
+    q = em.queries()["incremental_clusters"]
+    first = q(spark, "/root/testdata/sf0.001")
+    second = q(spark, "/root/testdata/sf0.001")  # wipes + rebuilds the dir
+    rows_first = first.collect()  # consumed only AFTER the wipe
+    assert len(rows_first) == 500
+    assert {(r["sha"], r["component"]) for r in rows_first} == {
+        (r["sha"], r["component"]) for r in second.collect()
+    }

@@ -35,3 +35,31 @@ def test_resume_filter_left_anti(spark):
     done = spark.createDataFrame([("a",), ("c",)], ["sha"])
     assert {r["sha"] for r in resume_filter(new, done).collect()} == {"b"}
     assert resume_filter(new, None).count() == 3
+    # the shuffling fallback for a non-broadcastable delta agrees
+    big = resume_filter(new, done, new_is_small=False)
+    assert {r["sha"] for r in big.collect()} == {"b"}
+
+
+def test_resume_filter_never_shuffles_the_index(spark):
+    """The accumulated index side must be scanned, not shuffled: both the
+    seen-key semi-join and the final anti-join are broadcast joins (the
+    delta's key set and the <=|delta| seen set are the build sides). A
+    SortMergeJoin anywhere in this plan means the 10^12-row index got
+    exchanged on sha once per micro-batch."""
+    import contextlib
+    import io as _io
+
+    new = spark.range(100).select(F_sha())
+    done = spark.range(10_000).select(F_sha())
+    plan_buf = _io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        resume_filter(new, done).explain(mode="formatted")
+    p = plan_buf.getvalue()
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def F_sha():
+    from pyspark.sql import functions as F
+
+    return F.sha2(F.col("id").cast("string"), 256).alias("sha")
