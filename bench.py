@@ -442,6 +442,19 @@ def main() -> None:
     qtimes = bench_queries(spark, SF_DIR)
     qtimes["dedup_pipeline_e2e"] = pipeline_sec
     total = round(sum(qtimes.values()), 3)
+    # informational: the LSH scale-mode twins of headline exact queries.
+    # Kept OUT of `queries`/`value` so the headline total stays comparable
+    # round-over-round; recorded so scale-path regressions are visible.
+    import __spark_entry__ as em
+
+    scale_times: dict[str, float] = {}
+    for name in ("embedding_neardup_pairs_lsh", "ann_topk_lsh"):
+        best = float("inf")
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            _materialize(em.queries()[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        scale_times[name] = round(best, 3)
     print(
         json.dumps(
             {
@@ -449,6 +462,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                "scale_mode_queries": scale_times,
                 "sf": SF_DIR,
                 "dedup_pipeline_files_per_sec": round(n_files / pipeline_sec, 1),
                 "cores": int(CPUS),

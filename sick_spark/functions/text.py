@@ -104,16 +104,27 @@ def with_shingle_strings(df: DataFrame, content: str, k: int, out: str = "shingl
     ).drop("__tt")
 
 
+def sha60(col: Column) -> Column:
+    """THE portable 60-bit hash: first 15 hex chars of sha256, parsed
+    base-16. Identical in DuckDB as ``CAST(CONCAT('0x', SUBSTR(sha256(x),
+    1, 15)) AS BIGINT)`` — this is what makes hashed values
+    oracle-checkable cross-engine; 60 bits keeps them positive in a signed
+    int64 on both engines. ONE definition (plus :data:`SHA60_LAMBDA_SQL`,
+    its SQL-lambda spelling) shared by shingle hashing, winnowing and IVF
+    id hashing, so the prefix width / hash family cannot drift per
+    consumer and silently desynchronize their oracles."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+#: :func:`sha60` as a Spark SQL higher-order-function lambda (for
+#: ``transform(...)`` inside ``F.expr`` strings).
+SHA60_LAMBDA_SQL = "s -> cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
+
+
 def sha60_shingle_hashes(shingles_col: str | Column) -> Column:
-    """Portable 60-bit hash per shingle: first 15 hex chars of sha256,
-    parsed base-16. Identical in DuckDB as
-    ``CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT)`` — this is
-    what makes SimHash fingerprints oracle-checkable cross-engine. 60 bits
-    keeps the value positive in a signed int64 on both engines."""
+    """:func:`sha60` applied per shingle of an array column."""
     s = shingles_col if isinstance(shingles_col, Column) else F.col(shingles_col)
-    return F.transform(
-        s, lambda x: F.conv(F.substring(F.sha2(x, 256), 1, 15), 16, 10).cast("long")
-    )
+    return F.transform(s, sha60)
 
 
 def _hash64(s: str) -> int:
@@ -160,7 +171,9 @@ def json_structural_shingles(content: pd.Series) -> pd.Series:
     def one(text: str) -> list[int]:
         try:
             obj = json.loads(text)
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, RecursionError):
+            # RecursionError: pathologically deep nesting is treated like
+            # malformed JSON — still dedupable by exact content
             return [_hash64(text if isinstance(text, str) else "")]
         nodes: list[str] = []
         _json_nodes(obj, nodes)
@@ -177,7 +190,10 @@ def with_shingle_hashes(df: DataFrame, k: int, json_aware: bool = True, out: str
     """
     if not json_aware:
         return with_token_shingle_hashes(df, "content", k, out)
-    is_json = F.col("lang") == F.lit("json")
+    # eqNullSafe: a NULL lang must land on the code branch — with a plain
+    # ==, BOTH branch predicates are three-valued NULL and the row silently
+    # vanishes from shingling (and therefore from all dedup)
+    is_json = F.col("lang").eqNullSafe(F.lit("json"))
     code = with_token_shingle_hashes(df.where(~is_json), "content", k, out)
     js = df.where(is_json).withColumn(out, json_structural_shingles(F.col("content")))
     return code.unionByName(js)

@@ -144,18 +144,31 @@ def make_rhp_multiprobe_udf(n_bits: int, dim: int, seed: int, n_tables: int, n_p
 def rhp_bucket_candidates(
     df: DataFrame, n_bits: int, dim: int, seed: int = 42, id_col: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:
-    """Same-bucket pairs (id_a < id_b) with exact cosine attached."""
+    """Same-bucket pairs (id_a < id_b) with exact cosine attached.
+
+    The bucket self-join runs SLIM — (bucket, id) rows only — and the
+    dim-wide vectors are joined back onto the (already id_a < id_b pruned,
+    deduped) pair set for the cosine, the same shape as
+    :func:`rhp_candidate_pairs`: a hot bucket of m vectors otherwise
+    shuffles O(m²) rows each carrying two full float arrays and evaluates
+    cosines that the dedup then discards."""
     b = with_rhp_bucket(df, n_bits, dim, seed, vec).select(
-        F.col(id_col).alias("id"), F.col(vec).alias("v"), "bucket"
+        F.col(id_col).alias("id"), "bucket"
     )
-    left = b.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = b.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        left.join(right, "bucket")
+    # no dedup pass: single-table hashing puts each vector in exactly ONE
+    # bucket, so an (id_a < id_b) pair can only arise once
+    cand = (
+        b.select("bucket", F.col("id").alias("id_a"))
+        .join(b.select("bucket", F.col("id").alias("id_b")), "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cos", cosine("va", "vb"))
         .select("id_a", "id_b", "cos")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -187,10 +200,14 @@ def cosine_pairs_blocked(
     exact verifier within buckets.
     """
     import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     n = df.count()
     n_blocks = max(1, -(-n // target_block))
+    # pair ids inherit the INPUT id type (sha strings and numeric ids both
+    # work): numpy object arrays compare elementwise with Python <, so the
+    # min/max normalization below is type-generic
+    id_type = df.schema[id_col].dataType
 
     rows = df.select(
         F.col(id_col).alias("id"),
@@ -209,12 +226,12 @@ def cosine_pairs_blocked(
     )
 
     out_schema = StructType(
-        [StructField("id_a", LongType(), False), StructField("id_b", LongType(), False)]
+        [StructField("id_a", id_type, False), StructField("id_b", id_type, False)]
     )
 
     def cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
-        ids = pdf["id"].to_numpy(dtype=np.int64)
+        ids = pdf["id"].to_numpy()
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         if bi == bj:
@@ -225,7 +242,8 @@ def cosine_pairs_blocked(
             left = pdf["blk"].to_numpy() == bi
             la, lb = ids[left], ids[~left]
             if not la.size or not lb.size:
-                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+                return pd.DataFrame({"id_a": pd.Series(dtype=ids.dtype),
+                                     "id_b": pd.Series(dtype=ids.dtype)})
             sims = mat[left] @ mat[~left].T
             ii, jj = np.where(sims >= threshold)
             a, b = la[ii], lb[jj]

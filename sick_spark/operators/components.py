@@ -129,12 +129,25 @@ def connected_components(
     if n_edges <= driver_edge_threshold:
         return _driver_union_find(edges)
     prev = _fingerprint(edges)
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _fingerprint(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an intermediate star state is NOT a component assignment — it
+        # can split one true cluster across several labels. Refuse to
+        # return it as if it were (large/small-star converges in
+        # O(log^2 n) rounds, so hitting this means max_iterations was
+        # set far too low for the graph, not a transient condition).
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iterations} "
+            "star rounds; raise max_iterations — returning the "
+            "intermediate state would silently mislabel clusters"
+        )
     # at fixpoint every edge is (node -> its component min)
     assign = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("id"), F.col("dst").alias("component"))

@@ -42,10 +42,11 @@ from sick_spark.functions.vectors import cosine
 def portable_id_hash(id_col: str) -> Column:
     """60-bit sha-prefix hash of the id's string form — identical in DuckDB
     as ``CAST(CONCAT('0x', SUBSTR(sha256(CAST(id AS VARCHAR)), 1, 15)) AS
-    BIGINT)``."""
-    return F.conv(
-        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15), 16, 10
-    ).cast("long")
+    BIGINT)``. Delegates to the ONE shared :func:`~sick_spark.functions
+    .text.sha60` definition."""
+    from sick_spark.functions.text import sha60
+
+    return sha60(F.col(id_col).cast("string"))
 
 
 def seed_centroids(

@@ -50,18 +50,26 @@ def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig: str = "minhash", out:
         # (e.g. warehouse resume with changed bands/rows): the band count is
         # checkable per row for one integer compare; a backend mismatch with
         # the same count is covered by stage-config stamping in the warehouse
-        return df.withColumn(
-            out,
-            F.when(F.size(F.col(out)) == cfg.bands, F.col(out)).otherwise(
-                F.raise_error(
-                    F.lit(
-                        f"band_hashes length != cfg.bands ({cfg.bands}); "
-                        "column was produced under a different DedupConfig"
-                    )
+        checked = F.when(F.size(F.col(out)) == cfg.bands, F.col(out)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"band_hashes length != cfg.bands ({cfg.bands}); "
+                    "column was produced under a different DedupConfig"
                 )
-            ),
+            )
         )
-    return df.withColumn(out, band_hash_expr(cfg, sig))
+        # re-attach the column's metadata: the when() wrapper would
+        # otherwise strip the band_family stamp the producers attached
+        return df.withColumn(
+            out, checked.alias(out, metadata=dict(df.schema[out].metadata))
+        )
+    return df.withColumn(
+        out,
+        # family stamp mirrors the fused pandas path's "fnv" (minhash.py):
+        # the two families are value-disjoint, so cross-family joins are
+        # refused loudly in neardup_matches instead of matching nothing
+        band_hash_expr(cfg, sig).alias(out, metadata={"band_family": "xxh"}),
+    )
 
 
 def band_keys(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", sig: str = "minhash") -> DataFrame:
@@ -277,6 +285,26 @@ def neardup_matches(
     (:func:`sick_spark.streaming.ingest.start_neardup_sink`) or on a batch
     delta."""
     threshold = cfg.jaccard_threshold if threshold is None else threshold
+
+    # the two sides' band hashes must come from the SAME hash family — the
+    # fused pandas backend emits FNV, the with_band_hashes fallback emits
+    # xxhash64; equal band counts, disjoint values, so a mixed-family
+    # equi-join returns zero matches with no error. The family rides as
+    # column metadata (stamped by both producers, survives parquet); a
+    # side with no band_hashes column gets the fallback's family.
+    def _family(df: DataFrame) -> str | None:
+        if "band_hashes" in df.columns:
+            return df.schema["band_hashes"].metadata.get("band_family")
+        return "xxh"
+
+    fam_new, fam_ix = _family(new_sigs), _family(index_sigs)
+    if fam_new and fam_ix and fam_new != fam_ix:
+        raise ValueError(
+            f"band-hash family mismatch: new_sigs={fam_new!r} vs "
+            f"index_sigs={fam_ix!r} — the equi-join would silently match "
+            "nothing. Rebuild one side with the other's signature backend "
+            "(cfg.minhash_impl), or drop its band_hashes column to recompute"
+        )
     st = band_keys(with_band_hashes(new_sigs, cfg), cfg).select(
         F.col("id").alias("new_sha"), "bh"
     )

@@ -168,7 +168,17 @@ def minhash_signatures(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_h
         packed = df.withColumn("__sig", make_signature_pandas_udf(cfg)(F.col(hashes)))
         return (
             packed.withColumn(out, F.col("__sig.minhash"))
-            .withColumn("band_hashes", F.col("__sig.band_hashes"))
+            # the hash FAMILY rides along as column metadata (survives a
+            # Spark parquet round-trip): the fused path emits FNV band
+            # hashes, the with_band_hashes fallback emits xxhash64 — equal
+            # band counts, disjoint values. neardup_matches refuses to
+            # equi-join the two families (it would silently match nothing).
+            .withColumn(
+                "band_hashes",
+                F.col("__sig.band_hashes").alias(
+                    "band_hashes", metadata={"band_family": "fnv"}
+                ),
+            )
             .withColumn("simhash", F.col("__sig.simhash"))
             .drop("__sig")
         )

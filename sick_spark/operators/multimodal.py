@@ -335,6 +335,12 @@ def decode_media_stats(media: DataFrame, thumb: int = 4, frame_stride: int = 2) 
                     )
                     continue
                 frames = [decode_bmp24(b)] if kind == "image" else decode_video_frames(b, frame_stride)
+                if not frames:
+                    # a structurally valid zero-frame container must not
+                    # raise inside the task (same clamping discipline as
+                    # the <4-sample WAV probe above)
+                    out.append((int(mid), kind, 0, 0, 0, 0, 0, 0))
+                    continue
                 h, w = frames[0].shape[:2]
                 total = sum(int(fr.astype(np.int64).sum()) for fr in frames)
                 n_vals = sum(fr.size for fr in frames)

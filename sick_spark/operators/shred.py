@@ -183,7 +183,10 @@ def canonical_json_udf(content: pd.Series) -> pd.Series:
     def one(text):
         try:
             return canonical_json_text(parse_json(text))
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, RecursionError):
+            # RecursionError: a pathologically deep document (thousands of
+            # nested arrays in a few KB) must be SKIPPED like broken JSON,
+            # not kill the task and, after retries, the whole job
             return None
 
     return content.map(one)
@@ -241,11 +244,19 @@ def shred(
         for pdf in it:
             rows: list = []
             for dsha, text in zip(pdf["doc_sha"], pdf["__c"]):
+                # _walk recurses per nesting level, so it sits INSIDE the
+                # guard with parse_json: a pathologically deep document
+                # raises RecursionError from either and must be skipped
+                # like broken JSON, not abort the stage. n_kept tracks the
+                # partial rows a mid-walk failure already appended so they
+                # can be rolled back (no half-shredded doc in the output).
+                n_kept = len(rows)
                 try:
                     obj = parse_json(text)
-                except (ValueError, TypeError):
+                    _walk(obj, dsha, rows, avoid_bigdecimals, is_root=1)
+                except (ValueError, TypeError, RecursionError):
+                    del rows[n_kept:]
                     continue
-                _walk(obj, dsha, rows, avoid_bigdecimals, is_root=1)
             out = pd.DataFrame(rows, columns=cols)
             if not len(out):
                 out = pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
@@ -341,13 +352,20 @@ def node_paths(edges: DataFrame, roots: DataFrame, max_depth: int = 64) -> DataF
         "doc_sha", F.col("root_id").alias("node_id"), F.lit("$").alias("path")
     )
     out = frontier
+    # a repeated identical subtree interns to ONE node id, so its outgoing
+    # edges are emitted once per occurrence — identical rows. The frontier
+    # already carries one row per ACCESS PATH to the subtree, so the edge
+    # table must contribute each (parent, slot) exactly once: without this
+    # dedup the join multiplies per level (2 copies x 2 frontier rows = 4,
+    # then 8, ... — exponential in nesting depth of the repetition).
+    # reconstruct_docs applies the same dedup for the same reason.
     e = edges.select(
         "doc_sha",
         F.col("parent_id").alias("node_id"),
         "pos",
         "key",
         "child_id",
-    )
+    ).dropDuplicates(["doc_sha", "node_id", "pos", "key"])
     for _ in range(max_depth):
         step = (
             frontier.join(e, ["doc_sha", "node_id"])

@@ -65,9 +65,9 @@ def with_winnow_fingerprints(
     winnowed set.
     """
     if portable:
-        hash_one = (
-            "s -> cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
-        )
+        from sick_spark.functions.text import SHA60_LAMBDA_SQL
+
+        hash_one = SHA60_LAMBDA_SQL
     else:
         hash_one = "s -> xxhash64(s)"
     return (
@@ -135,6 +135,12 @@ def winnow_candidates(
     fdf = with_winnow_fingerprints(df, content, k, w, portable=portable)
     fps = explode_fingerprints(fdf, id_col)
     if max_df is not None:
+        # fps is consumed TWICE here (the hot-df subquery and the main
+        # plan): cut the lineage once, or Spark recomputes the whole
+        # tokenize -> k-gram -> hash -> window-min pipeline — the stage's
+        # dominant cost — for each consumer (same consumed-twice shape,
+        # same lazy-checkpoint cure as lsh.neardup_matches)
+        fps = fps.localCheckpoint(eager=False)
         hot = hot_fingerprint_report(fps, max_df).select("fp")
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     grouped = fps.groupBy("fp").agg(F.collect_list("id").alias("ms"))

@@ -53,3 +53,17 @@ def test_attach_components_singletons(spark):
     comp = spark.createDataFrame([("s1", "s0")], ["id", "component"])
     got = {r["sha"]: r["component"] for r in attach_components(universe, comp).collect()}
     assert got == {"s1": "s0", "s2": "s2", "s3": "s3"}
+
+
+def test_star_loop_refuses_nonconverged_state(spark):
+    # exhausting max_iterations without a fixpoint must raise, not return
+    # an intermediate star state as if it were a component assignment
+    import pytest
+
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iterations=1, driver_edge_threshold=0)
+    # with room to converge the same graph is one cluster
+    out = connected_components(df, driver_edge_threshold=0)
+    assert {r["component"] for r in out.collect()} == {"n000"}

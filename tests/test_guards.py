@@ -63,3 +63,51 @@ def test_warehouse_append_rejects_path_escaping_delta_id(spark, tmp_path):
             wh.append(df, "sigs", bad)
     wh.append(df, "sigs", "ok-1.2_3")
     assert wh.committed_deltas("sigs") == ["ok-1.2_3"]
+
+
+def test_neardup_matches_rejects_band_family_mismatch(spark):
+    # fused pandas signatures carry FNV band hashes; a side that would get
+    # the xxhash64 fallback is a value-disjoint family — the equi-join
+    # would return zero matches with no error, so it must raise instead
+    from sick_spark.operators.lsh import neardup_matches, with_band_hashes
+    from sick_spark.plans.pipeline import signature_stage
+
+    cfg = DedupConfig()
+    store = synthetic_corpus(spark, n_files=10, seed=5).select(
+        F.sha2("content", 256).alias("sha"), "lang", "content"
+    )
+    fused = signature_stage(store, cfg)  # pandas backend: band_family=fnv
+    bare = fused.drop("band_hashes")     # recompute -> xxhash64 family
+    with pytest.raises(ValueError, match="band-hash family"):
+        neardup_matches(fused, bare, cfg)
+    # same family on both sides stays fine (self-probe finds the exact dups)
+    assert neardup_matches(fused, fused, cfg).count() >= 0
+    # metadata survives a parquet round-trip, so index reads keep the stamp
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="bandfam_") + "/sig"
+    fused.write.mode("overwrite").parquet(path)
+    assert (
+        spark.read.parquet(path).schema["band_hashes"].metadata.get("band_family")
+        == "fnv"
+    )
+    # and with_band_hashes' fallback stamps its own family
+    assert (
+        with_band_hashes(bare, cfg).schema["band_hashes"].metadata.get("band_family")
+        == "xxh"
+    )
+
+
+def test_cosine_pairs_blocked_string_ids(spark):
+    # id type is a parameter: sha-string ids must work, not just int64
+    from sick_spark.operators.ann import cosine_pairs_blocked
+
+    rows = [
+        ("sha_a", [1.0, 0.0, 0.0]),
+        ("sha_b", [1.0, 0.01, 0.0]),
+        ("sha_c", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           cosine_pairs_blocked(df, 0.9, target_block=2).collect()}
+    assert got == {("sha_a", "sha_b")}

@@ -105,3 +105,20 @@ def test_decode_media_stats_end_to_end(spark):
     assert len(got) == 12
     for d in range(12):
         assert got[d] == _expected_stats(d, 100 + 37 * d), f"doc {d}"
+
+
+def test_zero_frame_container_stats_clamped(spark):
+    # a structurally valid SVID container with n=0 frames must emit a
+    # zeroed stats row, not IndexError inside the task
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from sick_spark.operators.multimodal import decode_media_stats
+
+    payload = b"SVID" + struct.pack("<I", 0)
+    df = spark.createDataFrame([(1, "video", bytearray(payload))],
+                               "media_id long, kind string, payload binary")
+    row = decode_media_stats(df).collect()[0]
+    assert (row["width"], row["height"], row["n_vals"], row["sum_vals"],
+            row["probe_val"], row["thumb_sum"]) == (0, 0, 0, 0, 0, 0)

@@ -57,3 +57,22 @@ def test_malformed_json_falls_back(spark):
     df = spark.createDataFrame([("r", "p", "c", "json", "{not json")], CORPUS_SCHEMA)
     out = with_shingle_hashes(df, 3).collect()[0]
     assert len(out["shingle_hashes"]) == 1
+
+
+def test_null_lang_rows_survive_shingling(spark):
+    # a NULL lang must land on the code (token) branch — with plain ==,
+    # both branch predicates are three-valued NULL and the row silently
+    # vanishes from shingling, and therefore from all dedup
+    rows = [
+        ("r", "a", "c", None, "alpha beta gamma delta epsilon zeta"),
+        ("r", "b", "c", "en", "alpha beta gamma delta epsilon zeta"),
+    ]
+    # nullable-lang schema: the declared corpus schema says non-null, but
+    # spark.read on pre-existing parquet does not enforce it
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = with_shingle_hashes(df, 5, json_aware=True)
+    got = {r["path"]: r["shingle_hashes"] for r in out.collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] == got["b"]  # identical text, identical shingles

@@ -145,3 +145,49 @@ def test_node_paths_shared_subtree_two_paths(spark):
     assert len(arr_ids) == 1  # [1,2] interned once
     arr_paths = sorted(r["path"] for r in out if r["node_id"] in arr_ids)
     assert arr_paths == ["$.p", "$.q"]
+
+
+def test_node_paths_repeated_subtree_no_duplicate_rows(spark):
+    from sick_spark.operators.shred import node_paths
+
+    # a repeated identical subtree emits its outgoing edge rows once PER
+    # OCCURRENCE; without the edge dedup the level join multiplies rows
+    # (2 frontier paths x 2 identical edge copies = each leaf path twice,
+    # growing 2^k with nesting depth). Exactly ONE row per access path.
+    doc = "[[1, 2], [1, 2]]"
+    docs = _df(spark, [doc])
+    _, edges, roots = shred(docs)
+    rows = [r["path"] for r in node_paths(edges, roots).collect()]
+    assert sorted(rows) == ["$", "$[0]", "$[0][0]", "$[0][1]", "$[1]", "$[1][0]", "$[1][1]"]
+
+    # two levels of repetition: 4 leaf access paths per scalar, still one
+    # row each (the pre-fix behavior was 2^k copies)
+    doc2 = "[[[7], [7]], [[7], [7]]]"
+    _, e2, r2 = shred(_df(spark, [doc2]))
+    paths2 = [r["path"] for r in node_paths(e2, r2).collect()]
+    assert len(paths2) == len(set(paths2)) == 1 + 2 + 4 + 4
+
+
+def test_pathological_depth_skipped_not_fatal(spark):
+    # a few-KB doc of thousands of nested arrays raises RecursionError in
+    # parse/walk; it must be SKIPPED like broken JSON, not kill the stage —
+    # and the good doc next to it must shred completely (no partial rows
+    # from the aborted walk)
+    deep = "[" * 4000 + "1" + "]" * 4000
+    good = '{"k": [1, 2]}'
+    nodes, edges, roots = shred(_df(spark, [deep, good]))
+    import hashlib as _h
+
+    good_sha = _h.sha256(good.encode()).hexdigest()
+    assert roots.count() == 1
+    assert {r["doc_sha"] for r in nodes.collect()} == {good_sha}
+    assert nodes.count() == 4  # obj, arr, 1, 2
+
+
+def test_canonical_json_udf_depth_returns_null(spark):
+    from sick_spark.operators.shred import canonical_json_udf
+
+    deep = "[" * 4000 + "1" + "]" * 4000
+    df = spark.createDataFrame([(deep,), ('{"a":1}',)], ["c"])
+    vals = [r["v"] for r in df.select(canonical_json_udf("c").alias("v")).collect()]
+    assert sorted(vals, key=lambda x: (x is None, x)) == ['{"a":1}', None]
