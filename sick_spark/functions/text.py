@@ -171,12 +171,16 @@ def json_structural_shingles(content: pd.Series) -> pd.Series:
     def one(text: str) -> list[int]:
         try:
             obj = json.loads(text)
+            nodes: list[str] = []
+            _json_nodes(obj, nodes)
         except (ValueError, TypeError, RecursionError):
             # RecursionError: pathologically deep nesting is treated like
-            # malformed JSON — still dedupable by exact content
+            # malformed JSON — still dedupable by exact content. The walk
+            # sits INSIDE the guard with the parse: json.loads (C scanner,
+            # ~1 frame/level) survives depths that _json_nodes (several
+            # Python frames/level) does not, so a deep-but-parseable doc
+            # must fall back too, not kill the task
             return [_hash64(text if isinstance(text, str) else "")]
-        nodes: list[str] = []
-        _json_nodes(obj, nodes)
         return sorted({_hash64(n) for n in nodes})
 
     return content.map(one)

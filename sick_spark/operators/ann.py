@@ -155,8 +155,11 @@ def rhp_bucket_candidates(
     b = with_rhp_bucket(df, n_bits, dim, seed, vec).select(
         F.col(id_col).alias("id"), "bucket"
     )
-    # no dedup pass: single-table hashing puts each vector in exactly ONE
-    # bucket, so an (id_a < id_b) pair can only arise once
+    # single-table hashing puts each UNIQUE id in exactly ONE bucket, so an
+    # (id_a < id_b) pair arises once from the slim join; the final dedup
+    # (cheap: runs on the small pair set) only collapses the artifacts of
+    # DUPLICATE ids in the input (a re-ingested vector would otherwise
+    # multiply through the self-join and both vector join-backs)
     cand = (
         b.select("bucket", F.col("id").alias("id_a"))
         .join(b.select("bucket", F.col("id").alias("id_b")), "bucket")
@@ -169,6 +172,7 @@ def rhp_bucket_candidates(
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cos", cosine("va", "vb"))
         .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -130,7 +130,11 @@ def connected_components(
         return _driver_union_find(edges)
     prev = _fingerprint(edges)
     converged = False
-    for _ in range(max_iterations):
+    # +1: max_iterations bounds PRODUCTIVE (state-changing) rounds; a graph
+    # whose fixpoint lands exactly on the last productive round still needs
+    # one non-changing round to OBSERVE convergence (cur == prev), so the
+    # budget must not charge the confirming pass against the limit
+    for _ in range(max_iterations + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _fingerprint(edges)
         if cur == prev:

@@ -298,11 +298,19 @@ def neardup_matches(
         return "xxh"
 
     fam_new, fam_ix = _family(new_sigs), _family(index_sigs)
-    if fam_new and fam_ix and fam_new != fam_ix:
+    # strict inequality: a present-but-UNSTAMPED column (None — parquet
+    # written before stamping, or a transform that stripped metadata) vs a
+    # stamped side is just as ambiguous as a stamped mismatch — it could be
+    # either family, and guessing wrong is the silent zero-match failure
+    # this guard exists for. Only None-vs-None passes (same provenance, so
+    # same era/backend by construction).
+    if fam_new != fam_ix:
         raise ValueError(
             f"band-hash family mismatch: new_sigs={fam_new!r} vs "
-            f"index_sigs={fam_ix!r} — the equi-join would silently match "
-            "nothing. Rebuild one side with the other's signature backend "
+            f"index_sigs={fam_ix!r} (None = band_hashes present but "
+            "unstamped — cannot prove the sides share a hash family; the "
+            "equi-join would silently match nothing if they differ). "
+            "Rebuild one side with the other's signature backend "
             "(cfg.minhash_impl), or drop its band_hashes column to recompute"
         )
     st = band_keys(with_band_hashes(new_sigs, cfg), cfg).select(

@@ -67,3 +67,13 @@ def test_star_loop_refuses_nonconverged_state(spark):
     # with room to converge the same graph is one cluster
     out = connected_components(df, driver_edge_threshold=0)
     assert {r["component"] for r in out.collect()} == {"n000"}
+
+
+def test_star_loop_budget_counts_productive_rounds(spark):
+    # max_iterations bounds PRODUCTIVE rounds: a star graph converges in
+    # exactly one state-changing round, so max_iterations=1 must SUCCEED —
+    # the confirming (non-changing) pass is not charged against the budget
+    star = [("a0", x) for x in ("b1", "b2", "b3")]
+    df = spark.createDataFrame(star, ["id_a", "id_b"])
+    out = connected_components(df, max_iterations=1, driver_edge_threshold=0)
+    assert {r["component"] for r in out.collect()} == {"a0"}

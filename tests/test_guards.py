@@ -80,8 +80,19 @@ def test_neardup_matches_rejects_band_family_mismatch(spark):
     bare = fused.drop("band_hashes")     # recompute -> xxhash64 family
     with pytest.raises(ValueError, match="band-hash family"):
         neardup_matches(fused, bare, cfg)
-    # same family on both sides stays fine (self-probe finds the exact dups)
-    assert neardup_matches(fused, fused, cfg).count() >= 0
+    # same family on both sides stays fine; a self-probe always contains
+    # its own self-matches (jaccard 1.0), so a nonempty corpus MUST yield
+    # rows — >0, not the vacuous >=0
+    assert neardup_matches(fused, fused, cfg).count() > 0
+    # present-but-UNSTAMPED vs stamped is just as ambiguous as a stamped
+    # mismatch: strip the stamp via an alias with empty metadata and expect
+    # the same loud refusal
+    unstamped = fused.withColumn(
+        "band_hashes", F.col("band_hashes").alias("band_hashes", metadata={})
+    )
+    assert unstamped.schema["band_hashes"].metadata.get("band_family") is None
+    with pytest.raises(ValueError, match="band-hash family"):
+        neardup_matches(fused, unstamped, cfg)
     # metadata survives a parquet round-trip, so index reads keep the stamp
     import tempfile
 

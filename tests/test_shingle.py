@@ -59,6 +59,18 @@ def test_malformed_json_falls_back(spark):
     assert len(out["shingle_hashes"]) == 1
 
 
+def test_deep_but_parseable_json_falls_back(spark):
+    # ~900 nested arrays: json.loads (C scanner, ~1 frame/level) succeeds
+    # under the default 1000 recursion limit, but the Python node walk
+    # (_json_nodes, several frames/level) blows it — the walk must sit
+    # inside the RecursionError guard so the doc falls back to the
+    # whole-string shingle instead of killing the Arrow task
+    deep = "[" * 900 + "1" + "]" * 900
+    df = spark.createDataFrame([("r", "p", "c", "json", deep)], CORPUS_SCHEMA)
+    out = with_shingle_hashes(df, 3).collect()[0]
+    assert len(out["shingle_hashes"]) == 1
+
+
 def test_null_lang_rows_survive_shingling(spark):
     # a NULL lang must land on the code (token) branch — with plain ==,
     # both branch predicates are three-valued NULL and the row silently
