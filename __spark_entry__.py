@@ -412,11 +412,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["exact_dup_stats"] = exact_dup_stats
 
-    # --- per-row content fingerprint (sha256 of normalized text)
+    # --- per-row content fingerprint: the ONE normalized-content address
+    #     definition (functions.textstats.fingerprint) — no inline copy to
+    #     drift from the library or its oracle mirror
     def content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.textstats import fingerprint
+
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-        return d.select("doc_id", F.sha2(norm.cast("binary"), 256).alias("fp")).orderBy("doc_id")
+        return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
     q["content_fingerprint"] = content_fingerprint
 
     # --- near-dup pairs: MinHash + LSH + exact verification
@@ -663,9 +666,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- event-time hourly rollup (streaming-shaped agg, batch execution)
     def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # floor-epoch arithmetic, NOT date_trunc: date_trunc('hour')
+        # truncates in the SESSION timezone, so any non-whole-hour offset
+        # (e.g. +05:30) shifts every bucket by the sub-hour remainder and
+        # diverges from the oracle; epoch seconds are timezone-free and
+        # identical on both engines
         return (
             e.groupBy(
-                F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_unix"),
+                (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600)
+                .cast("long")
+                .alias("hour_unix"),
                 "event_type",
             )
             .agg(
@@ -1111,7 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         WITH RECURSIVE
         t0 AS (SELECT doc_id, lang, text,
                       string_split_regex(trim(text), '\s+') AS toks,
-                      length(text) - length(regexp_replace(text, '[^ \tA-Za-z0-9]', '', 'g')) AS punct_n
+                      length(text) - length(regexp_replace(text, '[^ \t\n\r\f\x0BA-Za-z0-9]', '', 'g')) AS punct_n
                FROM documents),
         s0 AS (SELECT doc_id, lang, text, len(toks) AS n,
                       list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1) AS mwl,
@@ -1255,7 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
             SELECT doc_id, text,
                    string_split_regex(trim(text), '\\s+') AS toks,
-                   length(text) - length(regexp_replace(text, '[^ \\tA-Za-z0-9]', '', 'g')) AS punct_n
+                   length(text) - length(regexp_replace(text, '[^ \\t\\n\\r\\f\\x0BA-Za-z0-9]', '', 'g')) AS punct_n
             FROM documents
         ), s AS (
             SELECT doc_id,
@@ -1595,8 +1605,10 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS instances FROM v
         ORDER BY kind
     """
+    # floor-epoch on this side too (see the query): both engines bucket on
+    # timezone-free epoch seconds, immune to the driver's session timezone
     o["events_hourly"] = """
-        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
+        SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_unix, event_type,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2 ORDER BY hour_unix, event_type

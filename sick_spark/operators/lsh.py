@@ -208,14 +208,23 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
     )
     # salt folded INTO the 8-byte group key (one column, fewer shuffle
     # bytes); a fold collision can only MERGE two buckets, which ADDS
-    # candidates (verify filters truth), never loses one
+    # candidates (verify filters truth), never loses one. The salt DRAW
+    # hashes (cid, bh) — not cid alone — so two hot buckets holding the
+    # same members (e.g. a mega-group colliding in every band/block) split
+    # them DIFFERENTLY: a pair separated by salting in one bucket gets an
+    # independent chance in every other, instead of being lost in all of
+    # them at once (a cid-only draw reproduces the identical partition per
+    # bucket, correlating the loss across bands)
     keyed = slim.join(buckets, "bh").select(
         "cid",
         F.when(
             F.col("nsalt").isNotNull(),
             F.xxhash64(
                 F.col("bh"),
-                F.pmod(F.xxhash64(F.col("cid"), F.lit(cfg.seed + 1)), F.col("nsalt")),
+                F.pmod(
+                    F.xxhash64(F.col("cid"), F.col("bh"), F.lit(cfg.seed + 1)),
+                    F.col("nsalt"),
+                ),
             ),
         )
         .otherwise(F.col("bh"))
@@ -262,6 +271,26 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, ids: DataFrame | None = 
             F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def stamp_band_family(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Re-attach the ``band_family`` column stamp from the config.
+
+    Parquet preserves Spark column metadata; catalog backends (Iceberg's
+    schema conversion) do NOT, so an index read back through a catalog
+    warehouse arrives unstamped and :func:`neardup_matches` would refuse
+    it. The family is a pure function of the config (the fused pandas
+    backend emits FNV band hashes, the sql backend's
+    :func:`with_band_hashes` emits xxhash64), and
+    :meth:`~sick_spark.sources.io.Warehouse.ensure_config` pins one config
+    per warehouse — so restamping from cfg is sound for warehouse reads."""
+    if "band_hashes" not in df.columns:
+        return df
+    fam = "fnv" if cfg.minhash_impl == "pandas" else "xxh"
+    return df.withColumn(
+        "band_hashes",
+        F.col("band_hashes").alias("band_hashes", metadata={"band_family": fam}),
     )
 
 

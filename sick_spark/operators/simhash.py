@@ -158,6 +158,14 @@ def simhash_pairs(df: DataFrame, cfg: DedupConfig, id_col: str = "sha", fp_col: 
     Keep ``max_hamming <= 3`` (>= 16-bit block keys): at d=7 the 8-bit key
     space has only 256 buckets per block and every bucket is hot by
     construction.
+
+    The pigeonhole recall-1 guarantee therefore holds UP TO the salting
+    cap: a group of more than ``cfg.max_bucket`` documents sharing a block
+    key is split, and pairs across its salt shards are forgone in that
+    block. The salt draw hashes (cid, bh), so each of the d+1 blocks
+    splits such a group independently — a pair lost in one block gets a
+    fresh chance in every other — and the loss is never silent: account
+    it with ``lsh.overflow_report(simhash_block_keys(df, cfg), cfg)``.
     """
     from sick_spark.operators.lsh import candidate_pairs
 

@@ -51,7 +51,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sick_spark.config import DedupConfig
 from sick_spark.operators.components import attach_components, connected_components
 from sick_spark.operators.exact_dedup import exact_dedup
-from sick_spark.operators.lsh import band_keys, candidate_pairs, neardup_matches
+from sick_spark.operators.lsh import (
+    band_keys,
+    candidate_pairs,
+    neardup_matches,
+    stamp_band_family,
+)
 from sick_spark.operators.verify import verify_pairs
 from sick_spark.plans.pipeline import signature_stage
 from sick_spark.sources.io import Warehouse, resume_filter
@@ -84,6 +89,11 @@ def ingest_delta(
     kill); a fully-committed delta is skipped outright."""
     cfg = cfg or DedupConfig()
     delta_id = str(delta_id)
+    # one warehouse = one config: signatures appended under a different
+    # shingle/signature config would silently never match earlier deltas
+    import dataclasses
+
+    warehouse.ensure_config(dataclasses.asdict(cfg))
     if warehouse.delta_complete(SIGS, delta_id):
         return DeltaStats(delta_id, 0, 0, 0, 0, skipped=True)
 
@@ -95,6 +105,12 @@ def ingest_delta(
     # the same seen-value skip as the reference's dedup-table lookup
     # (``DeduplicatingRefTableBuilder.scala:17-26``)
     index = warehouse.read_deltas(spark, SIGS)
+    if index is not None:
+        # catalog backends (Iceberg) strip Spark column metadata, so the
+        # read-back index loses its band_family stamp and neardup_matches
+        # would refuse it; ensure_config pinned the warehouse to ONE
+        # config, so restamping from cfg is sound
+        index = stamp_band_family(index, cfg)
     new_store = resume_filter(store, index, "sha")
     sig = signature_stage(new_store, cfg).localCheckpoint(eager=False)
     n_new = sig.count()

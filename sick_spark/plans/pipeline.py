@@ -86,6 +86,14 @@ def run_pipeline(
 ) -> PipelineResult:
     cfg = cfg or DedupConfig()
     t_start = time.time()
+    if warehouse is not None:
+        # one warehouse = one config: a resume under a changed config (e.g.
+        # a different shingle_k with the same band count, invisible to the
+        # per-row band-size guard) must refuse loudly, not silently mix
+        # stages computed under two configs
+        import dataclasses
+
+        warehouse.ensure_config(dataclasses.asdict(cfg))
 
     def ckpt(df: DataFrame, stage: str) -> DataFrame:
         t0 = time.time()
@@ -141,9 +149,12 @@ def run_pipeline(
     doc_ids = sig.select(F.col("sha").alias("id"))  # already unique: skips a 21M-row distinct
     pairs = ckpt(candidate_pairs(bands, cfg, ids=doc_ids), "pairs")
     if metrics is not None:
-        hot = overflow_report(bands, cfg).count()
-        if hot:
-            metrics.record("hot_buckets", overflow_report(bands, cfg))
+        # built ONCE and lazily checkpointed: the count probe and the
+        # metrics recording would otherwise each re-run the full
+        # bucket_stats aggregation over the exploded band table
+        rep = overflow_report(bands, cfg).localCheckpoint(eager=False)
+        if rep.count():
+            metrics.record("hot_buckets", rep)
 
     # 4. exact-Jaccard verification (JVM array_intersect)
     verified = ckpt(verify_pairs(pairs, sig, cfg.jaccard_threshold), "verified")

@@ -40,6 +40,32 @@ class Warehouse:
     def is_complete(self, stage: str) -> bool:
         return os.path.exists(self._marker(stage))
 
+    def ensure_config(self, stamp: dict) -> None:
+        """Pin this warehouse to ONE pipeline config (one warehouse = one
+        config). First call records the stamp; later calls compare and
+        REFUSE on mismatch — without this, resuming a partially complete
+        warehouse under a changed config (e.g. a different shingle_k with
+        the same band count, which the per-row band-size guard cannot see)
+        silently mixes stages computed under two configs into one output.
+        The reference's analogue: an EBA file's header pins the settings
+        that produced it (``SICKSettings.scala:3-15``)."""
+        path = os.path.join(self.root, "_config.json")
+        blob = json.dumps(stamp, sort_keys=True, default=str)
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = f.read()
+            if existing != blob:
+                raise ValueError(
+                    f"warehouse at {self.root} was built under a different "
+                    f"config:\n  recorded: {existing}\n  requested: {blob}\n"
+                    "Resuming would silently mix stages from two configs — "
+                    "use a fresh warehouse root or rerun with the recorded "
+                    "config"
+                )
+        else:
+            with open(path, "w") as f:
+                f.write(blob)
+
     def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None,
               num_files: int | None = None) -> DataFrame:
         """Checkpoint a stage; returns the re-read DataFrame (cuts lineage,

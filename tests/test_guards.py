@@ -122,3 +122,29 @@ def test_cosine_pairs_blocked_string_ids(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            cosine_pairs_blocked(df, 0.9, target_block=2).collect()}
     assert got == {("sha_a", "sha_b")}
+
+
+def test_warehouse_refuses_config_change_on_resume(spark, tmp_path):
+    # one warehouse = one config: resuming under a changed shingle_k (same
+    # band count, so the per-row band-size guard cannot see it) must raise
+    # instead of silently mixing stages computed under two configs
+    from sick_spark.plans.pipeline import run_pipeline
+
+    corpus = synthetic_corpus(spark, n_files=12, seed=7)
+    wh = Warehouse(str(tmp_path / "wh"))
+    run_pipeline(spark, corpus, DedupConfig(shingle_k=3), warehouse=wh)
+    with pytest.raises(ValueError, match="different config"):
+        run_pipeline(spark, corpus, DedupConfig(shingle_k=4), warehouse=wh)
+    # the recorded config resumes fine (and reuses the completed stages)
+    res = run_pipeline(spark, corpus, DedupConfig(shingle_k=3), warehouse=wh)
+    assert res.clusters.count() == 12
+
+
+def test_ingest_delta_refuses_config_change(spark, tmp_path):
+    from sick_spark.plans.incremental import ingest_delta
+
+    wh = Warehouse(str(tmp_path / "iwh"))
+    delta = synthetic_corpus(spark, n_files=6, seed=9)
+    ingest_delta(spark, delta, wh, DedupConfig(shingle_k=3), delta_id="0")
+    with pytest.raises(ValueError, match="different config"):
+        ingest_delta(spark, delta, wh, DedupConfig(shingle_k=4), delta_id="1")
