@@ -93,3 +93,37 @@ def test_skew_adversarial_pipeline(spark):
 
     # pipeline surfaced it through metrics too (no silent degradation)
     assert any(m.stage == "hot_buckets" for m in metrics.stages)
+
+
+def test_salt_draws_decorrelated_across_buckets(spark):
+    """A mega-group hot in SEVERAL buckets (same members colliding in two
+    bands, or in two simhash blocks) must be split DIFFERENTLY per bucket:
+    the salt draw hashes (cid, bh), so a pair separated by salting in one
+    bucket gets an independent chance in the other. A cid-only draw (the
+    pre-fix behavior) reproduced the identical partition in both buckets,
+    so the union recovered nothing over a single bucket."""
+    from sick_spark.config import DedupConfig
+    from sick_spark.operators.lsh import candidate_pairs
+
+    cfg = DedupConfig(max_bucket=5)
+    ids = [f"d{i:02d}" for i in range(30)]
+    idf = spark.createDataFrame([(i,) for i in ids], ["id"])
+
+    def pairs(rows):
+        df = spark.createDataFrame(rows, ["id", "bh"])
+        return {
+            (r["id_a"], r["id_b"])
+            for r in candidate_pairs(df, cfg, ids=idf).collect()
+        }
+
+    p1 = pairs([(i, 1) for i in ids])
+    p2 = pairs([(i, 2) for i in ids])
+    pu = pairs([(i, b) for i in ids for b in (1, 2)])
+    full = {(a, b) for a in ids for b in ids if a < b}
+    # each hot bucket alone forgoes cross-shard pairs (salting at work) ...
+    assert p1 < full and p2 < full
+    # ... but the two buckets shard independently, so their union recovers
+    # pairs neither alone produced
+    assert p1 != p2
+    assert pu == p1 | p2
+    assert len(pu) > max(len(p1), len(p2))
