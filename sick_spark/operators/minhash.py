@@ -74,20 +74,28 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def make_signature_pandas_udf(cfg: DedupConfig):
+def make_signature_pandas_udf(cfg: DedupConfig, emit_minhash: bool = True):
     """minhash + LSH band hashes in ONE Arrow pass: bh_j = FNV-1a over the
     j-th (rows-long) slice of the signature. Banding downstream then only
     explodes a precomputed array — no per-band slice+hash recompute on the
-    JVM side (that recompute costs more than the whole numpy signature)."""
+    JVM side (that recompute costs more than the whole numpy signature).
+
+    ``emit_minhash=False`` keeps the per-permutation mins INTERNAL (they
+    are still computed — the band hashes derive from them) and returns a
+    struct without the ``minhash`` field: the raw signature is the widest
+    column of the stage (sig_len int64s per doc ≈ 2× the shingle input)
+    and the dedup pipeline never reads it — only ``band_hashes`` (LSH)
+    and the shingle arrays (verify) — so skipping its Arrow serialization
+    and cache footprint is pure savings for pipeline callers."""
     n_perms, seed, bands, rows = cfg.sig_len, cfg.seed, cfg.bands, cfg.rows
 
-    schema = StructType(
-        [
-            StructField("minhash", ArrayType(LongType()), False),
-            StructField("band_hashes", ArrayType(LongType()), False),
-            StructField("simhash", LongType(), False),
-        ]
-    )
+    fields = [
+        StructField("band_hashes", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
+    ]
+    if emit_minhash:
+        fields.insert(0, StructField("minhash", ArrayType(LongType()), False))
+    schema = StructType(fields)
 
     @F.pandas_udf(schema)
     def sig_batch(hashes: pd.Series) -> pd.DataFrame:
@@ -143,15 +151,12 @@ def make_signature_pandas_udf(cfg: DedupConfig):
             bh = (bh ^ g[:, :, k]) * _FNV_PRIME
         # rows stay numpy (pyarrow converts ndarray elements natively);
         # materializing python list-of-int rows instead costs ~0.15 s/batch
-        mh_i = mh.astype(np.int64)
-        bh_i = bh.astype(np.int64)
-        return pd.DataFrame(
-            {
-                "minhash": list(mh_i),
-                "band_hashes": list(bh_i),
-                "simhash": sh,
-            }
-        )
+        out = {}
+        if emit_minhash:
+            out["minhash"] = list(mh.astype(np.int64))
+        out["band_hashes"] = list(bh.astype(np.int64))
+        out["simhash"] = sh
+        return pd.DataFrame(out)
 
     return sig_batch
 
@@ -160,14 +165,32 @@ def minhash_pandas(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashe
     return df.withColumn(out, make_minhash_pandas_udf(cfg)(F.col(hashes)))
 
 
-def minhash_signatures(df: DataFrame, cfg: DedupConfig, hashes: str = "shingle_hashes", out: str = "minhash") -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    cfg: DedupConfig,
+    hashes: str = "shingle_hashes",
+    out: str = "minhash",
+    keep_minhash: bool = True,
+) -> DataFrame:
     """Signature stage: adds ``minhash`` (and, on the pandas path,
     ``band_hashes`` + ``simhash``) columns in ONE Arrow pass — the shingle
-    arrays cross the JVM/Python boundary once for all three outputs."""
+    arrays cross the JVM/Python boundary once for all three outputs.
+
+    ``keep_minhash=False`` (fused path): the raw per-permutation signature
+    never leaves the Python worker — Catalyst cannot prune INSIDE a UDF's
+    struct output, so a post-hoc ``.drop`` would still pay its Arrow
+    serialization. The sql path always carries ``minhash`` (band hashes
+    are derived from the column downstream); drop it after
+    :func:`~sick_spark.operators.lsh.with_band_hashes` there."""
     if cfg.minhash_impl == "pandas":
-        packed = df.withColumn("__sig", make_signature_pandas_udf(cfg)(F.col(hashes)))
+        packed = df.withColumn(
+            "__sig",
+            make_signature_pandas_udf(cfg, emit_minhash=keep_minhash)(F.col(hashes)),
+        )
+        if keep_minhash:
+            packed = packed.withColumn(out, F.col("__sig.minhash"))
         return (
-            packed.withColumn(out, F.col("__sig.minhash"))
+            packed
             # the hash FAMILY rides along as column metadata (survives a
             # Spark parquet round-trip): the fused path emits FNV band
             # hashes, the with_band_hashes fallback emits xxhash64 — equal

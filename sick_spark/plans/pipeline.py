@@ -40,10 +40,19 @@ from sick_spark.sources.io import Warehouse
 
 
 def signature_stage(
-    store: DataFrame, cfg: DedupConfig, with_simhash: bool = False
+    store: DataFrame, cfg: DedupConfig, with_simhash: bool = False,
+    keep_minhash: bool = False,
 ) -> DataFrame:
     """store (sha, lang, content, …) → signature rows
-    (sha, lang, shingle_hashes, minhash, band_hashes[, simhash]).
+    (sha, lang, shingle_hashes, band_hashes[, simhash][, minhash]).
+
+    ``keep_minhash=False`` (default): the raw sig_len-long signature —
+    the stage's WIDEST column — never leaves the Python worker on the
+    fused path: the dedup pipeline reads only ``band_hashes`` (LSH) and
+    ``shingle_hashes`` (verify), and on the single-JVM localCheckpoint
+    strategy (serialized rows, no column pruning) every downstream scan
+    would re-deserialize it. Pass True to materialize it (e.g. for an
+    index that re-bands under a future config).
 
     Shingle + signatures: narrow, whole-stage codegen (+ Arrow for json
     rows). Adaptive branch pruning (same driver-side reasoning as AQE's
@@ -56,11 +65,14 @@ def signature_stage(
         store.where(F.col("lang") == F.lit("json")).limit(1).isEmpty()
     )
     sig = with_shingle_hashes(store.select("sha", "lang", "content"), cfg.shingle_k, json_aware)
-    sig = minhash_signatures(sig, cfg)
+    sig = minhash_signatures(sig, cfg, keep_minhash=keep_minhash)
     sig = with_band_hashes(sig, cfg)  # no-op on the pandas path (fused in the UDF)
     if with_simhash and "simhash" not in sig.columns:
         sig = simhash_fingerprints(sig)
-    return sig.drop("content")
+    drop = ["content"]
+    if not keep_minhash and "minhash" in sig.columns:
+        drop.append("minhash")  # sql path: bands derived, raw sig now unused
+    return sig.drop(*drop)
 
 
 @dataclass

@@ -76,7 +76,9 @@ def test_neardup_matches_rejects_band_family_mismatch(spark):
     store = synthetic_corpus(spark, n_files=10, seed=5).select(
         F.sha2("content", 256).alias("sha"), "lang", "content"
     )
-    fused = signature_stage(store, cfg)  # pandas backend: band_family=fnv
+    # keep_minhash=True: `bare` drops band_hashes to force the xxhash64
+    # RECOMPUTE path, which derives from the raw minhash column
+    fused = signature_stage(store, cfg, keep_minhash=True)  # band_family=fnv
     bare = fused.drop("band_hashes")     # recompute -> xxhash64 family
     with pytest.raises(ValueError, match="band-hash family"):
         neardup_matches(fused, bare, cfg)
