@@ -62,7 +62,7 @@ from sick_spark.plans.pipeline import signature_stage
 from sick_spark.sources.io import Warehouse, resume_filter
 
 ROOTS = "inc_roots"        # (repo, path, commit, lang, sha) per delta
-SIGS = "inc_sig_index"     # (sha, lang, shingle_hashes, minhash, band_hashes)
+SIGS = "inc_sig_index"     # (sha, lang, shingle_hashes, band_hashes, simhash)
 MATCHES = "inc_matches"    # (id_a, id_b, jaccard) — verified near-dup edges
 
 

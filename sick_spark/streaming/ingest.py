@@ -34,12 +34,18 @@ def streaming_signatures(
     input_dir: str,
     cfg: DedupConfig | None = None,
     max_files_per_trigger: int = 64,
+    keep_minhash: bool = False,
 ) -> DataFrame:
     """readStream over a landing directory of parquet corpus files →
-    per-file signature rows (sha, lang, shingle_hashes, minhash, simhash).
+    per-file signature rows (sha, lang, shingle_hashes, band_hashes,
+    simhash[, minhash]).
 
     The transform chain is IDENTICAL to the batch path — one definition,
-    two execution modes (the DataFrame API is the contract)."""
+    two execution modes (the DataFrame API is the contract). Like
+    ``signature_stage``, the raw sig_len-long minhash stays inside the
+    Python worker by default — the probe (``neardup_matches``) reads only
+    ``band_hashes``, and a continuously-appended index pays the widest
+    column's write cost forever; pass ``keep_minhash=True`` to store it."""
     cfg = cfg or DedupConfig()
     stream = (
         spark.readStream.schema(CORPUS_SCHEMA)
@@ -52,7 +58,7 @@ def streaming_signatures(
         cfg.shingle_k,
         cfg.json_aware,
     )
-    sig = minhash_signatures(sig, cfg)
+    sig = minhash_signatures(sig, cfg, keep_minhash=keep_minhash)
     if "simhash" not in sig.columns:
         sig = simhash_fingerprints(sig)
     return sig.drop("content")

@@ -28,9 +28,13 @@ def test_streaming_matches_batch(spark, tmp_path):
         ),
         cfg,
     )
-    g = {r["sha"]: tuple(r["minhash"]) for r in got.select("sha", "minhash").collect()}
-    b = {r["sha"]: tuple(r["minhash"]) for r in batch.select("sha", "minhash").collect()}
+    # band_hashes are FNV folds of the minhash slices, so their equality
+    # proves signature equality; the raw minhash column is slim-by-default
+    # on BOTH paths (keep_minhash=False)
+    g = {r["sha"]: tuple(r["band_hashes"]) for r in got.select("sha", "band_hashes").collect()}
+    b = {r["sha"]: tuple(r["band_hashes"]) for r in batch.select("sha", "band_hashes").collect()}
     assert g == b
+    assert "minhash" not in got.columns
     # restart with same checkpoint and no new files → no duplicate rows
     q2 = start_signature_sink(
         streaming_signatures(spark, landing, cfg),
