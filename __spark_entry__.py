@@ -230,6 +230,25 @@ _SHARED_SQL: dict[str, str] = {
                CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
         FROM part GROUP BY p_size ORDER BY p_size
     """,
+    # GROUP BY ROLLUP — the grouping-sets surface of the relational
+    # checklist (SURVEY §2.3 aggregations): per-(region, nation) revenue
+    # plus the per-region and grand-total superaggregate rows, one pass.
+    # Spark plans ROLLUP as an Expand + single hash aggregation — no
+    # per-level rescan. NULL group markers are COALESCE'd to 'ALL' so the
+    # ORDER BY needs no engine-specific NULLS FIRST/LAST clause.
+    "rollup_region_nation_revenue": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation
+    """,
 }
 
 # doc/text shingle CTE fragments (DuckDB dialect). ONE definition of the

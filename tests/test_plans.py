@@ -100,3 +100,11 @@ def test_lsh_banding_shuffle_budget(spark):
     sigs = {m.group(0) for m in re.finditer(r"collect_list\([^)]*\)", p)}
     assert len(sigs) == 1, sigs
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_rollup_is_single_pass_expand(spark):
+    """GROUP BY ROLLUP plans as one Expand + hash aggregation — the
+    superaggregate rows come from replicated input rows, not a rescan
+    per grouping level."""
+    p = plan_str(em.queries()["rollup_region_nation_revenue"](spark, SF))
+    assert "Expand" in p, p
