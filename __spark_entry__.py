@@ -482,6 +482,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ngram_hot_shingle_stats"] = ngram_hot_shingle_stats
 
+    # --- benchmark decontamination: the eval set is played by a verbatim
+    #     16-token span (tokens 3..18) of every doc_id % 53 == 1 document
+    #     with >= 18 tokens — contamination by construction, exactly how
+    #     benchmarks leak into crawls. k=8 grams (long enough that chance
+    #     vocab collisions don't fire; the origin docs + their exact/near
+    #     dups do). Benchmark side broadcast; corpus never shuffles
+    #     (operators/decontam.py).
+    def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.decontam import benchmark_ngram_hits
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        bench = (
+            d.where((F.col("doc_id") % 53 == 1) & (F.size(toks) >= 18))
+            .select(
+                F.col("doc_id").alias("bench_id"),
+                F.concat_ws(" ", F.slice(toks, 3, 16)).alias("content"),
+            )
+        )
+        return (
+            benchmark_ngram_hits(d, bench, k=8, content="text", bench_content="content")
+            .orderBy("doc_id")
+        )
+    q["decontaminate_benchmark_overlap"] = decontaminate_benchmark_overlap
+
     # --- incremental dedup: which NEW docs (doc_id % 5 == 0 plays the
     #     incoming delta/micro-batch) near-dup the already-indexed rest?
     #     neardup_matches broadcasts the delta's band keys to the index —
@@ -1228,6 +1253,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT df, count(*) AS n_shingles,
                CAST(sum(CAST(df * (df - 1) / 2 AS BIGINT)) AS BIGINT) AS pairs_forgone
         FROM df GROUP BY df ORDER BY df
+    """
+    # decontamination: replay the benchmark-span derivation + 8-gram
+    # shingling on strings (Spark joins on xxhash64 of the same grams)
+    o["decontaminate_benchmark_overlap"] = r"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents),
+        bspan AS (SELECT doc_id AS bench_id, list_slice(ws, 3, 18) AS bs
+                  FROM w WHERE doc_id % 53 = 1 AND len(ws) >= 18),
+        bsh AS (SELECT DISTINCT bench_id,
+                       unnest([array_to_string(list_slice(bs, i, i + 7), ' ')
+                               FOR i IN generate_series(1, greatest(len(bs) - 7, 1))]) AS s
+                FROM bspan),
+        dsh AS (SELECT doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(list_slice(ws, i, i + 7), ' ')
+                            FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS s
+                FROM w),
+        hits AS (SELECT d.doc_id, d.s, b.bench_id FROM dsh d JOIN bsh b ON d.s = b.s)
+        SELECT doc_id, count(DISTINCT s) AS n_hit_shingles,
+               count(DISTINCT bench_id) AS n_benchmark_docs
+        FROM hits GROUP BY doc_id ORDER BY doc_id
     """
     o["dedup_clusters"] = _DUCK_CLUSTER_SQL
     o["embedding_neardup_pairs"] = f"""

@@ -1,0 +1,101 @@
+"""Benchmark decontamination: flag corpus documents that share verbatim
+k-grams with a (small) benchmark/eval set.
+
+The standard training-data hygiene pass: before training, every document
+that contains a long-enough verbatim n-gram from an evaluation benchmark is
+flagged (and usually dropped) so eval scores aren't inflated by leakage.
+The reference's analogous machinery is its content-addressed lookup — a
+query value is decomposed into nodes and matched against the interned
+tables by identity (``KHash``/bucket index, SURVEY.md §2.1 E11); here the
+"query set" is the benchmark's shingle set and the match is a distributed
+semi-join.
+
+Scale shape (the 100 TB plan):
+- the benchmark side is TINY (10^3–10^5 eval documents → ~10^6–10^7
+  distinct shingle hashes) while the corpus is the 10^12-file side. The
+  benchmark shingle set is therefore **broadcast**; the corpus is never
+  shuffled for the probe — each corpus partition explodes its shingles and
+  probes the broadcast hash relation map-side.
+- only HIT rows (rare by construction: most of the corpus is clean) reach
+  the one real shuffle, the per-document aggregation. A clean 100 TB corpus
+  flows through this operator with zero wide exchanges of corpus data.
+- shingle identity is xxhash64 over token k-grams — the same two-step
+  token-hash scheme as near-dup shingling (``functions/text.py``), JVM-side
+  whole-stage codegen, no Python in the corpus path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sick_spark.functions.text import with_token_shingle_hashes
+
+
+def benchmark_shingles(
+    bench: DataFrame, content: str, k: int, bench_id: str = "bench_id"
+) -> DataFrame:
+    """Benchmark set → distinct ``(bench_id, h)`` shingle-hash rows.
+
+    Kept as (id, hash) pairs — not a bare hash set — so hits can report
+    WHICH benchmark entries leaked, not just that something did.
+    """
+    return (
+        with_token_shingle_hashes(bench, content, k)
+        .select(bench_id, F.explode("shingle_hashes").alias("h"))
+        .distinct()
+    )
+
+
+def benchmark_ngram_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    bench_content: str = "content",
+) -> DataFrame:
+    """Per-document contamination report: documents sharing ≥1 verbatim
+    token k-gram with any benchmark entry.
+
+    Returns ``(doc_id, n_hit_shingles, n_benchmark_docs)`` — distinct
+    leaked shingles in the document and distinct benchmark entries they
+    came from. Documents with zero hits are absent (the common case at
+    scale; callers drop or down-weight the returned ids).
+
+    ``bench`` is broadcast: the corpus side is exploded narrow and probed
+    map-side, so the only shuffle is the final groupBy over hit rows.
+    """
+    bh = benchmark_shingles(bench, bench_content, k, bench_id)
+    dh = (
+        with_token_shingle_hashes(docs, content, k)
+        .select(doc_id, F.explode("shingle_hashes").alias("h"))
+    )
+    hits = dh.join(F.broadcast(bh), "h")
+    return (
+        hits.groupBy(doc_id)
+        .agg(
+            F.countDistinct("h").alias("n_hit_shingles"),
+            F.countDistinct(bench_id).alias("n_benchmark_docs"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    bench_content: str = "content",
+) -> DataFrame:
+    """The drop pass: ``docs`` minus every contaminated document.
+
+    A broadcast LEFT ANTI join on the hit ids — corpus rows never shuffle;
+    the (small) contaminated-id relation is broadcast back.
+    """
+    hit_ids = benchmark_ngram_hits(
+        docs, bench, k, content, doc_id, bench_id, bench_content
+    ).select(doc_id)
+    return docs.join(F.broadcast(hit_ids), doc_id, "left_anti")

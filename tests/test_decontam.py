@@ -1,0 +1,89 @@
+"""Benchmark decontamination (operators/decontam.py): planted-leak ground
+truth + the broadcast-probe plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from sick_spark.operators.decontam import (
+    benchmark_ngram_hits,
+    benchmark_shingles,
+    decontaminate,
+)
+
+BENCH_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _corpus(spark):
+    # doc 1 embeds the benchmark verbatim; doc 2 embeds a prefix of it long
+    # enough to share 8-grams; doc 3 shares only short fragments (no 8-gram);
+    # doc 4 is clean.
+    rows = [
+        (1, "intro words then " + BENCH_TEXT + " trailing words here"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta other tail words"),
+        (3, "alpha beta gamma something else entirely different words here now"),
+        (4, "completely unrelated content with its own vocabulary and nothing shared"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame([(100, BENCH_TEXT)], "bench_id long, content string")
+
+
+def test_planted_hits(spark):
+    hits = benchmark_ngram_hits(
+        _corpus(spark), _bench(spark), k=8, content="text"
+    ).collect()
+    got = {r.doc_id: (r.n_hit_shingles, r.n_benchmark_docs) for r in hits}
+    # bench has 10 tokens -> 3 distinct 8-grams; doc 1 contains all 3,
+    # doc 2 contains exactly the first one (tokens 1..8), docs 3/4 none
+    assert got == {1: (3, 1), 2: (1, 1)}
+
+
+def test_decontaminate_drops_only_hit_docs(spark):
+    kept = decontaminate(
+        _corpus(spark), _bench(spark), k=8, content="text"
+    ).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [3, 4]
+
+
+def test_short_benchmark_entry_is_one_whole_entry_shingle(spark):
+    # a sub-k benchmark entry collapses to one whole-entry gram (same rule
+    # as document shingling) — it must only hit docs containing the exact
+    # token span, not every doc sharing a word
+    bench = spark.createDataFrame(
+        [(7, "alpha beta gamma")], "bench_id long, content string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),  # sub-k doc: whole-doc gram == entry
+            (3, "alpha words beta words gamma"),  # shares words, not the gram
+        ],
+        "doc_id long, text string",
+    )
+    hits = benchmark_ngram_hits(docs, bench, k=8, content="text").collect()
+    assert {r.doc_id for r in hits} == {1}
+
+
+def test_probe_plan_broadcasts_benchmark_not_corpus(spark):
+    df = benchmark_ngram_hits(_corpus(spark), _bench(spark), k=8, content="text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_benchmark_shingles_distinct_pairs(spark):
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h i")],
+        "bench_id long, content string",
+    )
+    rows = benchmark_shingles(bench, "content", k=8).collect()
+    # 9 tokens -> 2 grams per entry, distinct per (bench_id, h)
+    assert len(rows) == 4
