@@ -999,6 +999,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.clusters.select("path", "sha", "component").orderBy("path")
     q["full_pipeline_clusters"] = full_pipeline_clusters
 
+    # --- repo-level duplication: repos as SETS of their files' cluster ids
+    #     (exact + near-dup components from the full pipeline), pairwise
+    #     overlap = shared clusters + Jaccard. The fork/mirror detector one
+    #     granularity above file dedup (operators/repodup.py). Uncapped here
+    #     (20 repos); the boilerplate-component cap + report is the scale
+    #     mode, exercised in tests/test_repodup.py.
+    def repo_overlap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.repodup import repo_component_sets, repo_overlap_pairs
+
+        corpus = corpus_from_documents(spark, sf_dir)
+        res = run_pipeline(spark, corpus, DedupConfig(shingle_k=_K, jaccard_threshold=_J))
+        rs = repo_component_sets(res.clusters)
+        return repo_overlap_pairs(rs, min_shared=1).orderBy("repo_a", "repo_b")
+    q["repo_overlap_clusters"] = repo_overlap_clusters
+
     # --- incremental corpus evolution: three deltas ingested one at a time
     #     (sign only never-seen shas, broadcast-probe the accumulated index,
     #     append — the index is never rewritten or shuffled), then one
@@ -1575,6 +1590,43 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY path
     """
     o["full_pipeline_clusters"] = o_full_clusters
+    # repo overlap: same cluster closure, then repos as distinct
+    # (repo, component) sets -> pairwise shared counts + Jaccard
+    o["repo_overlap_clusters"] = """
+        WITH RECURSIVE d AS (SELECT DISTINCT sha256(text) AS sha, text FROM documents),
+        w AS (SELECT sha, string_split_regex(trim(text), '\\s+') AS ws FROM d),
+        sh AS (SELECT sha,
+                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+               FROM w),
+        sizes AS (SELECT sha, count(*) AS n FROM sh GROUP BY sha),
+        inter AS (SELECT a.sha AS sa, b.sha AS sb, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.sha < b.sha
+                  GROUP BY 1, 2),
+        truepairs AS (SELECT sa, sb FROM inter
+                      JOIN sizes x ON sa = x.sha
+                      JOIN sizes y ON sb = y.sha
+                      WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+        edges AS (SELECT sa AS a, sb AS b FROM truepairs
+                  UNION SELECT sb, sa FROM truepairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                        WHERE e.b <> r.a),
+        comp AS (SELECT a AS cid, least(a, min(b)) AS component FROM reach GROUP BY a),
+        files AS (SELECT source AS repo, sha256(text) AS sha FROM documents),
+        rs AS (SELECT DISTINCT f.repo, coalesce(c.component, f.sha) AS component
+               FROM files f LEFT JOIN comp c ON f.sha = c.cid),
+        rsz AS (SELECT repo, count(*) AS n FROM rs GROUP BY repo),
+        ri AS (SELECT a.repo AS ra, b.repo AS rb, count(*) AS i
+               FROM rs a JOIN rs b ON a.component = b.component AND a.repo < b.repo
+               GROUP BY 1, 2)
+        SELECT ra AS repo_a, rb AS repo_b, i AS shared_components,
+               i * 1.0 / (x.n + y.n - i) AS jaccard
+        FROM ri JOIN rsz x ON ra = x.repo JOIN rsz y ON rb = y.repo
+        WHERE i >= 1
+        ORDER BY repo_a, repo_b
+    """
     # arrow/pandas MinHash backend: exact replay of the multiply-shift
     # signature family over portable sha60 shingle hashes. HUGEINT holds
     # a*h (< 2^124); min is over the UNSIGNED value, then mapped to the

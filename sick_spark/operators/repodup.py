@@ -1,0 +1,108 @@
+"""Repo-level duplication: which repositories substantially mirror each
+other, measured as overlap of their files' dedup-cluster memberships.
+
+After file-level dedup (exact sha collapse + near-dup components), a
+repository is represented as the SET of cluster ids its files belong to.
+Two repos sharing many clusters are forks/mirrors/vendored copies — the
+repo-granularity answer a code-corpus curation pass needs on top of the
+file-level one (drop or down-weight the smaller twin of a mirrored pair).
+
+The reference's analogue is one level up its identity hierarchy: once leaf
+values are interned, composite objects that reference the same child ids
+are themselves dedup-able by their reference lists
+(``DeduplicatingRefTableBuilder.scala:17-26`` applied per-kind bottom-up);
+here "repo" is the composite and its cluster-id set is the reference list.
+
+Scale shape (the 100 TB plan):
+- input is the (repo, component) projection of the cluster table — two
+  narrow columns off the pipeline's final checkpoint, deduped by one
+  shuffle. 10^12 files collapse to ~|repos| x avg-distinct-clusters rows.
+- the pair join is an equi-join on component. Its fan-out is inherent to
+  the answer: a cluster present in m repos contributes C(m,2) repo pairs.
+  Boilerplate clusters (a LICENSE file in 10^6 repos) would explode it,
+  and their pairs say nothing about mirroring — so the join takes a
+  ``max_repos_per_component`` cap, and what the cap drops is REPORTED
+  (``hot_component_report``), never silently lost — same contract as the
+  hot-shingle cap (``operators/ngram.py``) and LSH bucket salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def repo_component_sets(
+    clusters: DataFrame, repo_col: str = "repo", component_col: str = "component"
+) -> DataFrame:
+    """Cluster table → distinct ``(repo, component)`` membership rows."""
+    return clusters.select(repo_col, component_col).distinct()
+
+
+def hot_component_report(
+    repo_sets: DataFrame,
+    max_repos_per_component: int,
+    component_col: str = "component",
+) -> DataFrame:
+    """Components excluded by the cap: ``(component, df, pairs_forgone)``
+    where df = number of repos containing it."""
+    return (
+        repo_sets.groupBy(component_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_repos_per_component)
+        .withColumn(
+            "pairs_forgone",
+            (F.col("df") * (F.col("df") - 1) / 2).cast("bigint"),
+        )
+    )
+
+
+def repo_overlap_pairs(
+    repo_sets: DataFrame,
+    repo_col: str = "repo",
+    component_col: str = "component",
+    min_shared: int = 1,
+    max_repos_per_component: int | None = None,
+) -> DataFrame:
+    """Pairwise repo overlap: ``(repo_a, repo_b, shared_components,
+    jaccard)`` for pairs sharing ≥ ``min_shared`` clusters.
+
+    Jaccard is over the repos' cluster-id sets. Set SIZES always count the
+    full sets — the cap (when given) only prunes which components can
+    GENERATE pairs, so a reported jaccard is never inflated (identical rule
+    to the shingle-df cap in ``ngram_jaccard_pairs``).
+    """
+    rs = repo_sets.select(
+        F.col(repo_col).alias("repo"), F.col(component_col).alias("component")
+    )
+    sizes = rs.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+
+    gen = rs
+    if max_repos_per_component is not None:
+        df = rs.groupBy("component").agg(F.count(F.lit(1)).alias("df"))
+        gen = rs.join(
+            df.where(F.col("df") <= max_repos_per_component).select("component"),
+            "component",
+        )
+
+    a = gen.select(F.col("repo").alias("repo_a"), "component")
+    b = gen.select(F.col("repo").alias("repo_b"), "component")
+    shared = (
+        a.join(b, "component")
+        .where(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("shared_components"))
+        .where(F.col("shared_components") >= min_shared)
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("repo", "repo_a").withColumnRenamed("n", "n_a"), "repo_a")
+        .join(sizes.withColumnRenamed("repo", "repo_b").withColumnRenamed("n", "n_b"), "repo_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            "shared_components",
+            (
+                F.col("shared_components")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_components"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Repo-level overlap (operators/repodup.py): planted fork ground truth,
+the boilerplate cap + report contract, and uninflated Jaccard under the cap."""
+
+from __future__ import annotations
+
+from sick_spark.operators.repodup import (
+    hot_component_report,
+    repo_component_sets,
+    repo_overlap_pairs,
+)
+
+
+def _sets(spark, rows):
+    return spark.createDataFrame(rows, "repo string, component string")
+
+
+def test_planted_fork_pair(spark):
+    # r1/r2 share 2 of their 3 clusters (a fork); r3 is disjoint
+    rs = _sets(
+        spark,
+        [
+            ("r1", "c1"), ("r1", "c2"), ("r1", "c3"),
+            ("r2", "c1"), ("r2", "c2"), ("r2", "c9"),
+            ("r3", "z1"), ("r3", "z2"),
+        ],
+    )
+    got = {(r.repo_a, r.repo_b): (r.shared_components, r.jaccard)
+           for r in repo_overlap_pairs(rs).collect()}
+    assert got == {("r1", "r2"): (2, 2 / 4)}
+
+
+def test_repo_component_sets_dedups_file_multiplicity(spark):
+    # two files of one repo in the same cluster count once in the set
+    clusters = spark.createDataFrame(
+        [("r1", "f1", "c1"), ("r1", "f2", "c1"), ("r2", "g1", "c1")],
+        "repo string, path string, component string",
+    )
+    rs = repo_component_sets(clusters)
+    assert rs.count() == 2
+    got = repo_overlap_pairs(rs).collect()
+    assert [(r.repo_a, r.repo_b, r.shared_components) for r in got] == [("r1", "r2", 1)]
+
+
+def test_boilerplate_cap_prunes_pairs_but_not_sizes(spark):
+    # "lic" sits in all four repos (a LICENSE cluster); with the cap it
+    # generates no pairs, but still counts in every repo's set size
+    rows = [(f"r{i}", "lic") for i in range(4)]
+    rows += [("r0", "c1"), ("r1", "c1"), ("r2", "z1"), ("r3", "z2")]
+    rs = _sets(spark, rows)
+
+    uncapped = repo_overlap_pairs(rs).collect()
+    assert len(uncapped) == 6  # C(4,2): lic connects everyone
+
+    capped = {(r.repo_a, r.repo_b): (r.shared_components, r.jaccard)
+              for r in repo_overlap_pairs(rs, max_repos_per_component=3).collect()}
+    # only the genuine c1 pair survives; jaccard uses FULL sizes (2 and 2)
+    assert capped == {("r0", "r1"): (1, 1 / 3)}
+
+    rep = hot_component_report(rs, 3).collect()
+    assert [(r.component, r.df, r.pairs_forgone) for r in rep] == [("lic", 4, 6)]
+
+
+def test_min_shared_filters(spark):
+    rs = _sets(
+        spark,
+        [("r1", "c1"), ("r1", "c2"), ("r2", "c1"), ("r2", "c2"), ("r3", "c1")],
+    )
+    got = repo_overlap_pairs(rs, min_shared=2).collect()
+    assert [(r.repo_a, r.repo_b) for r in got] == [("r1", "r2")]
