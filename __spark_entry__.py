@@ -684,6 +684,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["doc_quality"] = doc_quality
 
+    # --- PII/secret redaction: plant an email / IPv4 / 40-hex token into
+    #     deterministic doc subsets (the base corpus is PII-free word soup),
+    #     scrub with functions/redact.py, emit per-doc counts + a sha of the
+    #     scrubbed text. The oracle re-runs the SAME generation + regex
+    #     policy in DuckDB — any divergence in pattern semantics or
+    #     application order breaks the value match, which is the point:
+    #     redaction must be engine-reproducible to be auditable.
+    def doc_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.redact import redaction_counts, redact
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        i = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        content = F.concat(
+            F.col("text"),
+            F.when(
+                i % 3 == 0,
+                F.concat(F.lit(" contact user"), s(i), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."), s(i % 256), F.lit(".0."), s(i % 100), F.lit(" logged")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 7 == 0,
+                F.concat(
+                    F.lit(" token "),
+                    F.sha2(F.col("text").cast("binary"), 256).substr(1, 40),
+                    F.lit(" end"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        c = d.select("doc_id", content.alias("content"))
+        return (
+            c.select("doc_id", *redaction_counts("content"), redact("content").alias("r"))
+            .select(
+                "doc_id",
+                "n_emails",
+                "n_ips",
+                "n_keys",
+                F.sha2(F.col("r").cast("binary"), 256).substr(1, 16).alias("redacted_sha"),
+            )
+            .orderBy("doc_id")
+        )
+    q["doc_redaction_stats"] = doc_redaction_stats
+
     def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return (
@@ -1363,6 +1411,35 @@ def oracle_sql() -> dict[str, str]:
                mwl, swr, pr
         FROM s ORDER BY doc_id
     """.replace("{SW}", sw)
+    # redaction: replay the planted-PII generation + the SAME ordered regex
+    # policy (functions/redact.REDACTIONS is the single source of truth)
+    from sick_spark.functions.redact import REDACTIONS as _RED
+
+    _red_sql = """
+        WITH c0 AS (SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' logged'
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' token ' || substr(sha256(text), 1, 40) || ' end' ELSE '' END AS c
+          FROM documents)"""
+    _prev = "c0"
+    for _i, (_nm, _pat, _rep) in enumerate(_RED):
+        _cur = f"s{_i + 1}"
+        _keep = ", ".join(f"n_{n}s" for n, _, _ in _RED[:_i])
+        _keep = (_keep + ", ") if _keep else ""
+        _red_sql += f""",
+        {_cur} AS (SELECT doc_id, {_keep}len(regexp_extract_all(c, '{_pat}')) AS n_{_nm}s,
+                          regexp_replace(c, '{_pat}', '{_rep}', 'g') AS c FROM {_prev})"""
+        _prev = _cur
+    _red_sql += f"""
+        SELECT doc_id, {", ".join(f"n_{n}s" for n, _, _ in _RED)},
+               substr(sha256(c), 1, 16) AS redacted_sha
+        FROM {_prev} ORDER BY doc_id"""
+    o["doc_redaction_stats"] = _red_sql
     o["token_count_by_lang"] = """
         SELECT lang, COUNT(*) AS docs,
                CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens_total

@@ -1,0 +1,67 @@
+"""PII/secret scrubbing (functions/redact.py): pattern coverage, ordering,
+idempotence, and the scrub-before-intern dedup property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sick_spark.functions.redact import redact, with_redaction
+
+KEY = "deadbeef" * 5  # 40 hex chars
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(1, text)], "id long, content string")
+    return with_redaction(df, "content").collect()[0]
+
+
+def test_each_pattern(spark):
+    r = _one(spark, f"mail a.b+c@ex-ample.co.uk host 192.168.0.1 secret {KEY} tail")
+    assert (r.n_emails, r.n_ips, r.n_keys) == (1, 1, 1)
+    assert r.redacted == "mail <EMAIL> host <IP> secret <KEY> tail"
+
+
+def test_email_wins_over_key_and_ip(spark):
+    # a hex-ish local part and a dotted-quad domain are consumed by the
+    # email pattern; nothing is double-counted by the later patterns
+    r = _one(spark, f"x {KEY}@10.0.0.1 y")
+    # the dotted-quad "domain" has no TLD letters so it is NOT an email;
+    # the key and ip fire instead — assert exactly what ships
+    assert r.redacted == "x <KEY>@<IP> y"
+    assert (r.n_emails, r.n_ips, r.n_keys) == (0, 1, 1)
+
+
+def test_counts_and_multiplicity(spark):
+    r = _one(spark, "a@b.com c@d.org then 1.2.3.4 and 5.6.7.8 and 9.10.11.12")
+    assert (r.n_emails, r.n_ips, r.n_keys) == (2, 3, 0)
+
+
+def test_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, f"mail a@b.com ip 1.2.3.4 key {KEY}")], "id long, content string"
+    )
+    once = df.select(redact("content").alias("r"))
+    twice = once.select(redact("r").alias("r"))
+    assert once.collect() == twice.collect()
+
+
+def test_clean_text_untouched(spark):
+    text = "ordinary words with version v1.2 and a short hex cafe1234"
+    r = _one(spark, text)
+    assert (r.n_emails, r.n_ips, r.n_keys) == (0, 0, 0)
+    assert r.redacted == text
+
+
+def test_scrub_before_intern_makes_credential_twins_dedup(spark):
+    # two files identical except for an embedded token must collapse to one
+    # identity once scrubbed — the normalize-before-intern rule
+    from sick_spark.functions.text import content_key
+
+    df = spark.createDataFrame(
+        [(1, f"cfg = {{ token: {KEY} }}"), (2, "cfg = { token: " + "beefdead" * 5 + " }")],
+        "id long, content string",
+    )
+    keys = df.select(content_key(redact("content")).alias("k")).collect()
+    assert keys[0].k == keys[1].k
+    raw = df.select(content_key("content").alias("k")).collect()
+    assert raw[0].k != raw[1].k
