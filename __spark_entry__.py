@@ -732,6 +732,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_redaction_stats"] = doc_redaction_stats
 
+    # --- exact interpolated quantiles per group (corpus length profiling —
+    #     the knob-setting input for packing budgets and length filters).
+    #     `percentile` is Spark's EXACT (sort-based) aggregate, not the
+    #     approx sketch; p in {.25,.5,.75} are binary-exact so the
+    #     interpolation x + frac*(y-x) over integer inputs is bit-identical
+    #     in any IEEE engine — DuckDB replays it with quantile_cont.
+    def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.min("n_chars").alias("min_chars"),
+                F.expr("percentile(n_chars, 0.25)").alias("p25"),
+                F.expr("percentile(n_chars, 0.5)").alias("p50"),
+                F.expr("percentile(n_chars, 0.75)").alias("p75"),
+                F.max("n_chars").alias("max_chars"),
+            )
+            .orderBy("lang")
+        )
+    q["doc_length_quantiles"] = doc_length_quantiles
+
     def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return (
@@ -1440,6 +1462,15 @@ def oracle_sql() -> dict[str, str]:
                substr(sha256(c), 1, 16) AS redacted_sha
         FROM {_prev} ORDER BY doc_id"""
     o["doc_redaction_stats"] = _red_sql
+    o["doc_length_quantiles"] = """
+        SELECT lang, COUNT(*) AS docs,
+               MIN(n_chars) AS min_chars,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.75) AS p75,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
     o["token_count_by_lang"] = """
         SELECT lang, COUNT(*) AS docs,
                CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens_total
