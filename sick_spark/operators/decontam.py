@@ -38,10 +38,20 @@ def benchmark_shingles(
 
     Kept as (id, hash) pairs — not a bare hash set — so hits can report
     WHICH benchmark entries leaked, not just that something did.
+
+    ``explode_outer`` (here and in the corpus probe) is a deliberate
+    optimizer workaround, not a semantics choice: plain ``explode`` makes
+    Catalyst infer a ``size(shingle_hashes) > 0`` filter and push it BELOW
+    the shingle projection, where the two-step token-hash expression gets
+    re-inlined per element access — O(grams × k) full re-tokenizations per
+    row (measured 29 s → ~1 s at sf0.1, k=8). The arrays are never empty
+    by construction (sub-k docs emit one whole-doc gram), so outer explode
+    is value-identical; a null ``h`` could only arise from an empty array
+    and would drop at the inner join anyway.
     """
     return (
         with_token_shingle_hashes(bench, content, k)
-        .select(bench_id, F.explode("shingle_hashes").alias("h"))
+        .select(bench_id, F.explode_outer("shingle_hashes").alias("h"))
         .distinct()
     )
 
@@ -69,7 +79,7 @@ def benchmark_ngram_hits(
     bh = benchmark_shingles(bench, bench_content, k, bench_id)
     dh = (
         with_token_shingle_hashes(docs, content, k)
-        .select(doc_id, F.explode("shingle_hashes").alias("h"))
+        .select(doc_id, F.explode_outer("shingle_hashes").alias("h"))
     )
     hits = dh.join(F.broadcast(bh), "h")
     return (

@@ -94,9 +94,16 @@ def make_cell_udf(centroids: np.ndarray, nprobe: int):
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray, vec: str = "embedding", out: str = "cell"
 ) -> DataFrame:
-    """Corpus side: one cell per vector (nearest centroid)."""
+    """Corpus side: one cell per vector (nearest centroid).
+
+    The ``coalesce`` with a constant is a nullability annotation, not a
+    fallback (argmax always yields a cell): it makes the column
+    non-nullable so a downstream equi-join can't infer an
+    ``isnotnull(udf(...)[0])`` predicate — Catalyst schedules such a
+    pushed filter as its OWN ArrowEvalPython node, running the centroid
+    matmul twice over the full corpus (observed in ann_topk_ivf's plan)."""
     udf = make_cell_udf(centroids, nprobe=1)
-    return df.withColumn(out, udf(F.col(vec))[0])
+    return df.withColumn(out, F.coalesce(udf(F.col(vec))[0], F.lit(-1)))
 
 
 def lloyd_refine(

@@ -47,9 +47,14 @@ def token_vocab(
     The vocabulary-building primitive: explode + count is map-side
     combinable (hot stop-words collapse before the shuffle), top-k is a
     per-group window — never a global sort."""
+    # explode_outer: plain explode makes Catalyst infer size(split(...))>0
+    # and push it below the projection, re-splitting every row once just to
+    # test a condition that is always true (split never yields an empty
+    # array). A null token could only come from an empty array and would be
+    # dropped by the != '' predicate anyway.
     toks = df.select(
         F.col(group_col).alias("grp"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
     counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("token").asc())
