@@ -754,6 +754,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_length_quantiles"] = doc_length_quantiles
 
+    # --- dedup up to comments: every doc gets a comment-decorated twin
+    #     (block + line + hash comments, extra whitespace); raw shas see
+    #     2 distinct identities per text, normalized shas collapse the
+    #     twins back. The normalize-before-intern rule for code
+    #     (functions/normalize_code.py).
+    def code_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.normalize_code import normalize_code
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        deco = F.concat(
+            F.lit("/* hdr "),
+            F.col("doc_id").cast("string"),
+            F.lit(" */  "),
+            F.col("text"),
+            F.lit("  // trail\n# note  "),
+        )
+        v = d.select("lang", F.col("text").alias("content")).unionAll(
+            d.select("lang", deco.alias("content"))
+        )
+        return (
+            v.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_variants"),
+                F.countDistinct(F.sha2(F.col("content").cast("binary"), 256)).alias(
+                    "n_raw_distinct"
+                ),
+                F.countDistinct(
+                    F.sha2(normalize_code("content").cast("binary"), 256)
+                ).alias("n_norm_distinct"),
+            )
+            .orderBy("lang")
+        )
+    q["code_normalized_dedup"] = code_normalized_dedup
+
     def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return (
@@ -1462,6 +1496,21 @@ def oracle_sql() -> dict[str, str]:
                substr(sha256(c), 1, 16) AS redacted_sha
         FROM {_prev} ORDER BY doc_id"""
     o["doc_redaction_stats"] = _red_sql
+    from sick_spark.functions.normalize_code import normalization_sql as _norm_sql
+
+    o["code_normalized_dedup"] = f"""
+        WITH v AS (
+            SELECT lang, text AS content FROM documents
+            UNION ALL
+            SELECT lang,
+                   '/* hdr ' || doc_id || ' */  ' || text || '  // trail' || chr(10) || '# note  '
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_variants,
+               count(DISTINCT sha256(content)) AS n_raw_distinct,
+               count(DISTINCT sha256({_norm_sql("content")})) AS n_norm_distinct
+        FROM v GROUP BY lang ORDER BY lang
+    """
     o["doc_length_quantiles"] = """
         SELECT lang, COUNT(*) AS docs,
                MIN(n_chars) AS min_chars,

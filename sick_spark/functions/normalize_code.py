@@ -1,0 +1,63 @@
+"""Code normalization before dedup: strip comments and collapse
+whitespace so files differing only in comments/formatting intern to ONE
+identity — "dedup up to comments", the standard equivalence used when
+curating source-code corpora (forks touch headers and comments far more
+often than code).
+
+This is the reference's normalize-before-intern rule applied to code: it
+canonicalizes values (numeric narrowing, NaN canonicalization —
+``CirceTraverser.scala:72-183``, ``EBACodecs.scala:214``) so
+equal-meaning content gets one interned identity; we canonicalize source
+text before ``sha256``/shingling so comment-only diffs collapse in the
+exact stage instead of surviving as near-dup noise.
+
+Pure Catalyst (``regexp_replace`` chain, whole-stage codegen, zero
+Python, no shuffle). Patterns live in the Java-regex ∩ RE2 subset —
+non-greedy ``(?s)`` block matches and explicit whitespace classes (NOT
+``\\s``: Java's includes ``\\x0B``, RE2's does not) — so any SQL engine
+reproduces the canonical bytes exactly.
+
+Deliberately token-level, not a parser: strings containing ``//`` (URLs)
+can be over-stripped, which is the documented trade of every
+regex-based comment stripper. Where that matters, route through the
+near-dup stage instead, which tolerates small diffs by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# applied strictly IN ORDER: block comments first (their bodies may
+# contain line-comment markers), then line comments, then whitespace
+# collapse. Replaying engines must keep the order.
+NORMALIZATIONS: tuple[tuple[str, str, str], ...] = (
+    ("block_comment", r"(?s)/\*.*?\*/", " "),
+    ("line_comment", r"//[^\n]*", " "),
+    ("hash_comment", r"#[^\n]*", " "),
+    ("whitespace", r"[ \t\n\r\f]+", " "),
+)
+
+
+def normalize_code(col: str | Column) -> Column:
+    """Canonical source text: comments stripped, whitespace collapsed to
+    single spaces, trimmed. Idempotent."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, rep in NORMALIZATIONS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def normalized_key(col: str | Column) -> Column:
+    """sha256 of the canonical text — the comment-insensitive exact-dup
+    identity. Drop-in for ``functions.text.content_key`` wherever dedup
+    should ignore comments/formatting."""
+    return F.sha2(normalize_code(col).cast("binary"), 256)
+
+
+def normalization_sql(col: str) -> str:
+    """DuckDB-dialect expression computing the identical canonical text
+    (single source of truth: built from NORMALIZATIONS)."""
+    expr = col
+    for _, pat, rep in NORMALIZATIONS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"trim({expr})"
