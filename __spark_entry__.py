@@ -788,6 +788,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["code_normalized_dedup"] = code_normalized_dedup
 
+    # --- the CURATION composition: normalize (strip comments) → redact
+    #     (scrub PII) → decontaminate (drop benchmark leaks) → quality
+    #     gate → exact collapse on the canonical bytes → pack into token
+    #     bins. Comment + PII decorations are planted per doc_id class
+    #     (email BEFORE the line comment — the comment strips to EOL);
+    #     the benchmark is the same span derivation as
+    #     decontaminate_benchmark_overlap, probed against the CANONICAL
+    #     text (you decontaminate what you'd train on). One DuckDB oracle
+    #     replays the whole chain — the second "does it compose" proof
+    #     next to training_prep_e2e (which covers the near-dup path).
+    def curation_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.normalize_code import normalize_code
+        from sick_spark.functions.redact import redact
+        from sick_spark.operators.decontam import decontaminate
+        from sick_spark.operators.pack import pack_documents
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        i = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        deco = F.concat(
+            F.col("text"),
+            F.when(
+                i % 3 == 0, F.concat(F.lit(" contact user"), s(i), F.lit("@example.com"))
+            ).otherwise(F.lit("")),
+            F.when(i % 2 == 0, F.concat(F.lit(" // c"), s(i))).otherwise(F.lit("")),
+        )
+        canon = d.select(
+            "doc_id", "lang", redact(normalize_code(deco)).alias("content")
+        )
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        bench = (
+            d.where((F.col("doc_id") % 53 == 1) & (F.size(toks) >= 18))
+            .select(
+                F.col("doc_id").alias("bench_id"),
+                F.concat_ws(" ", F.slice(toks, 3, 16)).alias("content"),
+            )
+        )
+        clean = decontaminate(canon, bench, k=8)
+        ok = clean.where(quality_score("content") >= F.lit(_TP_QUALITY))
+        reps = ok.groupBy("content").agg(F.min("doc_id").alias("doc_id"))
+        kept = reps.join(ok.select("doc_id", "lang"), "doc_id")
+        packed = pack_documents(kept, budget=_TP_BUDGET, group_col="lang", text_col="content")
+        return (
+            packed.groupBy(F.col("grp").alias("lang"), "bin")
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens"))
+            .orderBy("lang", "bin")
+        )
+    q["curation_prep_e2e"] = curation_prep_e2e
+
     def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return (
@@ -1338,6 +1387,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
         FROM pack GROUP BY lang, bin ORDER BY lang, bin
     """.replace("{_J}", str(_J)).replace("{_TPQ}", str(_TP_QUALITY)).replace("{_TPB}", str(_TP_BUDGET))
+    # curation composition: replay normalize → redact → decontaminate →
+    # quality → exact collapse → next-fit packing as one chain. The
+    # canonicalization expressions are generated from the SAME pattern
+    # tables the Spark side uses (normalize_code.NORMALIZATIONS,
+    # redact.REDACTIONS).
+    from sick_spark.functions.normalize_code import normalization_sql as _norm_sql
+    from sick_spark.functions.redact import redaction_sql as _redact_sql
+
+    o["curation_prep_e2e"] = (
+        r"""
+        WITH RECURSIVE
+        c0 AS (SELECT doc_id, lang,
+                      text
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                      || CASE WHEN doc_id % 2 = 0 THEN ' // c' || doc_id ELSE '' END AS content
+               FROM documents),
+        canon AS (SELECT doc_id, lang, {CANON} AS content FROM c0),
+        wraw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        bspan AS (SELECT list_slice(ws, 3, 18) AS bs FROM wraw
+                  WHERE doc_id % 53 = 1 AND len(ws) >= 18),
+        bsh AS (SELECT DISTINCT unnest([array_to_string(list_slice(bs, i, i + 7), ' ')
+                                        FOR i IN generate_series(1, greatest(len(bs) - 7, 1))]) AS s
+                FROM bspan),
+        wc AS (SELECT doc_id, string_split_regex(trim(content), '\s+') AS ws FROM canon),
+        dsh AS (SELECT doc_id,
+                       unnest(list_distinct([array_to_string(list_slice(ws, i, i + 7), ' ')
+                                             FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS s
+                FROM wc),
+        hit AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh b ON d.s = b.s),
+        clean AS (SELECT c.* FROM canon c ANTI JOIN hit USING (doc_id)),
+        t0 AS (SELECT doc_id, lang, content,
+                      string_split_regex(trim(content), '\s+') AS toks,
+                      length(content) - length(regexp_replace(content, '[^ \t\n\r\f\x0BA-Za-z0-9]', '', 'g')) AS punct_n
+               FROM clean),
+        s0 AS (SELECT doc_id, lang, content, len(toks) AS n,
+                      list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1) AS mwl,
+                      punct_n * 1.0 / greatest(length(content), 1) AS pr
+               FROM t0),
+        ok AS (SELECT doc_id, lang, content FROM s0
+               WHERE (CASE WHEN n >= 10 AND n <= 100000 THEN 1 ELSE 0 END) * 0.4
+                   + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1 ELSE 0 END) * 0.3
+                   + (CASE WHEN pr <= 0.3 THEN 1 ELSE 0 END) * 0.3 >= {_TPQ}),
+        reps AS (SELECT content, min(doc_id) AS doc_id FROM ok GROUP BY content),
+        kd AS (SELECT r.doc_id, o.lang,
+                      CAST(len(string_split_regex(trim(r.content), '\s+')) AS BIGINT) AS n_tokens
+               FROM reps r JOIN ok o USING (doc_id)),
+        ord AS (SELECT lang, doc_id, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM kd),
+        pack AS (
+            SELECT lang, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS cum
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.lang, o.rn, o.doc_id, o.n_tokens,
+                   CASE WHEN p.cum + o.n_tokens <= {_TPB} THEN p.bin ELSE p.bin + 1 END,
+                   CASE WHEN p.cum + o.n_tokens <= {_TPB} THEN p.cum + o.n_tokens
+                        ELSE o.n_tokens END
+            FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1
+        )
+        SELECT lang, CAST(bin AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM pack GROUP BY lang, bin ORDER BY lang, bin
+    """.replace("{CANON}", _redact_sql(_norm_sql("content")))
+        .replace("{_TPQ}", str(_TP_QUALITY))
+        .replace("{_TPB}", str(_TP_BUDGET))
+    )
     o["token_vocab_by_lang"] = r"""
         WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
                    FROM documents),
@@ -1496,8 +1612,6 @@ def oracle_sql() -> dict[str, str]:
                substr(sha256(c), 1, 16) AS redacted_sha
         FROM {_prev} ORDER BY doc_id"""
     o["doc_redaction_stats"] = _red_sql
-    from sick_spark.functions.normalize_code import normalization_sql as _norm_sql
-
     o["code_normalized_dedup"] = f"""
         WITH v AS (
             SELECT lang, text AS content FROM documents

@@ -52,6 +52,15 @@ def redaction_counts(col: str | Column) -> list[Column]:
     return out
 
 
+def redaction_sql(col: str) -> str:
+    """DuckDB-dialect expression computing the identical scrubbed text
+    (single source of truth: built from REDACTIONS, same order)."""
+    expr = col
+    for _, pat, rep in REDACTIONS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
 def with_redaction(df: DataFrame, content: str, out: str = "redacted") -> DataFrame:
     """Append per-pattern counts + the scrubbed text column."""
     return df.select("*", *redaction_counts(content)).withColumn(out, redact(content))
