@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 REDACTIONS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("key", r"\b[0-9a-f]{32,}\b", "<KEY>"),
+    ("key", r"\b[0-9a-fA-F]{32,}\b", "<KEY>"),
 )
 
 

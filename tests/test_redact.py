@@ -31,6 +31,12 @@ def test_email_wins_over_key_and_ip(spark):
     assert (r.n_emails, r.n_ips, r.n_keys) == (0, 1, 1)
 
 
+def test_uppercase_and_mixed_case_keys(spark):
+    r = _one(spark, "k1 " + "DEADBEEF" * 4 + " k2 " + "DeadBeef" * 4)
+    assert r.n_keys == 2
+    assert r.redacted == "k1 <KEY> k2 <KEY>"
+
+
 def test_counts_and_multiplicity(spark):
     r = _one(spark, "a@b.com c@d.org then 1.2.3.4 and 5.6.7.8 and 9.10.11.12")
     assert (r.n_emails, r.n_ips, r.n_keys) == (2, 3, 0)
