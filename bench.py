@@ -463,6 +463,8 @@ def main() -> None:
         "decontaminate_benchmark_overlap",
         "doc_redaction_stats",
         "doc_length_quantiles",
+        "code_normalized_dedup",
+        "curation_prep_e2e",
         "repo_overlap_clusters",
     ):
         best = float("inf")
