@@ -1016,6 +1016,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rnk")
     q["ann_topk_ivf"] = ann_topk_ivf
 
+    # --- PQ ANN, two-stage: 64-dim float vectors compressed to 16 codes
+    #     of 32 values, ADC scan over CODES emits a top-64 shortlist per
+    #     query (per-batch partial top-k), then exactly those raw vectors
+    #     are fetched and re-ranked by true cosine (recall@3 0.97-0.98 on
+    #     the fixture, gated >=0.9 in tests/test_pq.py). Codebooks seeded
+    #     by the same portable sha60 rule as IVF centroids; full value
+    #     oracle replays seeding, encoding (list_distance argmin, ties to
+    #     smaller code), reconstruction-dot ADC and the re-rank
+    #     (operators/pq.py).
+    def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.pq import pq_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = pq_topk(
+            e, e.where(F.col("vec_id") < 20), k=3, n_codes=32, m=16, shortlist=64
+        )
+        return out.select(
+            "query_id", "neighbor_id", F.col("rank").alias("rnk")
+        ).orderBy("query_id", "rnk")
+    q["ann_topk_pq"] = ann_topk_pq
+
     # ------------- rows-only operators (non-SQL-expressible; weaker check) --
 
     # --- SimHash near-dup pairs — GREEN path: fingerprints built from
@@ -2035,6 +2056,52 @@ def oracle_sql() -> dict[str, str]:
     """
     # IVF ANN: centroid seeding (smallest portable id-hash), nearest-cell
     # assignment, nprobe probing and in-cell top-k all reproduced in SQL.
+    # PQ: replay normalize -> sha60-seeded codebooks -> per-subspace
+    # list_distance argmin encoding -> reconstruction -> dot-product ADC
+    o["ann_topk_pq"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nrm AS (SELECT vec_id, v,
+                       greatest(sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12) AS nm
+                FROM e),
+        en AS (SELECT vec_id, list_transform(v, x -> x / nm) AS vn FROM nrm),
+        hashed AS (SELECT vec_id, vn,
+                          CAST(CONCAT('0x', SUBSTR(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM en),
+        cent AS (SELECT vn AS cv,
+                        ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code
+                 FROM hashed QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 32),
+        js AS (SELECT unnest(generate_series(0, 15)) AS j),
+        subs AS (SELECT vec_id, j, list_slice(vn, j * 4 + 1, j * 4 + 4) AS sv
+                 FROM en CROSS JOIN js),
+        csubs AS (SELECT code, j, list_slice(cv, j * 4 + 1, j * 4 + 4) AS csv
+                  FROM cent CROSS JOIN js),
+        assign AS (SELECT vec_id, j, code FROM (
+                     SELECT s.vec_id, s.j, c.code,
+                            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                                               ORDER BY list_distance(s.sv, c.csv) ASC, c.code ASC) AS r
+                     FROM subs s JOIN csubs c ON s.j = c.j) t WHERE r = 1),
+        recon AS (SELECT a.vec_id, flatten(list(c.csv ORDER BY a.j)) AS rv
+                  FROM assign a JOIN csubs c ON a.j = c.j AND a.code = c.code
+                  GROUP BY a.vec_id),
+        scored AS (SELECT q.vec_id AS qid, r.vec_id AS nid,
+                          list_dot_product(q.vn, r.rv) AS s
+                   FROM en q JOIN recon r ON r.vec_id <> q.vec_id
+                   WHERE q.vec_id < 20),
+        short AS (SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+            FROM scored) t WHERE r <= 64),
+        rer AS (SELECT s.qid, s.nid,
+                       list_cosine_similarity(q.v, c.v) AS cos
+                FROM short s
+                JOIN e q ON q.vec_id = s.qid
+                JOIN e c ON c.vec_id = s.nid)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+            FROM rer
+        ) t WHERE rnk <= 3 ORDER BY query_id, rnk
+    """
     o["ann_topk_ivf"] = """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         hashed AS (SELECT vec_id, v,

@@ -1,0 +1,205 @@
+"""Product quantization (PQ) approximate nearest-neighbor search — the
+memory-bounded fourth ANN strategy next to brute force (exact), RHP-LSH
+(bucketed), and IVF (partition-pruned scan).
+
+PQ compresses each vector to ``m`` small integer codes (here 8 codes of
+16 values = 8 bytes for a 64-dim float vector, 32× smaller), and answers
+queries by scanning CODES, never raw vectors: the asymmetric-distance
+(ADC) score of query q against code word c is the dot product of q with
+the code's reconstruction. At 10^9+ vectors this is what makes the scan
+feasible at all — the compressed index fits in executor memory where the
+raw vectors never would (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011; PAPERS.md).
+
+Reference anchor: the byte-budgeted value encoding idea — SICK narrows
+every numeric to the smallest table that holds it (E5,
+``CirceTraverser.scala:72-183``) because identity tables are scanned
+constantly and bytes are the budget; PQ is the lossy version of the same
+trade for vectors.
+
+Scale shape:
+- codebooks are tiny ((m, n_codes, d) ≈ 8 KB here) and ride in UDF
+  closures, like IVF centroids and RHP hyperplanes — no shuffle to
+  encode or score;
+- encoding is one batched numpy distance computation per Arrow batch;
+- the query scan is ``mapInPandas`` over code rows emitting only each
+  batch's top-k per query (a strict total order — score desc, id asc —
+  makes batch-local top-k a correct and deterministic partial aggregate
+  of global top-k), so the shuffle carries n_batches × |Q| × k rows, not
+  n × |Q|;
+- composes with IVF: store codes partitioned by ``ivf_assign`` cell and
+  the scan becomes partition-pruned (not wired in the oracled query,
+  which exercises the flat scan).
+
+Determinism / oracle: codebooks are subvectors of the ``n_codes``
+seed vectors with the smallest portable sha60 id hash (exactly
+:func:`sick_spark.operators.ivf.seed_centroids`'s rule), encoding breaks
+distance ties toward the smaller code, and ADC scoring is the dot of the
+query with the code reconstruction — every step replays in DuckDB SQL
+(list_distance / list_dot_product), giving ``ann_topk_pq`` a full
+value-level oracle like the IVF and RHP paths.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from sick_spark.operators.ivf import _normalized, seed_centroids
+
+
+def seed_codebooks(
+    corpus: DataFrame,
+    n_codes: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """(m, n_codes, d) float64 codebooks: the j-th subspace's codebook is
+    the j-th subvector slice of the ``n_codes`` seed vectors (smallest
+    portable id hash), L2-normalized as FULL vectors first — PQ here
+    quantizes the unit sphere because the metric is cosine/IP."""
+    seeds = _normalized(seed_centroids(corpus, n_codes, id_col, vec))  # (k, D)
+    k, dim = seeds.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return np.ascontiguousarray(seeds.reshape(k, m, d).transpose(1, 0, 2))
+
+
+def make_encode_udf(books: np.ndarray):
+    """pandas UDF: vector → m PQ codes. One batched squared-L2 distance
+    per subspace ((batch, k, d) broadcasting), argmin ties to the smaller
+    code (np.argmin first-occurrence), zero per-row Python."""
+    m, _, d = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        mat = _normalized(np.array([np.asarray(v, dtype=np.float64) for v in emb]))
+        sub = mat.reshape(len(mat), m, d)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            diff = sub[:, j, None, :] - books[j][None]      # (batch, k, d)
+            codes[:, j] = np.argmin((diff * diff).sum(-1), axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """(id, codes): the compressed index — 1 small-int code per subspace."""
+    return df.select(F.col(id_col), make_encode_udf(books)(F.col(vec)).alias(out))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_codes: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank<=k) by ADC over PQ codes.
+
+    The scan never touches raw corpus vectors: each Arrow batch of codes
+    is scored against ALL queries via per-subspace lookup tables
+    (LUT[j] = books[j] @ qn_j^T, summed in subspace order — the same
+    term sequence as a 64-dim dot against the reconstruction, which is
+    what the oracle computes), and only the batch's top-k per query
+    (strict order: score desc, id asc) leaves the worker. Self-matches
+    excluded. Queries ride in the closure — the broadcast-queries shape
+    of the other ANN paths.
+
+    ``shortlist=C`` enables the standard two-stage form: ADC selects the
+    top-C candidates per query from CODES ONLY, then exactly those C×|Q|
+    raw corpus vectors are fetched (one broadcast join) and re-ranked by
+    true cosine. C plays IVF's nprobe: a scan/recall dial — C=64 on the
+    fixture corpus reaches recall@3 ≈ 0.97 where raw ADC@3 sits near
+    0.35 (sample codebooks quantize coarsely; re-rank absorbs that).
+    Without ``shortlist`` the raw ADC ranking is returned."""
+    books = seed_codebooks(corpus, n_codes, m, id_col, vec)
+    codes = pq_encode(corpus, books, id_col, vec)
+
+    qrows = queries.select(id_col, vec).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qn = _normalized(np.array([r[1] for r in qrows], dtype=np.float64))
+    n_q, dim = qn.shape
+    d = dim // m
+    # LUT[j]: (n_codes, n_q) — dot of each code's subvector with each query's
+    luts = np.stack([books[j] @ qn[:, j * d : (j + 1) * d].T for j in range(m)])
+    keep_n = shortlist or k  # per-batch retention = what the ADC stage returns
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.array([np.asarray(x, dtype=np.int64) for x in pdf["codes"]])
+            scores = np.zeros((len(ids), n_q))
+            for j in range(m):                       # fixed subspace order
+                scores += luts[j][c[:, j], :]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(n_q):
+                # self-match excluded HERE: inside the partial top-k it
+                # would otherwise occupy a slot and displace a candidate
+                # that belongs in the global top-k
+                mask = ids != q_ids[qi]
+                cand_ids, col = ids[mask], scores[mask, qi]
+                order = np.lexsort((cand_ids, -col))[: min(keep_n, len(cand_ids))]
+                out_q.append(np.full(len(order), q_ids[qi]))
+                out_n.append(cand_ids[order])
+                out_s.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    partial = codes.mapInPandas(scan, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    adc = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (shortlist or k))
+        .select("query_id", "neighbor_id", "rank")
+    )
+    if shortlist is None:
+        return adc
+
+    # exact re-rank of the shortlist: C×|Q| rows — broadcast them against
+    # the corpus so only the shortlisted raw vectors are ever fetched
+    from sick_spark.functions.vectors import cosine
+
+    cand = F.broadcast(adc.select("query_id", "neighbor_id"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec).alias("__cv"))
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("__qv"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cos", cosine("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,76 @@
+"""Product quantization ANN (operators/pq.py): compression contract,
+determinism, partial-top-k correctness, and the recall floor."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.operators.ann import cosine_topk_bruteforce
+from sick_spark.operators.pq import pq_encode, pq_topk, seed_codebooks
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def test_codes_shape_and_range(spark, emb):
+    books = seed_codebooks(emb, n_codes=32, m=16)
+    assert books.shape == (16, 32, 4)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r.codes) == 16
+        assert all(0 <= c < 32 for c in r.codes)
+
+
+def test_codebooks_are_normalized_seed_slices(spark, emb):
+    books = seed_codebooks(emb, n_codes=8, m=8)
+    # each code's concatenated subvectors reassemble a unit vector
+    recon = books.transpose(1, 0, 2).reshape(8, 64)
+    np.testing.assert_allclose(np.linalg.norm(recon, axis=1), 1.0, rtol=1e-9)
+
+
+def test_dim_not_divisible_raises(spark, emb):
+    with pytest.raises(ValueError):
+        seed_codebooks(emb, n_codes=8, m=7)
+
+
+def test_deterministic_across_partitionings(spark, emb):
+    q = emb.where(F.col("vec_id") < 10)
+    a = pq_topk(emb, q, 3, n_codes=32, m=16, shortlist=64).collect()
+    b = pq_topk(emb.repartition(7), q, 3, n_codes=32, m=16, shortlist=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_partial_topk_equals_single_partition_scan(spark, emb):
+    # batch-local top-k must be a lossless partial aggregate: many small
+    # partitions vs one partition give the identical ADC ranking
+    q = emb.where(F.col("vec_id") < 10)
+    many = pq_topk(emb.repartition(13), q, 5, n_codes=16, m=8).collect()
+    one = pq_topk(emb.coalesce(1), q, 5, n_codes=16, m=8).collect()
+    assert sorted(map(tuple, many)) == sorted(map(tuple, one))
+
+
+def test_self_never_returned(spark, emb):
+    q = emb.where(F.col("vec_id") < 10)
+    rows = pq_topk(emb, q, 3, n_codes=32, m=16, shortlist=64).collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    # every query gets exactly k ranked neighbors, ranks 1..k
+    per = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+
+
+def test_recall_floor_with_rerank(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    pq = {(r.query_id, r.neighbor_id)
+          for r in pq_topk(emb, q, 3, n_codes=32, m=16, shortlist=64).collect()}
+    ex = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(q, emb, 3).collect()}
+    recall = len(pq & ex) / len(ex)
+    assert recall >= 0.9, f"PQ+rerank recall@3 {recall:.2f} < 0.9"
