@@ -135,6 +135,9 @@ def pq_topk(
     codes = pq_encode(corpus, books, id_col, vec)
 
     qrows = queries.select(id_col, vec).collect()
+    if not qrows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qn = _normalized(np.array([r[1] for r in qrows], dtype=np.float64))
     n_q, dim = qn.shape

@@ -67,6 +67,12 @@ def test_self_never_returned(spark, emb):
     assert all(sorted(v) == [1, 2, 3] for v in per.values())
 
 
+def test_empty_queries_yield_empty_result(spark, emb):
+    out = pq_topk(emb, emb.limit(0), 3, n_codes=16, m=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "rank"]
+
+
 def test_recall_floor_with_rerank(spark, emb):
     q = emb.where(F.col("vec_id") < 20)
     pq = {(r.query_id, r.neighbor_id)
