@@ -9,16 +9,30 @@ were bounded upstream by the LSH bucket cap), so per-group Python is safe:
 this is the documented "genuinely can't express in DataFrame ops" escape
 hatch.
 
-Matching is an exact longest-common-substring via a **suffix automaton**
-built once over the cluster representative (O(n) states/transitions —
-Blumer et al. 1985, the online construction; equivalent power to a suffix
-array for LCS, per the north rule's "suffix-array partial-dup"), then each
-member streams through it in O(m). Content is capped at ``max_chars`` with
-the cap REPORTED per row (no silent truncation, SURVEY.md §4.4).
+Matching is an exact longest-common-substring with two interchangeable
+backends (``backend=`` on :func:`partial_dup_report`):
+
+- ``"automaton"`` (default): a **suffix automaton** built once over the
+  cluster representative (O(n) states/transitions — Blumer et al. 1985,
+  the online construction), then each member streams through it in O(m).
+  This is the fast path: one build amortized over the whole cluster.
+- ``"suffix_array"``: a literal **suffix array** per (rep, member) pair —
+  rank-doubling construction (Manber–Myers, vectorized with numpy
+  lexsort, O(n log n)) + Kasai LCP, LCS = the max LCP over adjacent
+  cross-document suffix pairs (the classic reduction: the maximizing
+  cross pair has an adjacent cross pair of no smaller LCP between its
+  ranks). O((n+m) log (n+m)) per pair, so strictly slower than the
+  automaton — it exists as the north rule's named structure and as an
+  independent cross-check (`tests/test_partialdup_multimodal.py` asserts
+  both backends agree on lengths and emit genuine common substrings).
+
+Content is capped at ``max_chars`` with the cap REPORTED per row (no
+silent truncation, SURVEY.md §4.4).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -106,15 +120,94 @@ class _SuffixAutomaton:
         return best, best_end
 
 
+def _build_suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array of an int64 code sequence by rank doubling
+    (Manber–Myers): each round lexsorts on (rank[i], rank[i+k]) with
+    numpy, so the Python-level loop runs O(log n) times."""
+    n = len(codes)
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        if n > 1:
+            prev, cur = order[:-1], order[1:]
+            changed = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
+            new_rank = np.empty(n, dtype=np.int64)
+            new_rank[order[0]] = 0
+            new_rank[cur] = np.cumsum(changed)
+            rank = new_rank
+        if n <= 1 or rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+def _kasai_lcp(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """lcp[r] = longest common prefix of suffixes sa[r] and sa[r-1]
+    (lcp[0] = 0). Kasai et al. 2001, O(n) total."""
+    n = len(codes)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def _lcs_suffix_array(a: str, b: str) -> tuple[int, int]:
+    """(length, end_pos_in_a) of the longest common substring, via a
+    generalized suffix array over ``a ⊕ SEP ⊕ b``. SEP is the code -1,
+    which no real character maps to, so no common prefix ever crosses
+    it. Same contract as ``_SuffixAutomaton(a).lcs(b)`` except the
+    reported end position may be a different (equally valid) occurrence
+    when the LCS appears more than once in ``a``."""
+    if not a or not b:
+        return 0, 0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    codes = np.concatenate([ca, np.array([-1], dtype=np.int64), cb])
+    sa = _build_suffix_array(codes)
+    lcp = _kasai_lcp(codes, sa)
+    la = len(ca)
+    # adjacent pairs from different sides of the separator
+    from_a_cur, from_a_prev = sa < la, np.roll(sa < la, 1)
+    cross = np.zeros(len(sa), dtype=bool)
+    cross[1:] = from_a_cur[1:] != from_a_prev[1:]
+    if not cross.any():
+        return 0, 0
+    cand = np.where(cross, lcp, 0)
+    r = int(np.argmax(cand))
+    best = int(cand[r])
+    if best == 0:
+        return 0, 0
+    start_in_a = int(sa[r] if sa[r] < la else sa[r - 1])
+    return best, start_in_a + best - 1
+
+
 def partial_dup_report(
     store: DataFrame,
     clusters: DataFrame,
     max_chars: int = 65536,
     sample_len: int = 80,
+    backend: str = "automaton",
 ) -> DataFrame:
     """(component, sha, rep_sha, lcs_len, lcs_frac, lcs_sample, truncated)
     for every non-representative member vs the cluster representative
-    (= min sha, deterministic)."""
+    (= min sha, deterministic). ``backend`` picks the LCS structure —
+    see the module docstring; lengths are identical either way."""
+    if backend not in ("automaton", "suffix_array"):
+        raise ValueError(f"unknown partial-dup backend: {backend!r}")
     members = (
         clusters.select("sha", "component")
         .dropDuplicates(["sha"])
@@ -129,12 +222,16 @@ def partial_dup_report(
         rep_sha = pdf["sha"].iloc[0]
         rep_full = pdf["content"].iloc[0]
         rep_text = rep_full[:max_chars]
-        sam = _SuffixAutomaton(rep_text)  # built ONCE per cluster, O(|rep|)
+        if backend == "automaton":
+            sam = _SuffixAutomaton(rep_text)  # built ONCE per cluster, O(|rep|)
+            match = sam.lcs  # O(|text|) stream through the automaton
+        else:
+            match = lambda text: _lcs_suffix_array(rep_text, text)  # noqa: E731
         out = []
         for row in pdf.iloc[1:].itertuples(index=False):
             text = row.content[:max_chars]
             truncated = len(row.content) > max_chars or len(rep_full) > max_chars
-            size, end = sam.lcs(text)  # O(|text|) stream through the automaton
+            size, end = match(text)
             denom = max(min(len(rep_text), len(text)), 1)
             out.append(
                 {

@@ -49,6 +49,51 @@ def test_suffix_automaton_matches_bruteforce():
             assert a[end + 1 - size : end + 1] in b, (a, b)
 
 
+def test_suffix_array_matches_automaton():
+    # the two backends are independent exact-LCS structures: lengths must
+    # agree everywhere, and each reported occurrence must be genuine
+    import random
+
+    from sick_spark.operators.partialdup import _lcs_suffix_array, _SuffixAutomaton
+
+    rng = random.Random(11)
+    for _ in range(80):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randrange(0, 50)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randrange(0, 50)))
+        sam_len, _ = _SuffixAutomaton(a).lcs(b) if a else (0, 0)
+        sa_len, sa_end = _lcs_suffix_array(a, b)
+        assert sa_len == sam_len, (a, b)
+        if sa_len:
+            occ = a[sa_end + 1 - sa_len : sa_end + 1]
+            assert len(occ) == sa_len and occ in b, (a, b)
+    # unicode beyond the BMP exercises the utf-32 code path
+    assert _lcs_suffix_array("x🦀🦀y", "z🦀🦀w")[0] == 2
+
+
+def test_partial_dup_backends_agree_on_pipeline(spark):
+    shared = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        ("r", "a", "c", "py", shared + " tailmarker alpha beta"),
+        ("r", "b", "c", "py", "headmarker gamma delta " + shared),
+        ("r", "d", "c", "py", shared + " another suffix here"),
+    ]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    res = run_pipeline(spark, corpus, DedupConfig(jaccard_threshold=0.3))
+    key = lambda r: (r["component"], r["sha"], r["rep_sha"], r["lcs_len"])  # noqa: E731
+    auto = sorted(map(key, partial_dup_report(res.store, res.clusters).collect()))
+    sarr = sorted(
+        map(key, partial_dup_report(res.store, res.clusters, backend="suffix_array").collect())
+    )
+    assert auto == sarr and auto
+
+
+def test_partial_dup_unknown_backend_raises(spark):
+    docs = spark.createDataFrame([("s", "c")], ["sha", "content"])
+    cl = spark.createDataFrame([("s", "c0")], ["sha", "component"])
+    with pytest.raises(ValueError):
+        partial_dup_report(docs, cl, backend="btree")
+
+
 def test_partial_dup_planted_substring_exact(spark):
     # north rule: suffix-structure partial-dup — planted shared substring
     # must be recovered EXACTLY (length equality, not just >=)
