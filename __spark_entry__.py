@@ -71,6 +71,13 @@ _NG_MAXDF = 5     # ngram scale-mode df cap (bites on the fixture corpora)
 _TP_QUALITY = 0.65  # training-prep quality gate (off the 0.4+0.3 float boundary)
 _TP_BUDGET = 512    # training-prep packing budget (tokens per bin)
 _ANN_COS_FLOOR = 0.25  # lowest 3rd-neighbor cosine observed on the fixture corpus
+#: the planted license banner for the boilerplate-line queries — two long
+#: eligible lines (>= the operator's 20-char floor); shared verbatim by the
+#: Spark derivation and the DuckDB oracle so neither can drift alone.
+_BOILERPLATE_BANNER = (
+    "# Copyright (c) Example Authors. All rights reserved.",
+    "# Licensed under the Apache License, Version 2.0 (the License);",
+)
 _ANN_PROBES = 2   # margin-ordered multiprobe flips per (vector, table)
 _ANN_ORACLE_N = 500  # gate-corpus size the ann_topk_lsh oracle's config is derived at
 
@@ -787,6 +794,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("lang")
         )
     q["code_normalized_dedup"] = code_normalized_dedup
+
+    # --- corpus-wide boilerplate-line removal (operators/lines.py):
+    #     documents are single-line in the fixture, so both queries derive
+    #     a multi-line corpus deterministically from doc_id — a license
+    #     banner prepended to doc_id%3==0, the first banner line APPENDED
+    #     to doc_id%12==1 (mid/trailing removal), and a short "# EOF" hot
+    #     line on doc_id%15==2 that stays below min_chars and must survive.
+    #     Same planted-transform idiom as code_normalized_dedup; the oracle
+    #     replays split → eligible → df → hot → filtered rejoin in SQL.
+    def _lines_corpus(d: DataFrame) -> DataFrame:
+        b = _BOILERPLATE_BANNER
+        content = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(b[0] + "\n" + b[1] + "\n"), F.col("text")),
+            )
+            .when(
+                F.col("doc_id") % 12 == 1,
+                F.concat(F.col("text"), F.lit("\n" + b[0])),
+            )
+            .when(
+                F.col("doc_id") % 15 == 2,
+                F.concat(F.lit("# EOF\n"), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+        )
+        return d.select("doc_id", content.alias("content"))
+
+    def boilerplate_hot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.lines import hot_line_report
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            hot_line_report(_lines_corpus(d), min_df=10)
+            .select("line", "df")
+            .orderBy("line")
+        )
+    q["boilerplate_hot_lines"] = boilerplate_hot_lines
+
+    def doc_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.lines import remove_boilerplate_lines
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = remove_boilerplate_lines(_lines_corpus(d), min_df=10)
+        return out.select(
+            "doc_id",
+            "n_removed",
+            F.sha2(F.col("clean_content").cast("binary"), 256).alias("clean_sha"),
+        ).orderBy("doc_id")
+    q["doc_boilerplate_removed"] = doc_boilerplate_removed
+
+    # --- deterministic corpus shuffle (operators/sample.py:shuffle_order):
+    #     the seeded, retry-stable global example order used before
+    #     packing/training; value-oracled since the key is the portable
+    #     sha60 of 'epoch0:doc_id' (the hash compare is order-insensitive,
+    #     so the KEY COLUMN is the evidence — equal keys force equal order).
+    def doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.sample import shuffle_order
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        return shuffle_order(d, "doc_id", seed="epoch0")
+    q["doc_shuffle_order"] = doc_shuffle_order
 
     # --- the CURATION composition: normalize (strip comments) → redact
     #     (scrub PII) → decontaminate (drop benchmark leaks) → quality
@@ -1645,6 +1714,52 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT sha256(content)) AS n_raw_distinct,
                count(DISTINCT sha256({_norm_sql("content")})) AS n_norm_distinct
         FROM v GROUP BY lang ORDER BY lang
+    """
+    # boilerplate-line removal: replay the planted multi-line derivation,
+    # then split -> eligible (trimmed len >= 20) -> df over DISTINCT docs ->
+    # hot (df >= 10) -> filtered positional rejoin. Same CASE branches and
+    # banner constants as the Spark _lines_corpus derivation.
+    _b0, _b1 = _BOILERPLATE_BANNER
+    _lines_src = f"""
+        d AS (SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                            THEN '{_b0}' || chr(10) || '{_b1}' || chr(10) || text
+                          WHEN doc_id % 12 = 1 THEN text || chr(10) || '{_b0}'
+                          WHEN doc_id % 15 = 2 THEN '# EOF' || chr(10) || text
+                          ELSE text END AS content
+              FROM documents),
+        lines AS (SELECT doc_id,
+                         unnest(string_split(content, chr(10))) AS line,
+                         generate_subscripts(string_split(content, chr(10)), 1) AS pos
+                  FROM d),
+        hot AS (SELECT line FROM lines WHERE length(trim(line)) >= 20
+                GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10)"""
+    o["boilerplate_hot_lines"] = f"""
+        WITH {_lines_src}
+        SELECT line, COUNT(DISTINCT doc_id) AS df
+        FROM lines WHERE line IN (SELECT line FROM hot)
+        GROUP BY line ORDER BY line
+    """
+    o["doc_boilerplate_removed"] = f"""
+        WITH {_lines_src},
+        flagged AS (SELECT doc_id, pos, line,
+                           (length(trim(line)) >= 20
+                            AND line IN (SELECT line FROM hot)) AS rm
+                    FROM lines),
+        agg AS (SELECT doc_id,
+                       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                                FILTER (WHERE NOT rm), '') AS clean,
+                       CAST(COUNT(*) FILTER (WHERE rm) AS INTEGER) AS n_removed
+                FROM flagged GROUP BY doc_id)
+        SELECT doc_id, n_removed, sha256(clean) AS clean_sha
+        FROM agg ORDER BY doc_id
+    """
+    # deterministic shuffle: the portable sha60 of 'epoch0:doc_id'
+    o["doc_shuffle_order"] = """
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(sha256('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS shuffle_key
+        FROM documents ORDER BY shuffle_key, doc_id
     """
     o["doc_length_quantiles"] = """
         SELECT lang, COUNT(*) AS docs,

@@ -466,6 +466,8 @@ def main() -> None:
         "code_normalized_dedup",
         "curation_prep_e2e",
         "repo_overlap_clusters",
+        "doc_boilerplate_removed",
+        "doc_shuffle_order",
     ):
         best = float("inf")
         for _ in range(BENCH_RUNS):

@@ -1,0 +1,144 @@
+"""Corpus-wide boilerplate-line removal: drop lines that repeat verbatim
+across many documents (license banners, generated-file headers, vendored
+preamble) while leaving each document's unique content untouched.
+
+The standard C4/CCNet-style line-level cleaning pass for training
+corpora, and the third member of this engine's "collapse equal-meaning
+content" family: exact dedup collapses whole files
+(``operators/exact_dedup.py``), code normalization collapses comment-only
+forks (``functions/normalize_code.py``), and this pass removes the
+line-granular boilerplate those two cannot reach — a banner pasted into
+otherwise-unrelated files. The reference analogue is frequency counting
+over interned identities (E10, ``DeduplicatingRefTableBuilder.scala`` ref
+counts): a line's document frequency IS the ref count of its interned
+identity, and lines whose count crosses the threshold are dropped from
+every document.
+
+Semantics (both engines replay them exactly — see the
+``doc_boilerplate_removed`` oracle):
+
+- lines are ``\\n``-split segments, kept verbatim (no normalization here;
+  compose with :func:`~sick_spark.functions.normalize_code.normalize_code`
+  upstream if formatting-insensitive matching is wanted);
+- a line is ELIGIBLE if its trimmed length ≥ ``min_chars`` — structural
+  code lines (``}``, ``end``, blank) repeat in every file and must never
+  be removed, so tiny lines are excluded from counting and removal alike;
+- an eligible line is HOT if it occurs in ≥ ``min_df`` DISTINCT documents
+  (identity = the exact line string, hashed with the ONE portable
+  :func:`~sick_spark.functions.text.sha60`);
+- removal drops hot eligible lines wherever they occur and rejoins the
+  remaining lines with ``\\n`` in original order.
+
+Scale shape (the 100 TB plan):
+
+- the document-frequency count explodes lines but shuffles only
+  ``(line_sha60, doc_id)`` 16-byte rows for ELIGIBLE lines — content
+  never rides the wide exchange, and the distinct-doc aggregation is
+  map-side combinable after the in-partition dedup;
+- the hot set is small by construction (lines repeated across ≥min_df
+  documents are boilerplate, not content) and is **broadcast** back; the
+  per-document removal-position lists are then tiny arrays;
+- reconstruction is a single equi-join of the original documents with
+  their removal lists followed by a map-side indexed ``filter`` over the
+  split array — the corpus is exchanged at most once (zero times when the
+  doc table is bucketed by its id), and is never exploded through a
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sick_spark.functions.text import sha60
+
+
+def _eligible(line: Column, min_chars: int) -> Column:
+    return F.length(F.trim(line)) >= min_chars
+
+
+def line_df_counts(
+    docs: DataFrame,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Document frequency per eligible line: ``(line_sha, line, df)``.
+    ``line`` is carried through the aggregate via ``any_value`` — all
+    occurrences under one sha are the identical string (modulo sha60
+    collisions, which the 60-bit space makes negligible and which the
+    report surfaces verbatim for audit)."""
+    lines = docs.select(
+        F.col(doc_id).alias("__doc"),
+        F.explode_outer(F.split(F.col(content), "\n", -1)).alias("line"),
+    ).where(_eligible(F.col("line"), min_chars))
+    return (
+        lines.select("__doc", "line", sha60(F.col("line")).alias("line_sha"))
+        .groupBy("line_sha")
+        .agg(
+            F.any_value(F.col("line")).alias("line"),
+            F.countDistinct("__doc").alias("df"),
+        )
+    )
+
+
+def hot_line_report(
+    docs: DataFrame,
+    min_df: int,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    min_chars: int = 20,
+) -> DataFrame:
+    """The boilerplate lines the removal pass will drop, with their
+    document frequencies — the audit surface (nothing is ever removed
+    silently, SURVEY.md §4.4)."""
+    return line_df_counts(docs, content, doc_id, min_chars).where(
+        F.col("df") >= min_df
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_df: int,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    min_chars: int = 20,
+    out: str = "clean_content",
+) -> DataFrame:
+    """``docs`` + ``(out, n_removed)``: every hot eligible line dropped,
+    remaining lines rejoined with ``\\n`` in original order."""
+    hot = hot_line_report(docs, min_df, content, doc_id, min_chars).select(
+        "line_sha"
+    )
+    positions = (
+        docs.select(
+            F.col(doc_id).alias("__doc"),
+            F.posexplode_outer(F.split(F.col(content), "\n", -1)).alias(
+                "__pos", "__line"
+            ),
+        )
+        .where(_eligible(F.col("__line"), min_chars))
+        .select("__doc", "__pos", sha60(F.col("__line")).alias("line_sha"))
+        .join(F.broadcast(hot), "line_sha")
+        .groupBy("__doc")
+        .agg(F.collect_list("__pos").alias("__rm"))
+    )
+    mc = F.lit(min_chars)
+    joined = docs.join(
+        positions, docs[doc_id] == positions["__doc"], "left"
+    ).drop("__doc")
+    kept = F.filter(
+        F.split(F.col(content), "\n", -1),
+        # the removal list holds only eligible-line positions, so the
+        # length re-check is redundant belt — but it keeps the predicate's
+        # meaning local: "remove iff eligible AND at a flagged position"
+        lambda x, i: F.col("__rm").isNull()
+        | ~(F.array_contains(F.col("__rm"), i) & (F.length(F.trim(x)) >= mc)),
+    )
+    return (
+        joined.withColumn(out, F.array_join(kept, "\n"))
+        .withColumn(
+            "n_removed",
+            F.coalesce(F.size("__rm"), F.lit(0)).cast("int"),
+        )
+        .drop("__rm")
+    )

@@ -39,6 +39,24 @@ def sample_per_group(
     )
 
 
+def shuffle_order(df: DataFrame, id_col: str, seed: str = "") -> DataFrame:
+    """Deterministic global shuffle: the input plus a ``shuffle_key``
+    column, sorted by it — the "randomize example order before training"
+    pass, seeded and retry-stable.
+
+    The key is the portable sha60 of ``seed ‖ ':' ‖ id`` — changing the
+    seed string reshuffles; the same seed replays the identical order on
+    any engine (no ``rand()``, which differs per retry and per engine).
+    The sort is Spark's distributed range-partitioned sort — no global
+    window, no single-partition stage; at corpus scale this is exactly a
+    sort-on-write of the packed training shards. Ties (60-bit collisions)
+    are broken by the id itself, so the order is total and stable."""
+    from sick_spark.functions.text import sha60
+
+    key = sha60(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    return df.withColumn("shuffle_key", key).orderBy("shuffle_key", id_col)
+
+
 def token_vocab(
     df: DataFrame, text_col: str, group_col: str, k: int
 ) -> DataFrame:

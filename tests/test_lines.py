@@ -1,0 +1,79 @@
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.operators.lines import hot_line_report, remove_boilerplate_lines
+
+BANNER = [
+    "# Copyright (c) Example Authors. All rights reserved.",
+    "# Licensed under the Apache License, Version 2.0 (the License);",
+]
+
+
+def _docs(spark):
+    rows = []
+    for i in range(8):
+        body = [f"def unique_fn_{i}():", f"    return {i} * {i}  # body {i}", "}"]
+        lines = (BANNER + body) if i < 6 else body
+        rows.append((i, "\n".join(lines)))
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_hot_lines_found_and_short_lines_excluded(spark):
+    rep = hot_line_report(_docs(spark), min_df=3).collect()
+    assert sorted(r["line"] for r in rep) == sorted(BANNER)
+    assert all(r["df"] == 6 for r in rep)
+    # "}" repeats in all 8 docs but is below min_chars — never reported
+
+
+def test_removal_preserves_order_and_unique_content(spark):
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(_docs(spark), min_df=3).collect()
+    }
+    for i in range(6):
+        assert out[i]["n_removed"] == 2
+        assert out[i]["clean_content"] == "\n".join(
+            [f"def unique_fn_{i}():", f"    return {i} * {i}  # body {i}", "}"]
+        )
+    for i in (6, 7):  # banner-less docs flow through byte-identical
+        assert out[i]["n_removed"] == 0
+        assert out[i]["clean_content"] == out[i]["content"]
+
+
+def test_repeated_hot_line_within_one_doc_all_occurrences_removed(spark):
+    hot = "PAD PAD PAD PAD PAD PAD PAD"
+    rows = [(i, f"{hot}\nkeep {i}\n{hot}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = remove_boilerplate_lines(docs, min_df=3).collect()
+    assert all(r["n_removed"] == 2 for r in out)
+    assert all(r["clean_content"] == f"keep {r['doc_id']}" for r in out)
+
+
+def test_df_counts_distinct_docs_not_occurrences(spark):
+    dup = "THIS LINE REPEATS INSIDE ONE DOC ONLY"
+    rows = [(0, "\n".join([dup] * 10)), (1, "other content here entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    # df = 1 (one distinct doc) < min_df=2 → nothing hot, nothing removed
+    assert hot_line_report(docs, min_df=2).count() == 0
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_df=2).collect()}
+    assert out[0]["clean_content"] == rows[0][1] and out[0]["n_removed"] == 0
+
+
+def test_empty_and_no_newline_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "single line, no newline at all")],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_df=2).collect()}
+    assert out[0]["clean_content"] == "" and out[0]["n_removed"] == 0
+    assert out[1]["clean_content"] == out[1]["content"]
+
+
+def test_trailing_newlines_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon\n\n"), (1, "x")],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_df=5).collect()}
+    # nothing hot → split+rejoin must be the identity, trailing empties kept
+    assert out[0]["clean_content"] == "alpha beta gamma delta epsilon\n\n"

@@ -112,3 +112,18 @@ def test_pack_ffd_fill_beats_nextfit(spark):
     # fill accounting reached the metrics channel for both strategies
     stages = {m.stage for m in metrics.stages}
     assert {"pack_fill_nextfit", "pack_fill_ffd"} <= stages
+
+
+def test_shuffle_order_deterministic_and_seeded(spark):
+    from sick_spark.operators.sample import shuffle_order
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in shuffle_order(df, "doc_id", seed="e0").collect()]
+    b = [
+        r["doc_id"]
+        for r in shuffle_order(df.repartition(7), "doc_id", seed="e0").collect()
+    ]
+    c = [r["doc_id"] for r in shuffle_order(df, "doc_id", seed="e1").collect()]
+    assert a == b  # partitioning-independent total order
+    assert a != sorted(a)  # actually shuffled
+    assert a != c and sorted(a) == sorted(c)  # seed changes order, not the set
