@@ -107,3 +107,54 @@ def test_suffix_automaton_lcs_matches_difflib(a, b):
     if length:
         # the reported substring really is common
         assert a[end - length + 1 : end + 1] in b
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.text(alphabet="abc", max_size=60),
+    b=st.text(alphabet="abc", max_size=60),
+)
+def test_suffix_array_lcs_matches_automaton(a, b):
+    # two independent exact structures must agree on every input
+    from sick_spark.operators.partialdup import _lcs_suffix_array
+
+    sa_len, sa_end = _lcs_suffix_array(a, b)
+    sam_len = _SuffixAutomaton(a).lcs(b)[0] if a else 0
+    assert sa_len == sam_len
+    if sa_len:
+        assert a[sa_end - sa_len + 1 : sa_end + 1] in b
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=200))
+def test_redaction_pattern_chain_idempotent(s):
+    # the docstring's invariant — tags contain nothing the patterns match —
+    # checked on the shared pattern table itself (Python re evaluates the
+    # Java-regex ∩ RE2 subset identically for these classes)
+    import re
+
+    from sick_spark.functions.redact import REDACTIONS
+
+    def apply(x: str) -> str:
+        for _, pat, rep in REDACTIONS:
+            x = re.sub(pat, rep, x)
+        return x
+
+    once = apply(s)
+    assert apply(once) == once
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=200))
+def test_normalization_pattern_chain_idempotent(s):
+    import re
+
+    from sick_spark.functions.normalize_code import NORMALIZATIONS
+
+    def apply(x: str) -> str:
+        for _, pat, rep in NORMALIZATIONS:
+            x = re.sub(pat, rep, x)
+        return x.strip()
+
+    once = apply(s)
+    assert apply(once) == once
