@@ -1106,6 +1106,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rnk")
     q["ann_topk_pq"] = ann_topk_pq
 
+    # --- IVF-PQ, the production composition (FAISS IVFPQ shape): coarse
+    #     cell pruning (scan nprobe=4 of 8 cells) × PQ compressed scoring
+    #     (ADC over 8-byte codes via a broadcast LUT relation and a
+    #     zip_with+aggregate expression — JVM-side, fixed subspace order)
+    #     × exact re-rank of the top-64 shortlist. Recall is bounded by
+    #     the cell pruning (== raw IVF's, gated in tests/test_pq.py); the
+    #     win is scan cost: candidates are scored at 8 bytes each, raw
+    #     vectors fetched only for shortlist×|Q| rows.
+    def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.pq import ivfpq_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ivfpq_topk(
+            e,
+            e.where(F.col("vec_id") < 20),
+            k=3,
+            n_cells=8,
+            nprobe=4,
+            n_codes=32,
+            m=16,
+            shortlist=64,
+        )
+        return out.select(
+            "query_id", "neighbor_id", F.col("rank").alias("rnk")
+        ).orderBy("query_id", "rnk")
+    q["ann_topk_ivfpq"] = ann_topk_ivfpq
+
     # ------------- rows-only operators (non-SQL-expressible; weaker check) --
 
     # --- SimHash near-dup pairs — GREEN path: fingerprints built from
@@ -2202,6 +2229,67 @@ def oracle_sql() -> dict[str, str]:
                           list_dot_product(q.vn, r.rv) AS s
                    FROM en q JOIN recon r ON r.vec_id <> q.vec_id
                    WHERE q.vec_id < 20),
+        short AS (SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+            FROM scored) t WHERE r <= 64),
+        rer AS (SELECT s.qid, s.nid,
+                       list_cosine_similarity(q.v, c.v) AS cos
+                FROM short s
+                JOIN e q ON q.vec_id = s.qid
+                JOIN e c ON c.vec_id = s.nid)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+            FROM rer
+        ) t WHERE rnk <= 3 ORDER BY query_id, rnk
+    """
+    # IVF-PQ: the IVF oracle's seeding/assignment/probing spliced with the
+    # PQ oracle's encode/reconstruct/score, then shortlist + exact re-rank
+    o["ann_topk_ivfpq"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nrm AS (SELECT vec_id, v,
+                       greatest(sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12) AS nm
+                FROM e),
+        en AS (SELECT vec_id, v, list_transform(v, x -> x / nm) AS vn FROM nrm),
+        hashed AS (SELECT vec_id, v, vn,
+                          CAST(CONCAT('0x', SUBSTR(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM en),
+        cent AS (SELECT v AS cv,
+                        ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+                 FROM hashed QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+        centpq AS (SELECT vn AS pv,
+                          ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code
+                   FROM hashed QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 32),
+        assign AS (SELECT vec_id, cell FROM (
+                     SELECT e.vec_id, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS r
+                     FROM e CROSS JOIN cent c) t WHERE r = 1),
+        probes AS (SELECT vec_id AS qid, cell FROM (
+                     SELECT e.vec_id, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS r
+                     FROM e CROSS JOIN cent c WHERE e.vec_id < 20) t WHERE r <= 4),
+        js AS (SELECT unnest(generate_series(0, 15)) AS j),
+        subs AS (SELECT vec_id, j, list_slice(vn, j * 4 + 1, j * 4 + 4) AS sv
+                 FROM en CROSS JOIN js),
+        csubs AS (SELECT code, j, list_slice(pv, j * 4 + 1, j * 4 + 4) AS csv
+                  FROM centpq CROSS JOIN js),
+        pqassign AS (SELECT vec_id, j, code FROM (
+                       SELECT s.vec_id, s.j, c.code,
+                              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                                                 ORDER BY list_distance(s.sv, c.csv) ASC, c.code ASC) AS r
+                       FROM subs s JOIN csubs c ON s.j = c.j) t WHERE r = 1),
+        recon AS (SELECT a.vec_id, flatten(list(c.csv ORDER BY a.j)) AS rv
+                  FROM pqassign a JOIN csubs c ON a.j = c.j AND a.code = c.code
+                  GROUP BY a.vec_id),
+        scored AS (SELECT p.qid, a.vec_id AS nid,
+                          list_dot_product(q.vn, r.rv) AS s
+                   FROM probes p
+                   JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+                   JOIN recon r ON r.vec_id = a.vec_id
+                   JOIN en q ON q.vec_id = p.qid),
         short AS (SELECT qid, nid FROM (
             SELECT qid, nid,
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r

@@ -449,7 +449,12 @@ def main() -> None:
 
     qs = em.queries()  # built once, OUTSIDE the timed windows
     scale_times: dict[str, float] = {}
-    for name in ("embedding_neardup_pairs_lsh", "ann_topk_lsh", "ann_topk_pq"):
+    for name in (
+        "embedding_neardup_pairs_lsh",
+        "ann_topk_lsh",
+        "ann_topk_pq",
+        "ann_topk_ivfpq",
+    ):
         best = float("inf")
         for _ in range(BENCH_RUNS):
             t0 = time.perf_counter()

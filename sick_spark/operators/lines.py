@@ -109,36 +109,40 @@ def remove_boilerplate_lines(
     hot = hot_line_report(docs, min_df, content, doc_id, min_chars).select(
         "line_sha"
     )
+    # temp column names derived to never collide with input columns
+    t_doc, t_pos, t_line, t_rm = "__doc", "__pos", "__line", "__rm"
+    while any(t in docs.columns for t in (t_doc, t_pos, t_line, t_rm)):
+        t_doc, t_pos, t_line, t_rm = (t + "_" for t in (t_doc, t_pos, t_line, t_rm))
     positions = (
         docs.select(
-            F.col(doc_id).alias("__doc"),
+            F.col(doc_id).alias(t_doc),
             F.posexplode_outer(F.split(F.col(content), "\n", -1)).alias(
-                "__pos", "__line"
+                t_pos, t_line
             ),
         )
-        .where(_eligible(F.col("__line"), min_chars))
-        .select("__doc", "__pos", sha60(F.col("__line")).alias("line_sha"))
+        .where(_eligible(F.col(t_line), min_chars))
+        .select(t_doc, t_pos, sha60(F.col(t_line)).alias("line_sha"))
         .join(F.broadcast(hot), "line_sha")
-        .groupBy("__doc")
-        .agg(F.collect_list("__pos").alias("__rm"))
+        .groupBy(t_doc)
+        .agg(F.collect_list(t_pos).alias(t_rm))
     )
     mc = F.lit(min_chars)
     joined = docs.join(
-        positions, docs[doc_id] == positions["__doc"], "left"
-    ).drop("__doc")
+        positions, docs[doc_id] == positions[t_doc], "left"
+    ).drop(t_doc)
     kept = F.filter(
         F.split(F.col(content), "\n", -1),
         # the removal list holds only eligible-line positions, so the
         # length re-check is redundant belt — but it keeps the predicate's
         # meaning local: "remove iff eligible AND at a flagged position"
-        lambda x, i: F.col("__rm").isNull()
-        | ~(F.array_contains(F.col("__rm"), i) & (F.length(F.trim(x)) >= mc)),
+        lambda x, i: F.col(t_rm).isNull()
+        | ~(F.array_contains(F.col(t_rm), i) & (F.length(F.trim(x)) >= mc)),
     )
     return (
         joined.withColumn(out, F.array_join(kept, "\n"))
         .withColumn(
             "n_removed",
-            F.coalesce(F.size("__rm"), F.lit(0)).cast("int"),
+            F.coalesce(F.size(t_rm), F.lit(0)).cast("int"),
         )
-        .drop("__rm")
+        .drop(t_rm)
     )

@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from sick_spark.operators.ivf import _normalized, seed_centroids
+from sick_spark.operators.ivf import _normalized, make_cell_udf, seed_centroids
 
 
 def seed_codebooks(
@@ -185,12 +185,122 @@ def pq_topk(
     )
     if shortlist is None:
         return adc
+    return exact_rerank(adc, corpus, queries, k, id_col, vec)
 
-    # exact re-rank of the shortlist: C×|Q| rows — broadcast them against
-    # the corpus so only the shortlisted raw vectors are ever fetched
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int,
+    nprobe: int,
+    n_codes: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank<=k): the production ANN composition —
+    IVF cell pruning × PQ compressed scoring (the FAISS ``IVFPQ`` shape;
+    Jégou et al. 2011 §V) with exact re-rank.
+
+    The corpus is indexed ONCE into ``(id, cell, codes)`` — a coarse
+    Voronoi cell (:func:`~sick_spark.operators.ivf.ivf_assign` semantics)
+    plus the m-byte PQ code, both from one projection over the vectors.
+    A query touches only its ``nprobe`` cells (equi-join on ``cell``, the
+    partition-pruned read at rest) and scores candidates from CODES ONLY:
+    the per-query ADC lookup tables ride in a broadcast relation and the
+    score is a ``zip_with``+``aggregate`` expression — JVM-side, summed in
+    fixed subspace order (the same term sequence as the oracle's
+    reconstruction dot), never a groupBy float sum whose addition order
+    could differ between engines. Raw vectors are fetched only for the
+    ``shortlist``×|Q| re-rank rows.
+
+    Scale shape: vs the flat PQ scan, the candidate set shrinks by
+    ~nprobe/n_cells; vs raw IVF, candidates are scored at 8 bytes/vector
+    instead of the full embedding. Centroids, codebooks and LUTs are all
+    closure/broadcast-sized; the corpus is never shuffled (the cell join
+    builds broadcast on the probes side)."""
+    spark = corpus.sparkSession
+    cents = seed_centroids(corpus, n_cells, id_col, vec)
+    books = seed_codebooks(corpus, n_codes, m, id_col, vec)
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        # coalesce = the nullability annotation from ivf_assign: without it
+        # the cell equi-join infers isnotnull(udf(...)[0]) and Catalyst
+        # schedules the centroid matmul TWICE over the corpus
+        F.coalesce(make_cell_udf(cents, nprobe=1)(F.col(vec))[0], F.lit(-1)).alias(
+            "cell"
+        ),
+        make_encode_udf(books)(F.col(vec)).alias("__codes"),
+    )
+
+    qrows = queries.select(id_col, vec).collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+    q_ids = [r[0] for r in qrows]
+    qn = _normalized(np.array([r[1] for r in qrows], dtype=np.float64))
+    dim = qn.shape[1]
+    d = dim // m
+    cn = _normalized(cents)
+    probe_order = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    probes = spark.createDataFrame(
+        [(int(q), int(c)) for q, row in zip(q_ids, probe_order) for c in row],
+        "query_id long, cell int",
+    )
+    # LUT[q][j][c] = books[j][c] · qn_j — the ADC table, (|Q|, m, n_codes)
+    luts = np.stack(
+        [books[j] @ qn[:, j * d : (j + 1) * d].T for j in range(m)]
+    )  # (m, n_codes, |Q|)
+    lut_df = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), [luts[j, :, qi].tolist() for j in range(m)])
+            for qi in range(len(q_ids))
+        ],
+        "query_id long, __lut array<array<double>>",
+    )
+    adc_score = F.aggregate(
+        F.zip_with(
+            F.col("__codes"),
+            F.col("__lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    keep_n = shortlist or k
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(indexed, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(lut_df), "query_id")
+        .withColumn("__score", adc_score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= keep_n)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    if shortlist is None:
+        return cand
+    return exact_rerank(cand, corpus, queries, k, id_col, vec)
+
+
+def exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-rank of a ``(query_id, neighbor_id)`` shortlist:
+    C×|Q| rows — broadcast them against the corpus so only the shortlisted
+    raw vectors are ever fetched. Shared by the flat-PQ and IVF-PQ paths."""
     from sick_spark.functions.vectors import cosine
 
-    cand = F.broadcast(adc.select("query_id", "neighbor_id"))
+    cand = F.broadcast(cand.select("query_id", "neighbor_id"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec).alias("__cv"))
     qv = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("__qv"))

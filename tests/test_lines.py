@@ -69,6 +69,18 @@ def test_empty_and_no_newline_docs(spark):
     assert out[1]["clean_content"] == out[1]["content"]
 
 
+def test_reserved_looking_input_columns_survive(spark):
+    hot = "SHARED BOILERPLATE LINE LONG ENOUGH"
+    docs = spark.createDataFrame(
+        [(i, f"{hot}\nbody {i}", i * 10) for i in range(4)],
+        "doc_id long, content string, __rm long",
+    )
+    out = remove_boilerplate_lines(docs, min_df=3).collect()
+    assert all(r["__rm"] == r["doc_id"] * 10 for r in out)  # untouched
+    assert all(r["n_removed"] == 1 for r in out)
+    assert all(r["clean_content"] == f"body {r['doc_id']}" for r in out)
+
+
 def test_trailing_newlines_roundtrip(spark):
     docs = spark.createDataFrame(
         [(0, "alpha beta gamma delta epsilon\n\n"), (1, "x")],

@@ -80,3 +80,47 @@ def test_recall_floor_with_rerank(spark, emb):
     ex = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(q, emb, 3).collect()}
     recall = len(pq & ex) / len(ex)
     assert recall >= 0.9, f"PQ+rerank recall@3 {recall:.2f} < 0.9"
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark, emb):
+    # nprobe == n_cells disables pruning: the Catalyst zip_with/aggregate
+    # ADC must reproduce the mapInPandas LUT scan ranking exactly
+    from sick_spark.operators.pq import ivfpq_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ivfpq_topk(emb, q, 5, n_cells=8, nprobe=8,
+                                     n_codes=32, m=16).collect()))
+    b = sorted(map(tuple, pq_topk(emb, q, 5, n_codes=32, m=16).collect()))
+    assert a == b
+
+
+def test_ivfpq_recall_tracks_raw_ivf(spark, emb):
+    # IVF-PQ's recall is bounded by cell pruning, not by PQ distortion
+    # (the shortlist+rerank absorbs that): at the same (n_cells, nprobe)
+    # it must stay within eps of raw IVF's — and above an absolute floor
+    from sick_spark.operators.ivf import ivf_topk
+    from sick_spark.operators.pq import ivfpq_topk
+
+    q = emb.where(F.col("vec_id") < 20)
+    ex = {(r.query_id, r.neighbor_id)
+          for r in cosine_topk_bruteforce(q, emb, 3).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, q, 3, n_cells=8, nprobe=4).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in ivfpq_topk(emb, q, 3, n_cells=8, nprobe=4,
+                              n_codes=32, m=16, shortlist=64).collect()}
+    r_ivf = len(ivf & ex) / len(ex)
+    r_pq = len(pq & ex) / len(ex)
+    assert r_pq >= r_ivf - 0.05, f"ivfpq {r_pq:.2f} vs ivf {r_ivf:.2f}"
+    assert r_pq >= 0.55
+
+
+def test_ivfpq_empty_queries_and_self_exclusion(spark, emb):
+    from sick_spark.operators.pq import ivfpq_topk
+
+    out = ivfpq_topk(emb, emb.limit(0), 3, 8, 4, 32, 16)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "rank"]
+    rows = ivfpq_topk(emb, emb.where(F.col("vec_id") < 10), 3,
+                      n_cells=8, nprobe=8, n_codes=32, m=16, shortlist=64).collect()
+    assert rows and all(r.query_id != r.neighbor_id for r in rows)
