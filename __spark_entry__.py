@@ -857,6 +857,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return shuffle_order(d, "doc_id", seed="epoch0")
     q["doc_shuffle_order"] = doc_shuffle_order
 
+    # --- sliding-window chunking (operators/chunk.py): the long-document
+    #     complement of packing — overlapping 64-token windows at stride
+    #     48; integer-only boundary arithmetic so DuckDB replays chunk
+    #     edges exactly. Chunk text compared by sha.
+    def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.chunk import chunk_documents
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = chunk_documents(d, window=64, stride=48)
+        return out.select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.sha2(F.col("chunk_text").cast("binary"), 256).alias("chunk_sha"),
+        ).orderBy("doc_id", "chunk_id")
+    q["doc_chunks"] = doc_chunks
+
     # --- the CURATION composition: normalize (strip comments) → redact
     #     (scrub PII) → decontaminate (drop benchmark leaks) → quality
     #     gate → exact collapse on the canonical bytes → pack into token
@@ -1780,6 +1797,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged GROUP BY doc_id)
         SELECT doc_id, n_removed, sha256(clean) AS clean_sha
         FROM agg ORDER BY doc_id
+    """
+    # sliding-window chunking: integer-only boundary replay
+    o["doc_chunks"] = r"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        idx AS (SELECT doc_id, toks,
+                       unnest(generate_series(0,
+                         CASE WHEN n <= 64 THEN 0
+                              ELSE (n - 64 + 47) // 48 END)) AS chunk_id
+                FROM n)
+        SELECT doc_id, chunk_id,
+               len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens,
+               sha256(array_to_string(
+                   list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_sha
+        FROM idx ORDER BY doc_id, chunk_id
     """
     # deterministic shuffle: the portable sha60 of 'epoch0:doc_id'
     o["doc_shuffle_order"] = """

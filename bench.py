@@ -473,6 +473,7 @@ def main() -> None:
         "repo_overlap_clusters",
         "doc_boilerplate_removed",
         "doc_shuffle_order",
+        "doc_chunks",
     ):
         best = float("inf")
         for _ in range(BENCH_RUNS):

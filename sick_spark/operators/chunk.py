@@ -1,0 +1,68 @@
+"""Sliding-window document chunking: split documents that exceed the
+token budget into overlapping windows of ``window`` tokens with stride
+``stride`` — the long-document half of training-data preparation, next
+to sequence packing (``operators/pack.py``, which assembles SHORT
+documents into bins; a document larger than the budget gets a bin of its
+own there, and this operator is what cuts it down first).
+
+Token = whitespace-split word, the same tokenization as ``token_vocab``
+and packing, so budgets compose across the three operators. Chunk text
+is the window's tokens rejoined with single spaces (token-level
+chunking is whitespace-normalizing by construction — byte-exact
+reconstruction is the packing stage's concern, not the chunker's).
+
+Chunk boundaries are pure integer arithmetic on the token count:
+``n_chunks = 1 + ceil((n - window) / stride)`` for ``n > window`` else 1,
+chunk ``i`` covering tokens ``[i*stride, i*stride + window)``. Every
+token is covered (stride ≤ window enforced), consecutive chunks overlap
+by ``window - stride``, and the last chunk may be short — never empty.
+
+Scale shape: one narrow projection per document (split + size), chunk
+fan-out via ``explode(sequence(...))`` — all whole-stage codegen, no
+Python, no shuffle at all; the output is map-side from the scan. The
+fan-out factor is bounded by doc length / stride, the cost inherent to
+the answer. Integer division only (``div``), so the DuckDB oracle
+replays chunk boundaries exactly — no float ceil.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    out: str = "chunk_text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, <out>): overlapping token windows.
+
+    ``stride`` must be in (0, window] — stride > window would skip
+    tokens silently, the one thing a chunker must never do."""
+    if not (0 < stride <= window):
+        raise ValueError(f"stride must be in (0, window]; got stride={stride}")
+    base = docs.select(
+        F.col(doc_id),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    n = F.size(F.col("__toks"))
+    last = F.when(n <= window, F.lit(0)).otherwise(
+        F.expr(f"(size(__toks) - {window} + {stride - 1}) div {stride}").cast("int")
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window)
+    return (
+        base.select(
+            doc_id,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+        )
+        .select(
+            doc_id,
+            "chunk_id",
+            F.size(piece).alias("n_tokens"),
+            F.array_join(piece, " ").alias(out),
+        )
+    )

@@ -1,0 +1,71 @@
+import pytest
+
+from sick_spark.operators.chunk import chunk_documents
+
+
+def _doc(spark, n_tokens, doc_id=0):
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    return spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+
+
+def test_short_doc_single_chunk_identity(spark):
+    rows = chunk_documents(_doc(spark, 5), window=8, stride=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_id"] == 0 and rows[0]["n_tokens"] == 5
+    assert rows[0]["chunk_text"] == " ".join(f"t{i}" for i in range(5))
+
+
+def test_non_overlapping_chunks_reassemble_exactly(spark):
+    rows = sorted(
+        chunk_documents(_doc(spark, 23), window=8, stride=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["n_tokens"] for r in rows] == [8, 8, 7]
+    assert " ".join(r["chunk_text"] for r in rows) == " ".join(
+        f"t{i}" for i in range(23)
+    )
+
+
+def test_overlap_and_full_coverage(spark):
+    w, s, n = 10, 6, 31
+    rows = sorted(
+        chunk_documents(_doc(spark, n), window=w, stride=s).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # 1 + ceil((31-10)/6) = 5 chunks
+    assert len(rows) == 5
+    covered = set()
+    for r in rows:
+        start = r["chunk_id"] * s
+        toks = r["chunk_text"].split(" ")
+        assert toks == [f"t{i}" for i in range(start, min(start + w, n))]
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n))  # no token skipped
+    # consecutive chunks overlap by exactly w - s
+    for a, b in zip(rows, rows[1:]):
+        sa, ta = a["chunk_id"] * s, a["chunk_text"].split(" ")
+        sb = b["chunk_id"] * s
+        assert sa + len(ta) - sb == min(w - s, len(ta) - (sb - sa))
+
+
+def test_exact_window_boundary_no_empty_tail(spark):
+    # n == window, and n == window + stride: last chunk never empty
+    for n, w, s in ((8, 8, 4), (12, 8, 4), (16, 8, 4)):
+        rows = chunk_documents(_doc(spark, n), window=w, stride=s).collect()
+        assert all(r["n_tokens"] >= 1 for r in rows)
+        assert max(r["chunk_id"] for r in rows) == (0 if n <= w else (n - w + s - 1) // s)
+
+
+def test_bad_stride_raises(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_doc(spark, 5), window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(_doc(spark, 5), window=4, stride=0)
+
+
+def test_whitespace_normalization_documented_behavior(spark):
+    docs = spark.createDataFrame(
+        [(0, "  a\tb \n c  ")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, window=8, stride=8).collect()
+    assert rows[0]["chunk_text"] == "a b c" and rows[0]["n_tokens"] == 3
