@@ -174,8 +174,15 @@ def _lcs_suffix_array(a: str, b: str) -> tuple[int, int]:
     when the LCS appears more than once in ``a``."""
     if not a or not b:
         return 0, 0
-    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    try:
+        ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    except UnicodeEncodeError:
+        # lone UTF-16 surrogates are legal in JVM/Python strings but not
+        # encodable; fall back to per-char ord codes (ord accepts them) so
+        # both backends answer on the same inputs instead of one crashing
+        ca = np.fromiter(map(ord, a), dtype=np.int64, count=len(a))
+        cb = np.fromiter(map(ord, b), dtype=np.int64, count=len(b))
     codes = np.concatenate([ca, np.array([-1], dtype=np.int64), cb])
     sa = _build_suffix_array(codes)
     lcp = _kasai_lcp(codes, sa)

@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from sick_spark.operators.ivf import _normalized, make_cell_udf, seed_centroids
+from sick_spark.operators.ivf import _normalized, ivf_assign, seed_centroids
 
 
 def seed_codebooks(
@@ -63,7 +63,11 @@ def seed_codebooks(
     the j-th subvector slice of the ``n_codes`` seed vectors (smallest
     portable id hash), L2-normalized as FULL vectors first — PQ here
     quantizes the unit sphere because the metric is cosine/IP."""
-    seeds = _normalized(seed_centroids(corpus, n_codes, id_col, vec))  # (k, D)
+    return _books_from_seeds(seed_centroids(corpus, n_codes, id_col, vec), m)
+
+
+def _books_from_seeds(raw_seeds: np.ndarray, m: int) -> np.ndarray:
+    seeds = _normalized(raw_seeds)  # (k, D)
     k, dim = seeds.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -131,13 +135,12 @@ def pq_topk(
     fixture corpus reaches recall@3 ≈ 0.97 where raw ADC@3 sits near
     0.35 (sample codebooks quantize coarsely; re-rank absorbs that).
     Without ``shortlist`` the raw ADC ranking is returned."""
-    books = seed_codebooks(corpus, n_codes, m, id_col, vec)
-    codes = pq_encode(corpus, books, id_col, vec)
-
     qrows = queries.select(id_col, vec).collect()
-    if not qrows:
+    if not qrows:  # before the seed scan: the empty path costs no jobs
         spark = corpus.sparkSession
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+    books = seed_codebooks(corpus, n_codes, m, id_col, vec)
+    codes = pq_encode(corpus, books, id_col, vec)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qn = _normalized(np.array([r[1] for r in qrows], dtype=np.float64))
     n_q, dim = qn.shape
@@ -211,10 +214,14 @@ def ivfpq_topk(
     partition-pruned read at rest) and scores candidates from CODES ONLY:
     the per-query ADC lookup tables ride in a broadcast relation and the
     score is a ``zip_with``+``aggregate`` expression — JVM-side, summed in
-    fixed subspace order (the same term sequence as the oracle's
-    reconstruction dot), never a groupBy float sum whose addition order
-    could differ between engines. Raw vectors are fetched only for the
-    ``shortlist``×|Q| re-rank rows.
+    fixed subspace order, never a groupBy float sum whose addition order
+    is nondeterministic even WITHIN one engine. Cross-engine the term
+    GROUPING still differs from the oracle's sequential 64-element
+    reconstruction dot (each LUT entry is a numpy d-element partial dot),
+    so mathematically-tied candidates from different codes could in
+    principle order differently at the shortlist boundary — the same
+    residual float-tie class the flat-PQ and IVF oracles accept. Raw
+    vectors are fetched only for the ``shortlist``×|Q| re-rank rows.
 
     Scale shape: vs the flat PQ scan, the candidate set shrinks by
     ~nprobe/n_cells; vs raw IVF, candidates are scored at 8 bytes/vector
@@ -222,22 +229,22 @@ def ivfpq_topk(
     closure/broadcast-sized; the corpus is never shuffled (the cell join
     builds broadcast on the probes side)."""
     spark = corpus.sparkSession
-    cents = seed_centroids(corpus, n_cells, id_col, vec)
-    books = seed_codebooks(corpus, n_codes, m, id_col, vec)
-    indexed = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        # coalesce = the nullability annotation from ivf_assign: without it
-        # the cell equi-join infers isnotnull(udf(...)[0]) and Catalyst
-        # schedules the centroid matmul TWICE over the corpus
-        F.coalesce(make_cell_udf(cents, nprobe=1)(F.col(vec))[0], F.lit(-1)).alias(
-            "cell"
-        ),
+    qrows = queries.select(id_col, vec).collect()
+    if not qrows:  # before the seed scans: the empty path costs no jobs
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+    # centroid and codebook seeds share one ordering (smallest portable id
+    # hash), so ONE corpus scan serves both: cents is the seed prefix
+    seeds = seed_centroids(corpus, max(n_cells, n_codes), id_col, vec)
+    cents = seeds[:n_cells]
+    books = _books_from_seeds(seeds[:n_codes], m)
+    indexed = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec)), cents, vec
+    ).select(
+        "neighbor_id",
+        "cell",
         make_encode_udf(books)(F.col(vec)).alias("__codes"),
     )
 
-    qrows = queries.select(id_col, vec).collect()
-    if not qrows:
-        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
     q_ids = [r[0] for r in qrows]
     qn = _normalized(np.array([r[1] for r in qrows], dtype=np.float64))
     dim = qn.shape[1]

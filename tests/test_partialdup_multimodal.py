@@ -68,6 +68,10 @@ def test_suffix_array_matches_automaton():
             assert len(occ) == sa_len and occ in b, (a, b)
     # unicode beyond the BMP exercises the utf-32 code path
     assert _lcs_suffix_array("x🦀🦀y", "z🦀🦀w")[0] == 2
+    # lone surrogates (legal in JVM/Python strings, not utf-32-encodable)
+    # must take the ord fallback and agree with the automaton
+    a, b = "x\ud800yz", "w\ud800yz"
+    assert _lcs_suffix_array(a, b)[0] == _SuffixAutomaton(a).lcs(b)[0] == 3
 
 
 def test_partial_dup_backends_agree_on_pipeline(spark):
