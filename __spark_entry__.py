@@ -874,6 +874,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id", "chunk_id")
     q["doc_chunks"] = doc_chunks
 
+    # --- the long-document path COMPOSED: chunk (non-overlapping 64-token
+    #     windows) → next-fit pack the chunks into 256-token bins per
+    #     lang. Chunk uid = doc_id*1024 + chunk_id keeps next-fit's
+    #     id-order == (doc, chunk) order on both engines (fixture docs
+    #     have ≪1024 chunks; the formula replays identically regardless).
+    def chunk_pack_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.chunk import chunk_documents
+        from sick_spark.operators.pack import pack_documents
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        chunks = chunk_documents(d, window=64, stride=64).join(
+            d.select("doc_id", "lang"), "doc_id"
+        )
+        withid = chunks.select(
+            (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("cid"),
+            "lang",
+            "chunk_text",
+        )
+        out = pack_documents(
+            withid, budget=256, group_col="lang", id_col="cid", text_col="chunk_text"
+        )
+        return out.select(
+            "grp", F.col("doc_id").alias("cid"), "n_tokens", "bin"
+        ).orderBy("grp", "cid")
+    q["chunk_pack_e2e"] = chunk_pack_e2e
+
     # --- the CURATION composition: normalize (strip comments) → redact
     #     (scrub PII) → decontaminate (drop benchmark leaks) → quality
     #     gate → exact collapse on the canonical bytes → pack into token
@@ -1814,6 +1840,37 @@ def oracle_sql() -> dict[str, str]:
                sha256(array_to_string(
                    list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_sha
         FROM idx ORDER BY doc_id, chunk_id
+    """
+    # chunk -> pack composition: chunk CTE (window == stride == 64) + the
+    # next-fit fold keyed by cid = doc_id*1024 + chunk_id, budget 256
+    o["chunk_pack_e2e"] = r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+        n AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t),
+        idx AS (SELECT doc_id, lang, toks,
+                       unnest(generate_series(0,
+                         CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 63) // 64 END)) AS chunk_id
+                FROM n),
+        c AS (SELECT lang AS grp, doc_id * 1024 + chunk_id AS cid,
+                     CAST(len(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS BIGINT) AS n_tokens
+              FROM idx),
+        ord AS (SELECT grp, cid, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cid) AS rn
+                FROM c),
+        pack AS (
+            SELECT grp, rn, cid, n_tokens, 0 AS bin, n_tokens AS cum
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.grp, o.rn, o.cid, o.n_tokens,
+                   CASE WHEN p.cum + o.n_tokens <= 256 THEN p.bin ELSE p.bin + 1 END,
+                   CASE WHEN p.cum + o.n_tokens <= 256 THEN p.cum + o.n_tokens
+                        ELSE o.n_tokens END
+            FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1
+        )
+        SELECT grp, cid, n_tokens, CAST(bin AS INTEGER) AS bin
+        FROM pack ORDER BY grp, cid
     """
     # deterministic shuffle: the portable sha60 of 'epoch0:doc_id'
     o["doc_shuffle_order"] = """

@@ -474,6 +474,7 @@ def main() -> None:
         "doc_boilerplate_removed",
         "doc_shuffle_order",
         "doc_chunks",
+        "chunk_pack_e2e",
     ):
         best = float("inf")
         for _ in range(BENCH_RUNS):
