@@ -108,3 +108,41 @@ def test_rollup_is_single_pass_expand(spark):
     per grouping level."""
     p = plan_str(em.queries()["rollup_region_nation_revenue"](spark, SF))
     assert "Expand" in p, p
+
+
+def test_boilerplate_removal_plan_shape(spark):
+    # hot set + removal lists must join broadcast; the content side must
+    # never be sort-merge-joined or exploded through a shuffle
+    from sick_spark.operators.lines import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    p = plan_str(remove_boilerplate_lines(docs, min_df=10))
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_chunking_is_shuffle_free_and_jvm_only(spark):
+    from sick_spark.operators.chunk import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(chunk_documents(docs, window=64, stride=48))
+    assert "Exchange" not in p, p  # pure map-side fan-out
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_ivfpq_single_assign_pass_and_no_smj(spark):
+    # the coalesce nullability guard (ivf_assign) must keep Catalyst from
+    # scheduling the centroid matmul twice; expect exactly the two Arrow
+    # UDF evals (cell assign + PQ encode, possibly fused into one node)
+    from sick_spark.operators.pq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5), 3, n_cells=8, nprobe=4,
+        n_codes=32, m=16, shortlist=16,
+    )
+    p = plan_str(out)
+    assert "SortMergeJoin" not in p, p
+    assert p.count("ArrowEvalPython") <= 2, p
