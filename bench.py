@@ -79,13 +79,19 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         # best-of-N (default 2): this sandbox VM shows ±30% run-to-run noise
         # on sub-10 s jobs; min over two runs measures the query, not the
         # neighbor's compaction. Aggregation is declared in the output JSON.
-        best = float("inf")
-        for _ in range(BENCH_RUNS):
-            t0 = time.perf_counter()
-            _materialize(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        times[name] = _best_of(lambda: _materialize(qs[name](spark, sf_dir)))
     return times
+
+
+def _best_of(fn) -> float:
+    """min wall over BENCH_RUNS calls — the one timing rule for every
+    query group (headline, scale-mode, curation)."""
+    best = float("inf")
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 BENCH_RUNS = int(os.environ.get("SICK_BENCH_RUNS", "2"))
@@ -455,12 +461,7 @@ def main() -> None:
         "ann_topk_pq",
         "ann_topk_ivfpq",
     ):
-        best = float("inf")
-        for _ in range(BENCH_RUNS):
-            t0 = time.perf_counter()
-            _materialize(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        scale_times[name] = round(best, 3)
+        scale_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     # informational: the corpus-curation operators added round 3 — same
     # rule, recorded outside the headline total.
     curation_times: dict[str, float] = {}
@@ -476,12 +477,7 @@ def main() -> None:
         "doc_chunks",
         "chunk_pack_e2e",
     ):
-        best = float("inf")
-        for _ in range(BENCH_RUNS):
-            t0 = time.perf_counter()
-            _materialize(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        curation_times[name] = round(best, 3)
+        curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     print(
         json.dumps(
             {

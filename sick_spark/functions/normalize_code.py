@@ -19,8 +19,14 @@ reproduces the canonical bytes exactly.
 
 Deliberately token-level, not a parser: strings containing ``//`` (URLs)
 can be over-stripped, which is the documented trade of every
-regex-based comment stripper. Where that matters, route through the
-near-dup stage instead, which tolerates small diffs by construction.
+regex-based comment stripper. The ``#``-to-EOL rule is a second such
+trade with a sharper edge: in C-family sources it deletes PREPROCESSOR
+directives, so files differing only in ``#define``/``#include`` lines
+would wrongly intern to one identity — gate it off per language
+(``hash_comments=False`` for c/cpp/h; the RE2 subset has no lookahead,
+so a keyword-excepting pattern cannot express the distinction
+portably). Where either trade matters, route through the near-dup
+stage instead, which tolerates small diffs by construction.
 """
 
 from __future__ import annotations
@@ -38,26 +44,34 @@ NORMALIZATIONS: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def normalize_code(col: str | Column) -> Column:
+def _rules(hash_comments: bool) -> tuple[tuple[str, str, str], ...]:
+    if hash_comments:
+        return NORMALIZATIONS
+    return tuple(r for r in NORMALIZATIONS if r[0] != "hash_comment")
+
+
+def normalize_code(col: str | Column, hash_comments: bool = True) -> Column:
     """Canonical source text: comments stripped, whitespace collapsed to
-    single spaces, trimmed. Idempotent."""
+    single spaces, trimmed. Idempotent. ``hash_comments=False`` keeps
+    ``#...`` lines — required for C-family sources where ``#`` opens a
+    preprocessor directive, not a comment (module docstring)."""
     c = F.col(col) if isinstance(col, str) else col
-    for _, pat, rep in NORMALIZATIONS:
+    for _, pat, rep in _rules(hash_comments):
         c = F.regexp_replace(c, pat, rep)
     return F.trim(c)
 
 
-def normalized_key(col: str | Column) -> Column:
+def normalized_key(col: str | Column, hash_comments: bool = True) -> Column:
     """sha256 of the canonical text — the comment-insensitive exact-dup
     identity. Drop-in for ``functions.text.content_key`` wherever dedup
     should ignore comments/formatting."""
-    return F.sha2(normalize_code(col).cast("binary"), 256)
+    return F.sha2(normalize_code(col, hash_comments).cast("binary"), 256)
 
 
-def normalization_sql(col: str) -> str:
+def normalization_sql(col: str, hash_comments: bool = True) -> str:
     """DuckDB-dialect expression computing the identical canonical text
     (single source of truth: built from NORMALIZATIONS)."""
     expr = col
-    for _, pat, rep in NORMALIZATIONS:
+    for _, pat, rep in _rules(hash_comments):
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
     return f"trim({expr})"

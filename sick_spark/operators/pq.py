@@ -121,9 +121,13 @@ def pq_topk(
 
     The scan never touches raw corpus vectors: each Arrow batch of codes
     is scored against ALL queries via per-subspace lookup tables
-    (LUT[j] = books[j] @ qn_j^T, summed in subspace order — the same
-    term sequence as a 64-dim dot against the reconstruction, which is
-    what the oracle computes), and only the batch's top-k per query
+    (LUT[j] = books[j] @ qn_j^T, accumulated in fixed subspace order —
+    deterministic across runs/partitionings; the term GROUPING still
+    differs from the oracle's sequential 64-element reconstruction dot,
+    each LUT entry being a d-element numpy partial dot, so candidates
+    tied in exact arithmetic could in principle straddle the shortlist
+    boundary differently per engine — the residual float-tie class every
+    float-scored oracle here accepts), and only the batch's top-k per query
     (strict order: score desc, id asc) leaves the worker. Self-matches
     excluded. Queries ride in the closure — the broadcast-queries shape
     of the other ANN paths.
@@ -135,6 +139,8 @@ def pq_topk(
     fixture corpus reaches recall@3 ≈ 0.97 where raw ADC@3 sits near
     0.35 (sample codebooks quantize coarsely; re-rank absorbs that).
     Without ``shortlist`` the raw ADC ranking is returned."""
+    if shortlist is not None and shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     qrows = queries.select(id_col, vec).collect()
     if not qrows:  # before the seed scan: the empty path costs no jobs
         spark = corpus.sparkSession
@@ -228,6 +234,8 @@ def ivfpq_topk(
     instead of the full embedding. Centroids, codebooks and LUTs are all
     closure/broadcast-sized; the corpus is never shuffled (the cell join
     builds broadcast on the probes side)."""
+    if shortlist is not None and shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     spark = corpus.sparkSession
     qrows = queries.select(id_col, vec).collect()
     if not qrows:  # before the seed scans: the empty path costs no jobs

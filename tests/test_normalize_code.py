@@ -62,3 +62,25 @@ def test_documented_overstrip_tradeoff(spark):
     # regex-level stripping eats from '//' inside string literals — the
     # documented trade; lock it so a future "fix" is a conscious decision
     assert _norm(spark, 'u = "http://x.com" tail') == 'u = "http:'
+
+
+def test_hash_comments_gate_preserves_preprocessor_lines(spark):
+    # C-family: '#define MAX 10' vs 20 are DIFFERENT programs; with
+    # hash_comments=False they keep distinct normalized keys, while the
+    # default (scripting-language) mode collapses them — documented trade
+    df = spark.createDataFrame(
+        [
+            (1, "#define MAX 10\nint f() { return MAX; }"),
+            (2, "#define MAX 20\nint f() { return MAX; }"),
+        ],
+        "id long, content string",
+    )
+    kc = {r.id: r.k for r in df.select(
+        "id", normalized_key("content", hash_comments=False).alias("k")).collect()}
+    kpy = {r.id: r.k for r in df.select(
+        "id", normalized_key("content").alias("k")).collect()}
+    assert kc[1] != kc[2]
+    assert kpy[1] == kpy[2]
+    # the gated SQL replays the gated Spark form
+    from sick_spark.functions.normalize_code import normalization_sql
+    assert "#" not in normalization_sql("content", hash_comments=False)

@@ -124,3 +124,13 @@ def test_ivfpq_empty_queries_and_self_exclusion(spark, emb):
     rows = ivfpq_topk(emb, emb.where(F.col("vec_id") < 10), 3,
                       n_cells=8, nprobe=8, n_codes=32, m=16, shortlist=64).collect()
     assert rows and all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_shortlist_smaller_than_k_raises(spark, emb):
+    from sick_spark.operators.pq import ivfpq_topk
+
+    q = emb.where(F.col("vec_id") < 3)
+    with pytest.raises(ValueError):
+        pq_topk(emb, q, k=10, n_codes=32, m=16, shortlist=5)
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, q, 10, n_cells=8, nprobe=4, n_codes=32, m=16, shortlist=5)
