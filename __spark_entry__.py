@@ -71,6 +71,26 @@ _NG_MAXDF = 5     # ngram scale-mode df cap (bites on the fixture corpora)
 _TP_QUALITY = 0.65  # training-prep quality gate (off the 0.4+0.3 float boundary)
 _TP_BUDGET = 512    # training-prep packing budget (tokens per bin)
 _ANN_COS_FLOOR = 0.25  # lowest 3rd-neighbor cosine observed on the fixture corpus
+#: the benchmark-span derivation shared by decontaminate_benchmark_overlap
+#: and curation_prep_e2e, replayed by both oracles — ONE source of truth so
+#: the sibling queries and their SQL can't drift apart: every doc_id %
+#: _BM_MOD == 1 document with >= _BM_MIN_TOKS tokens contributes its
+#: verbatim _BM_LEN-token span starting at token _BM_START (1-based).
+_BM_MOD, _BM_MIN_TOKS, _BM_START, _BM_LEN = 53, 18, 3, 16
+_BM_WHERE_SQL = f"doc_id % {_BM_MOD} = 1 AND len(ws) >= {_BM_MIN_TOKS}"
+_BM_SLICE_SQL = f"list_slice(ws, {_BM_START}, {_BM_START + _BM_LEN - 1})"
+
+
+def _benchmark_spans(d: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.where(
+        (F.col("doc_id") % _BM_MOD == 1) & (F.size(toks) >= _BM_MIN_TOKS)
+    ).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, _BM_START, _BM_LEN)).alias("content"),
+    )
+
+
 #: the planted license banner for the boilerplate-line queries — two long
 #: eligible lines (>= the operator's 20-char floor); shared verbatim by the
 #: Spark derivation and the DuckDB oracle so neither can drift alone.
@@ -500,14 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sick_spark.operators.decontam import benchmark_ngram_hits
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        bench = (
-            d.where((F.col("doc_id") % 53 == 1) & (F.size(toks) >= 18))
-            .select(
-                F.col("doc_id").alias("bench_id"),
-                F.concat_ws(" ", F.slice(toks, 3, 16)).alias("content"),
-            )
-        )
+        bench = _benchmark_spans(d)
         return (
             benchmark_ngram_hits(d, bench, k=8, content="text", bench_content="content")
             .orderBy("doc_id")
@@ -929,14 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         canon = d.select(
             "doc_id", "lang", redact(normalize_code(deco)).alias("content")
         )
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        bench = (
-            d.where((F.col("doc_id") % 53 == 1) & (F.size(toks) >= 18))
-            .select(
-                F.col("doc_id").alias("bench_id"),
-                F.concat_ws(" ", F.slice(toks, 3, 16)).alias("content"),
-            )
-        )
+        bench = _benchmark_spans(d)
         clean = decontaminate(canon, bench, k=8)
         ok = clean.where(quality_score("content") >= F.lit(_TP_QUALITY))
         reps = ok.groupBy("content").agg(F.min("doc_id").alias("doc_id"))
@@ -1566,8 +1572,8 @@ def oracle_sql() -> dict[str, str]:
                FROM documents),
         canon AS (SELECT doc_id, lang, {CANON} AS content FROM c0),
         wraw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        bspan AS (SELECT list_slice(ws, 3, 18) AS bs FROM wraw
-                  WHERE doc_id % 53 = 1 AND len(ws) >= 18),
+        bspan AS (SELECT {_BM_SLICE_SQL} AS bs FROM wraw
+                  WHERE {_BM_WHERE_SQL}),
         bsh AS (SELECT DISTINCT unnest([array_to_string(list_slice(bs, i, i + 7), ' ')
                                         FOR i IN generate_series(1, greatest(len(bs) - 7, 1))]) AS s
                 FROM bspan),
@@ -1613,6 +1619,8 @@ def oracle_sql() -> dict[str, str]:
     """.replace("{CANON}", _redact_sql(_norm_sql("content")))
         .replace("{_TPQ}", str(_TP_QUALITY))
         .replace("{_TPB}", str(_TP_BUDGET))
+        .replace("{_BM_SLICE_SQL}", _BM_SLICE_SQL)
+        .replace("{_BM_WHERE_SQL}", _BM_WHERE_SQL)
     )
     o["token_vocab_by_lang"] = r"""
         WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -1651,11 +1659,11 @@ def oracle_sql() -> dict[str, str]:
     """
     # decontamination: replay the benchmark-span derivation + 8-gram
     # shingling on strings (Spark joins on xxhash64 of the same grams)
-    o["decontaminate_benchmark_overlap"] = r"""
+    o["decontaminate_benchmark_overlap"] = rf"""
         WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
                    FROM documents),
-        bspan AS (SELECT doc_id AS bench_id, list_slice(ws, 3, 18) AS bs
-                  FROM w WHERE doc_id % 53 = 1 AND len(ws) >= 18),
+        bspan AS (SELECT doc_id AS bench_id, {_BM_SLICE_SQL} AS bs
+                  FROM w WHERE {_BM_WHERE_SQL}),
         bsh AS (SELECT DISTINCT bench_id,
                        unnest([array_to_string(list_slice(bs, i, i + 7), ' ')
                                FOR i IN generate_series(1, greatest(len(bs) - 7, 1))]) AS s
