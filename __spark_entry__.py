@@ -712,7 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     application order breaks the value match, which is the point:
     #     redaction must be engine-reproducible to be auditable.
     def doc_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sick_spark.functions.redact import redaction_counts, redact
+        from sick_spark.functions.redact import REDACTIONS, redaction_counts, redact
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         i = F.col("doc_id")
@@ -737,15 +737,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.lit(" end"),
                 ),
             ).otherwise(F.lit("")),
+            F.when(
+                i % 11 == 0,
+                F.concat(
+                    F.lit(" cred ghp_"),
+                    F.sha2(F.col("text").cast("binary"), 256).substr(5, 36),
+                    F.lit(" x"),
+                ),
+            ).otherwise(F.lit("")),
         )
         c = d.select("doc_id", content.alias("content"))
         return (
             c.select("doc_id", *redaction_counts("content"), redact("content").alias("r"))
             .select(
                 "doc_id",
-                "n_emails",
-                "n_ips",
-                "n_keys",
+                *[f"n_{n}s" for n, _, _ in REDACTIONS],
                 F.sha2(F.col("r").cast("binary"), 256).substr(1, 16).alias("redacted_sha"),
             )
             .orderBy("doc_id")
@@ -1320,10 +1326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- repo-level duplication: repos as SETS of their files' cluster ids
     #     (exact + near-dup components from the full pipeline), pairwise
-    #     overlap = shared clusters + Jaccard. The fork/mirror detector one
-    #     granularity above file dedup (operators/repodup.py). Uncapped here
-    #     (20 repos); the boilerplate-component cap + report is the scale
-    #     mode, exercised in tests/test_repodup.py.
+    #     overlap = shared clusters + Jaccard + containment (shared /
+    #     min set size — the fork signal jaccard misses). The fork/mirror
+    #     detector one granularity above file dedup (operators/repodup.py).
+    #     Runs at the FINITE default pair-generation cap (256 repos per
+    #     component — the oracle replays it); the cap's report is
+    #     exercised in tests/test_repodup.py.
     def repo_overlap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         from sick_spark.operators.repodup import repo_component_sets, repo_overlap_pairs
 
@@ -1764,13 +1772,17 @@ def oracle_sql() -> dict[str, str]:
                     THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' logged'
                     ELSE '' END
             || CASE WHEN doc_id % 7 = 0
-                    THEN ' token ' || substr(sha256(text), 1, 40) || ' end' ELSE '' END AS c
+                    THEN ' token ' || substr(sha256(text), 1, 40) || ' end' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN ' cred ghp_' || substr(sha256(text), 5, 36) || ' x' ELSE '' END AS c
           FROM documents)"""
     _prev = "c0"
     for _i, (_nm, _pat, _rep) in enumerate(_RED):
         _cur = f"s{_i + 1}"
         _keep = ", ".join(f"n_{n}s" for n, _, _ in _RED[:_i])
         _keep = (_keep + ", ") if _keep else ""
+        # quote-escape: a future pattern containing ' must not corrupt SQL
+        _pat, _rep = _pat.replace("'", "''"), _rep.replace("'", "''")
         _red_sql += f""",
         {_cur} AS (SELECT doc_id, {_keep}len(regexp_extract_all(c, '{_pat}')) AS n_{_nm}s,
                           regexp_replace(c, '{_pat}', '{_rep}', 'g') AS c FROM {_prev})"""
@@ -1835,7 +1847,8 @@ def oracle_sql() -> dict[str, str]:
     # sliding-window chunking: integer-only boundary replay
     o["doc_chunks"] = r"""
         WITH t AS (SELECT doc_id,
-                          string_split_regex(trim(text), '\s+') AS toks
+                          list_filter(string_split_regex(text, '\s+'),
+                                      tk -> tk <> '') AS toks
                    FROM documents),
         n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
         idx AS (SELECT doc_id, toks,
@@ -1854,7 +1867,8 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_pack_e2e"] = r"""
         WITH RECURSIVE
         t AS (SELECT doc_id, lang,
-                     string_split_regex(trim(text), '\s+') AS toks
+                     list_filter(string_split_regex(text, '\s+'),
+                                 tk -> tk <> '') AS toks
               FROM documents),
         n AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t),
         idx AS (SELECT doc_id, lang, toks,
@@ -2151,11 +2165,17 @@ def oracle_sql() -> dict[str, str]:
         rs AS (SELECT DISTINCT f.repo, coalesce(c.component, f.sha) AS component
                FROM files f LEFT JOIN comp c ON f.sha = c.cid),
         rsz AS (SELECT repo, count(*) AS n FROM rs GROUP BY repo),
+        -- replay the finite default pair-generation cap (components in
+        -- more than 256 repos generate no pairs; set sizes stay full)
+        gen AS (SELECT rs.* FROM rs
+                JOIN (SELECT component FROM rs GROUP BY component
+                      HAVING count(*) <= 256) hot USING (component)),
         ri AS (SELECT a.repo AS ra, b.repo AS rb, count(*) AS i
-               FROM rs a JOIN rs b ON a.component = b.component AND a.repo < b.repo
+               FROM gen a JOIN gen b ON a.component = b.component AND a.repo < b.repo
                GROUP BY 1, 2)
         SELECT ra AS repo_a, rb AS repo_b, i AS shared_components,
-               i * 1.0 / (x.n + y.n - i) AS jaccard
+               i * 1.0 / (x.n + y.n - i) AS jaccard,
+               i * 1.0 / least(x.n, y.n) AS containment
         FROM ri JOIN rsz x ON ra = x.repo JOIN rsz y ON rb = y.repo
         WHERE i >= 1
         ORDER BY repo_a, repo_b

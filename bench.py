@@ -13,6 +13,12 @@ scripts/update_baseline_md.py.
 
 Every query materializes via the 'noop' sink (full computation, no IO) so
 Catalyst can't prune the work away.
+
+The artifact is self-interpreting w.r.t. box noise: a fixed pure-CPU
+calibration job (generated input, zero repo code) is timed at the start
+and end of the run and recorded alongside the headline, so
+`headline_per_calibration` separates code regressions from shared-VM
+drift — the round-3 artifact could not (VERDICT r3, item 1).
 """
 
 from __future__ import annotations
@@ -84,17 +90,49 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 
 def _best_of(fn) -> float:
-    """min wall over BENCH_RUNS calls — the one timing rule for every
-    query group (headline, scale-mode, curation)."""
+    """min wall — the one timing rule for every query group (headline,
+    scale-mode, curation). Adaptive run count: every query gets
+    BENCH_RUNS; queries whose best stays under FAST_QUERY_SEC keep going
+    up to BENCH_RUNS_FAST, because on this shared box sub-3 s jobs show
+    ±30% run-to-run noise and two samples of a noisy minimum are not a
+    self-interpreting record (round-3 verdict item 1)."""
     best = float("inf")
-    for _ in range(BENCH_RUNS):
+    runs = 0
+    while runs < BENCH_RUNS or (best < FAST_QUERY_SEC and runs < BENCH_RUNS_FAST):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
+        runs += 1
     return round(best, 3)
 
 
 BENCH_RUNS = int(os.environ.get("SICK_BENCH_RUNS", "2"))
+BENCH_RUNS_FAST = int(os.environ.get("SICK_BENCH_RUNS_FAST", "4"))
+FAST_QUERY_SEC = 3.0
+
+
+def calibration(spark: SparkSession) -> float:
+    """Fixed pure-CPU yardstick job, ZERO repo code: generated input
+    (spark.range), xxhash64 + keyed aggregation, noop sink. Its wall
+    measures THE BOX (shared-VM contention, CPU steal), never this repo's
+    plans — so `value / calibration_sec` in the same artifact is the
+    box-normalized headline, and a round-over-round headline move can be
+    attributed to code vs box without out-of-band evidence. Same best-of
+    rule as every query."""
+
+    def job() -> None:
+        (
+            spark.range(0, 512_000_000, 1, int(CPUS))
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy(F.pmod(F.col("h"), F.lit(4096)).alias("k"))
+            # summand bounded (< 2^20) so the ANSI-mode sum can't overflow
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.pmod("h", F.lit(1048573))).alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    return _best_of(job)
 
 
 def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
@@ -444,6 +482,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     silence_benign_accumulator_errors(spark)
     warmup(spark, SF_DIR)
+    # calibration bracketing the whole run: start + end expose box-speed
+    # DRIFT within the run, min is the canonical box yardstick
+    calib_start = calibration(spark)
     pipeline_sec, n_files = bench_pipeline(spark, SF_DIR)
     qtimes = bench_queries(spark, SF_DIR)
     qtimes["dedup_pipeline_e2e"] = pipeline_sec
@@ -478,6 +519,8 @@ def main() -> None:
         "chunk_pack_e2e",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
+    calib_end = calibration(spark)
+    calib = min(calib_start, calib_end)
     print(
         json.dumps(
             {
@@ -490,8 +533,16 @@ def main() -> None:
                 "sf": SF_DIR,
                 "dedup_pipeline_files_per_sec": round(n_files / pipeline_sec, 1),
                 "cores": int(CPUS),
-                "runs_per_query": BENCH_RUNS,
+                "runs_per_query": f"{BENCH_RUNS}, <{FAST_QUERY_SEC:g}s queries up to {BENCH_RUNS_FAST}",
                 "agg": "min",
+                # box-speed yardstick: a fixed pure-CPU generated-input job
+                # (zero repo code) timed at the start and end of the run.
+                # headline_per_calibration = value / min(calibration) is the
+                # box-normalized headline — compare THIS across rounds.
+                "calibration_sec": calib,
+                "calibration_sec_start": calib_start,
+                "calibration_sec_end": calib_end,
+                "headline_per_calibration": round(total / calib, 2),
             }
         )
     )

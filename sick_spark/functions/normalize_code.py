@@ -73,5 +73,6 @@ def normalization_sql(col: str, hash_comments: bool = True) -> str:
     (single source of truth: built from NORMALIZATIONS)."""
     expr = col
     for _, pat, rep in _rules(hash_comments):
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+        q = lambda s: s.replace("'", "''")  # noqa: E731
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
     return f"trim({expr})"

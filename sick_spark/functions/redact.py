@@ -1,6 +1,7 @@
 """PII / secret scrubbing for code and text corpora: detect and redact
-emails, IPv4 addresses, and long hex secrets (API keys, tokens) before
-training — the standard release-hygiene pass for public code datasets.
+emails, IPv4 addresses, prefixed credentials (GitHub/OpenAI/AWS-shaped
+tokens) and long hex secrets before training — the standard
+release-hygiene pass for public code datasets.
 
 Pure Catalyst: ``regexp_count`` / ``regexp_replace`` stay inside
 whole-stage codegen, zero Python per row — at 100 TB this runs at scan
@@ -22,11 +23,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # name, pattern, replacement — applied strictly IN ORDER (emails first so a
-# hex-ish local part is consumed as part of the email, not as a key).
+# hex-ish local part is consumed as part of the email, not as a key;
+# prefixed keys before bare hex so a prefix is never left dangling).
 # Replaying engines must apply the same order.
+#
+# Coverage scope (deliberate): emails, IPv4, PREFIXED credentials
+# (GitHub gh[pousr]_/github_pat_, OpenAI-style sk-, AWS AKIA — the
+# dominant real leaked-secret shapes, all with long alnum tails that make
+# false positives rare) and long bare-hex runs. Dashed UUIDs are NOT
+# redacted: in code corpora they are overwhelmingly identifiers (schema
+# ids, test fixtures), and rewriting them would corrupt program semantics
+# far more often than it would scrub a credential.
 REDACTIONS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("prefixed_key", r"\b(?:gh[pousr]_|github_pat_|sk-|AKIA)[A-Za-z0-9_]{16,}", "<KEY>"),
     ("key", r"\b[0-9a-fA-F]{32,}\b", "<KEY>"),
 )
 
@@ -54,10 +65,13 @@ def redaction_counts(col: str | Column) -> list[Column]:
 
 def redaction_sql(col: str) -> str:
     """DuckDB-dialect expression computing the identical scrubbed text
-    (single source of truth: built from REDACTIONS, same order)."""
+    (single source of truth: built from REDACTIONS, same order). Patterns
+    and replacements are quote-escaped ('' doubling) so a future pattern
+    containing a single quote cannot silently corrupt the oracle SQL."""
     expr = col
     for _, pat, rep in REDACTIONS:
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+        q = lambda s: s.replace("'", "''")  # noqa: E731
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
     return expr
 
 

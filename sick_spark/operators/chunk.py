@@ -15,7 +15,11 @@ Chunk boundaries are pure integer arithmetic on the token count:
 ``n_chunks = 1 + ceil((n - window) / stride)`` for ``n > window`` else 1,
 chunk ``i`` covering tokens ``[i*stride, i*stride + window)``. Every
 token is covered (stride ≤ window enforced), consecutive chunks overlap
-by ``window - stride``, and the last chunk may be short — never empty.
+by ``window - stride``, and the last chunk may be short — never empty
+for a non-blank document. A blank/whitespace-only document yields one
+empty chunk with ``n_tokens = 0`` (NOT a phantom 1-token chunk: the raw
+``split(trim(''), '\\s+') = ['']`` quirk is mapped to an empty array so
+packing budgets never count tokens that do not exist).
 
 Scale shape: one narrow projection per document (split + size), chunk
 fan-out via ``explode(sequence(...))`` — all whole-stage codegen, no
@@ -44,9 +48,15 @@ def chunk_documents(
     tokens silently, the one thing a chunker must never do."""
     if not (0 < stride <= window):
         raise ValueError(f"stride must be in (0, window]; got stride={stride}")
+    # split produces empty-string tokens at whitespace edges (trim() only
+    # strips SPACES, so a leading tab — or a fully-blank doc — would leak
+    # phantom '' tokens into packing budgets); filter them out so a blank
+    # doc tokenizes to an EMPTY array: one chunk, n_tokens=0, empty text.
     base = docs.select(
         F.col(doc_id),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        ).alias("__toks"),
     )
     n = F.size(F.col("__toks"))
     last = F.when(n <= window, F.lit(0)).otherwise(

@@ -56,20 +56,34 @@ def hot_component_report(
     )
 
 
+DEFAULT_MAX_REPOS_PER_COMPONENT = 256
+
+
 def repo_overlap_pairs(
     repo_sets: DataFrame,
     repo_col: str = "repo",
     component_col: str = "component",
     min_shared: int = 1,
-    max_repos_per_component: int | None = None,
+    max_repos_per_component: int | None = DEFAULT_MAX_REPOS_PER_COMPONENT,
 ) -> DataFrame:
     """Pairwise repo overlap: ``(repo_a, repo_b, shared_components,
-    jaccard)`` for pairs sharing ≥ ``min_shared`` clusters.
+    jaccard, containment)`` for pairs sharing ≥ ``min_shared`` clusters.
 
-    Jaccard is over the repos' cluster-id sets. Set SIZES always count the
-    full sets — the cap (when given) only prunes which components can
-    GENERATE pairs, so a reported jaccard is never inflated (identical rule
-    to the shingle-df cap in ``ngram_jaccard_pairs``).
+    Jaccard is over the repos' cluster-id sets; containment is
+    ``shared / min(|A|, |B|)`` — the fork/mirror signal jaccard misses: a
+    small fork of a large repo has LOW jaccard (the big repo's size
+    dominates the union) but containment ≈ 1 because nearly all of the
+    fork's clusters appear in the parent. Curation passes should gate
+    mirrors on containment and near-twins on jaccard.
+
+    Set SIZES always count the full sets — the cap only prunes which
+    components can GENERATE pairs, so a reported jaccard/containment is
+    never inflated (identical rule to the shingle-df cap in
+    ``ngram_jaccard_pairs``). The default cap is FINITE
+    (``DEFAULT_MAX_REPOS_PER_COMPONENT``): the component self-join's
+    fan-out is C(m,2) per component, so an uncapped run at corpus scale is
+    opt-in only (``max_repos_per_component=None``) — pair it with
+    :func:`hot_component_report` so what the cap drops is visible.
     """
     rs = repo_sets.select(
         F.col(repo_col).alias("repo"), F.col(component_col).alias("component")
@@ -104,5 +118,6 @@ def repo_overlap_pairs(
                 F.col("shared_components")
                 / (F.col("n_a") + F.col("n_b") - F.col("shared_components"))
             ).alias("jaccard"),
+            (F.col("shared_components") / F.least("n_a", "n_b")).alias("containment"),
         )
     )

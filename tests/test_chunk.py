@@ -56,6 +56,19 @@ def test_exact_window_boundary_no_empty_tail(spark):
         assert max(r["chunk_id"] for r in rows) == (0 if n <= w else (n - w + s - 1) // s)
 
 
+def test_blank_doc_yields_zero_token_chunk(spark):
+    # split(trim(''), '\s+') = [''] would otherwise count one phantom
+    # token into packing budgets; blank docs must chunk to n_tokens=0
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   \t\n "), (2, "one")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in chunk_documents(docs, window=8, stride=8).collect()}
+    assert len(rows) == 3  # one chunk each — blank docs are not dropped
+    assert rows[0]["n_tokens"] == 0 and rows[0]["chunk_text"] == ""
+    assert rows[1]["n_tokens"] == 0 and rows[1]["chunk_text"] == ""
+    assert rows[2]["n_tokens"] == 1 and rows[2]["chunk_text"] == "one"
+
+
 def test_bad_stride_raises(spark):
     with pytest.raises(ValueError):
         chunk_documents(_doc(spark, 5), window=4, stride=5)

@@ -1,4 +1,5 @@
-"""IVF ANN: deterministic seeding, full cell coverage, recall vs exact."""
+"""IVF ANN: deterministic seeding, full cell coverage, recall vs exact,
+and the cell-assign non-null contract."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from sick_spark.operators.ivf import (
     ivf_assign,
     ivf_topk,
     lloyd_refine,
+    make_cell_udf,
     seed_centroids,
 )
 
@@ -98,3 +100,40 @@ def test_lloyd_refine_keeps_shape_and_determinism(spark, sf_dir):
     assert r1.shape == cents.shape
     assert np.array_equal(r1, r2)
     assert not np.array_equal(r1, cents)  # it actually moved
+
+
+def test_cell_assign_nonnull_contract(spark):
+    # ivf_assign's coalesce(udf(...)[0], lit(-1)) is a nullability
+    # ANNOTATION, not a fallback: if the UDF ever returned null/empty,
+    # rows would silently land in nonexistent cell -1 and vanish from
+    # every probe join. Pin the contract on the adversarial inputs —
+    # zero vectors (norm guard), exact-centroid duplicates (tie path),
+    # and negative components — every row must get a REAL cell.
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0]),   # zero vector: cos 0 to both, tie -> cell 0
+            (2, [1.0, 0.0, 0.0]),   # exactly centroid 0
+            (3, [0.0, 1.0, 0.0]),   # exactly centroid 1
+            (4, [0.5, 0.5, 0.0]),   # equidistant tie -> smaller cell
+            (5, [-1.0, -1.0, 0.0]), # negative everywhere: still a valid argmax
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ivf_assign(df, cents).collect()
+    assert len(rows) == 5
+    assert all(r.cell is not None and r.cell in (0, 1) for r in rows), rows
+    by_id = {r.vec_id: r.cell for r in rows}
+    assert by_id[1] == 0 and by_id[2] == 0 and by_id[3] == 1 and by_id[4] == 0
+
+
+def test_cell_udf_empty_batch(spark):
+    # the UDF's empty-Series early-return must not produce nulls either
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_assign(df, cents).count() == 0
+    # and a probe UDF over one row returns exactly nprobe non-null cells
+    one = spark.createDataFrame([(1, [0.7, 0.7])], "vec_id long, embedding array<double>")
+    probe = make_cell_udf(cents, nprobe=2)
+    (r,) = one.select(probe("embedding").alias("cells")).collect()
+    assert r.cells == [0, 1]

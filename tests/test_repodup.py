@@ -48,8 +48,11 @@ def test_boilerplate_cap_prunes_pairs_but_not_sizes(spark):
     rows += [("r0", "c1"), ("r1", "c1"), ("r2", "z1"), ("r3", "z2")]
     rs = _sets(spark, rows)
 
+    # default finite cap (256) does not bite at 4 repos: all pairs generate
     uncapped = repo_overlap_pairs(rs).collect()
     assert len(uncapped) == 6  # C(4,2): lic connects everyone
+    explicit_uncapped = repo_overlap_pairs(rs, max_repos_per_component=None).collect()
+    assert len(explicit_uncapped) == 6
 
     capped = {(r.repo_a, r.repo_b): (r.shared_components, r.jaccard)
               for r in repo_overlap_pairs(rs, max_repos_per_component=3).collect()}
@@ -58,6 +61,19 @@ def test_boilerplate_cap_prunes_pairs_but_not_sizes(spark):
 
     rep = hot_component_report(rs, 3).collect()
     assert [(r.component, r.df, r.pairs_forgone) for r in rep] == [("lic", 4, 6)]
+
+
+def test_containment_catches_small_fork_of_large_repo(spark):
+    # "fork" carries 3 clusters, all inside the 30-cluster "parent":
+    # jaccard = 3/30 = 0.1 (a near-twin gate at 0.5 would miss it) but
+    # containment = 3/3 = 1.0 — the mirror signal jaccard dilutes away
+    rows = [("parent", f"c{i}") for i in range(30)]
+    rows += [("fork", "c0"), ("fork", "c1"), ("fork", "c2")]
+    rs = _sets(spark, rows)
+    (r,) = repo_overlap_pairs(rs).collect()
+    assert (r.repo_a, r.repo_b) == ("fork", "parent")
+    assert r.containment == 1.0
+    assert abs(r.jaccard - 3 / 30) < 1e-12
 
 
 def test_min_shared_filters(spark):
