@@ -649,6 +649,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_pairs_blocked(e, _COS).orderBy("id_a", "id_b")
     q["embedding_neardup_pairs"] = embedding_neardup_pairs
 
+    # --- cost-ROUTED embedding near-dup: the chooser (planner.choose_pairs)
+    #     derives the LSH config via derive_rhp and compares its shuffle +
+    #     verify cost against the block-grid exact plan — the crossover
+    #     math from BENCH/BASELINE.md "Scale-mode queries" in code. At
+    #     fixture sizes it selects exact (L(1+probes)/2^b > 1 there, and
+    #     exact measured 13× faster); at corpus scale it selects LSH
+    #     (tests/test_planner.py pins both selections). Same value oracle
+    #     either way — routing must never change the answer.
+    def embedding_neardup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.planner import cosine_pairs_auto
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out, _decision = cosine_pairs_auto(e, _COS, dim=64)
+        return out.orderBy("id_a", "id_b")
+    q["embedding_neardup_pairs_auto"] = embedding_neardup_pairs_auto
+
     # --- embedding-cosine dedup clusters: the same pair->component
     #     resolution as the text pipeline, over the vector modality (every
     #     vector gets a cluster id; component = min vec_id of the cluster)
@@ -681,6 +697,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.col("rank").alias("rnk")
         ).orderBy("query_id", "rnk")
     q["ann_topk_bruteforce"] = ann_topk_bruteforce
+
+    # --- cost-ROUTED top-k: planner.choose_topk weighs brute's |Q|·n·dim
+    #     dots against IVF-PQ's encode+assign pass (amortized only when the
+    #     index is reused), pruned ADC scan and shortlist re-rank. At
+    #     fixture sizes with a one-shot index it selects brute; at corpus
+    #     scale (or with a persisted index) it selects IVF-PQ
+    #     (tests/test_planner.py). Same value oracle either way.
+    def ann_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.planner import cosine_topk_auto
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out, _decision = cosine_topk_auto(
+            e, e.where(F.col("vec_id") < 20), k=3, dim=64
+        )
+        return out.select(
+            "query_id", "neighbor_id", F.col("rank").alias("rnk")
+        ).orderBy("query_id", "rnk")
+    q["ann_topk_auto"] = ann_topk_auto
 
     # --- text stats (langid heuristic / quality / token counts)
     def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,6 +1729,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # the SCALE mode must return the exact mode's answer — same oracle
     o["embedding_neardup_pairs_lsh"] = o["embedding_neardup_pairs"]
+    # the cost-ROUTED mode must return the same answer whichever strategy
+    # the chooser picks — routing is a plan decision, never a semantics one
+    o["embedding_neardup_pairs_auto"] = o["embedding_neardup_pairs"]
     # embedding clusters: transitive closure over the cosine>=threshold pair
     # graph, component = numeric min vec_id, singletons = own component
     o["embedding_clusters"] = f"""
@@ -1724,6 +1761,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 20
         ) t WHERE rnk <= 3 ORDER BY query_id, rnk
     """
+    # the routed top-k must match the exact answer whichever route is taken
+    o["ann_topk_auto"] = o["ann_topk_bruteforce"]
     # textstats: mirror the Spark expressions exactly (same stopword list)
     sw = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"])
     o["doc_textstats"] = """

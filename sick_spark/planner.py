@@ -1,0 +1,251 @@
+"""Cost-based strategy selection for similarity queries — derive, don't
+ask (the reference derives its bucket count from settings instead of
+making the caller pick one, ``json-sick-scala/.../SICKSettings.scala:3-15``;
+this module applies the same rule to the exact-vs-LSH/IVF-PQ choice).
+
+Five ANN strategies and two all-pairs modes exist in this package; until
+round 4 choosing between them was manual and the crossover math lived in
+prose (``BENCH/BASELINE.md`` "Scale-mode queries"). :func:`choose_pairs`
+and :func:`choose_topk` put that math in code, and
+:func:`cosine_pairs_auto` / :func:`cosine_topk_auto` are the routed
+entrypoints: small corpora take the exact plan (which measured 13× faster
+at fixture scale), large corpora take the bucketed/compressed plan (the
+only materializable one at 10^9+ vectors) — automatically, from the same
+derivation the strategies themselves use (:func:`sick_spark.config
+.derive_rhp`).
+
+Cost model (transparent, order-of-magnitude by design — the decision only
+needs to be right where the alternatives differ by multiples, and near
+the crossover both plans are acceptable):
+
+* common currency = one BLAS dot product of ``dim`` components. Batched
+  matmul dots are the cheap unit; a SHUFFLED ROW costs ~``RHO``× more
+  (serialization + network/disk + hash — the standard two-orders gap
+  between streaming ALU work and exchange work on any Spark cluster).
+* exact all-pairs (:func:`~sick_spark.operators.ann.cosine_pairs_blocked`)
+  replicates n·B rows (B = ⌈n/block⌉ grid blocks) and evaluates n²/2 dots.
+* RHP-LSH all-pairs shuffles n·L·(1+probes) index rows and verifies
+  ~C(n,2)·min(1, L(1+probes)/2^b) candidate dots — the L/2^b ratio IS the
+  prose crossover, now in code.
+* brute-force top-k evaluates |Q|·n dots with zero index; IVF-PQ pays a
+  corpus pass to encode+assign (amortized over the query batch — pass
+  ``index_reused=True`` when the index persists across batches, the
+  production shape) and then scans only nprobe/n_cells of the corpus at
+  m code lookups per row plus a shortlist re-rank.
+
+Recall honesty: the chooser never silently ships a sub-target config. The
+decision carries ``analytic_recall_met``; when the table cap makes the
+derived LSH config sub-target (derive_rhp would raise under strict=True),
+the flag is False and callers whose output is value-compared to an exact
+oracle must not take that route (the routed pair query asserts this).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from sick_spark.config import derive_rhp
+
+#: cost of shuffling one row, in units of one batched dot product. Two
+#: orders of magnitude is the standard gap (Arrow/Tungsten serialization,
+#: exchange write+read, hash) — the decision is insensitive to 2× error
+#: here because the alternatives separate by multiples away from the
+#: crossover.
+RHO = 100.0
+
+#: block-grid row target of cosine_pairs_blocked (operators/ann.py)
+PAIRS_BLOCK = 8192
+
+
+@dataclass(frozen=True)
+class Decision:
+    """A routing decision: which strategy, the derived params to call it
+    with, the cost estimates that produced the choice (recorded so a
+    decision is auditable, like the overflow/hot-shingle reports), and
+    whether the scale path analytically reaches its recall target."""
+
+    strategy: str
+    params: dict = field(default_factory=dict)
+    cost: dict = field(default_factory=dict)
+    analytic_recall_met: bool = True
+
+
+def choose_pairs(
+    n: int,
+    dim: int,
+    threshold: float,
+    target_recall: float = 0.999,
+    n_probes: int = 2,
+    max_tables: int = 64,
+) -> Decision:
+    """Route all-pairs cosine >= threshold: ``exact`` (block-grid matmul)
+    vs ``lsh`` (RHP candidates + exact verify).
+
+    The LSH params come from the SAME derivation the lsh strategy uses
+    (derive_rhp at the threshold cosine), so the routed call is exactly
+    the call a careful human would have written.
+    """
+    if n <= 1:
+        return Decision("exact", {}, {"exact": 0.0, "lsh": 0.0})
+    n_bits, n_tables = derive_rhp(
+        n, threshold, target_recall=target_recall, n_probes=n_probes,
+        max_tables=max_tables,
+    )
+    # did the table cap bite? (re-run the uncapped bound analytically)
+    recall_met = True
+    try:
+        derive_rhp(n, threshold, target_recall=target_recall,
+                   n_probes=n_probes, max_tables=max_tables, strict=True)
+    except ValueError:
+        recall_met = False
+
+    pairs = n * (n - 1) / 2.0
+    keys = 1 + n_probes
+    n_blocks = max(1, -(-n // PAIRS_BLOCK))
+    cost_exact = n * n_blocks * RHO + pairs
+    collide = min(1.0, n_tables * keys / float(2 ** n_bits))
+    cost_lsh = n * n_tables * keys * RHO + pairs * collide
+
+    params = {"n_bits": n_bits, "n_tables": n_tables, "n_probes": n_probes}
+    cost = {"exact": cost_exact, "lsh": cost_lsh}
+    if cost_lsh < cost_exact:
+        return Decision("lsh", params, cost, recall_met)
+    return Decision("exact", {}, cost, recall_met)
+
+
+def choose_topk(
+    n: int,
+    dim: int,
+    k: int,
+    q_count: int,
+    index_reused: bool = False,
+    n_codes: int = 32,
+    shortlist_factor: int = 8,
+) -> Decision:
+    """Route top-k cosine: ``brute`` (broadcast queries × corpus, exact)
+    vs ``ivfpq`` (coarse cell pruning × compressed ADC scan × exact
+    re-rank — the production composition at 10^9+ vectors).
+
+    Derived IVF-PQ shape: ``n_cells = ⌈√n⌉`` (the standard inverted-file
+    heuristic balancing assign cost n·n_cells against scan cost
+    n/n_cells per probe), ``nprobe = ⌈n_cells/8⌉`` (⅛ scan fraction —
+    the oracled fixture config's 4-of-8 is this rule at minimum size),
+    ``m = dim/4`` subspaces (4 dims per code, 8× compression at float64),
+    ``shortlist = shortlist_factor·k`` exact re-ranks per query.
+
+    ``index_reused=True`` drops the encode/assign pass from the marginal
+    cost — the production shape where the (cell, codes) index is written
+    once (see the cell-partitioned storage path in ``operators/ivf.py``)
+    and served to every query batch.
+    """
+    if n <= 1 or q_count <= 0:
+        return Decision("brute", {}, {"brute": 0.0, "ivfpq": 0.0})
+    n_cells = max(8, math.isqrt(n - 1) + 1)
+    nprobe = max(1, -(-n_cells // 8))
+    m = max(1, dim // 4)
+    while dim % m:  # m must divide dim (pq.py contract)
+        m -= 1
+    shortlist = max(k, shortlist_factor * k)
+
+    cost_brute = float(q_count) * n * dim
+    build = 0.0 if index_reused else float(n) * dim * (n_codes + n_cells)
+    scan = float(q_count) * (nprobe / n_cells) * n * m
+    rerank = float(q_count) * shortlist * dim
+    probe_assign = float(q_count) * n_cells * dim
+    cost_ivfpq = build + scan + rerank + probe_assign
+
+    params = {
+        "n_cells": n_cells,
+        "nprobe": nprobe,
+        "n_codes": n_codes,
+        "m": m,
+        "shortlist": shortlist,
+    }
+    cost = {"brute": cost_brute, "ivfpq": cost_ivfpq}
+    if cost_ivfpq < cost_brute:
+        return Decision("ivfpq", params, cost)
+    return Decision("brute", {}, cost)
+
+
+def cosine_pairs_auto(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n: int | None = None,
+    target_recall: float = 0.999,
+    n_probes: int = 2,
+) -> tuple[DataFrame, Decision]:
+    """All pairs with cosine >= threshold, strategy chosen by cost.
+
+    ``n`` defaults to ``df.count()`` (one cheap metadata-backed job on a
+    parquet source). Returns ``(pairs, decision)`` — the decision rides
+    along so pipelines can record WHY a plan was chosen, the same
+    visibility contract as the overflow reports. Output columns
+    ``(id_a, id_b)`` are identical across routes; when the lsh route is
+    chosen sub-target (analytic_recall_met=False) this raises instead of
+    silently shipping a lossier answer — the caller must opt into that
+    trade explicitly via cosine_pairs_lsh.
+    """
+    from sick_spark.operators.ann import cosine_pairs_blocked, cosine_pairs_lsh
+
+    if n is None:
+        n = df.count()
+    d = choose_pairs(n, dim, threshold, target_recall=target_recall, n_probes=n_probes)
+    if d.strategy == "lsh":
+        if not d.analytic_recall_met:
+            raise ValueError(
+                f"choose_pairs routed n={n} to LSH but the derived config "
+                f"({d.params}) is analytically sub-target at recall "
+                f"{target_recall}; call cosine_pairs_lsh directly to accept "
+                "the lower recall, or lower target_recall"
+            )
+        out = cosine_pairs_lsh(
+            df, threshold, n_bits=d.params["n_bits"], dim=dim,
+            n_tables=d.params["n_tables"], n_probes=d.params["n_probes"],
+            id_col=id_col, vec=vec,
+        ).select("id_a", "id_b")
+    else:
+        out = cosine_pairs_blocked(df, threshold, id_col=id_col, vec=vec)
+    return out, d
+
+
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n: int | None = None,
+    q_count: int | None = None,
+    index_reused: bool = False,
+) -> tuple[DataFrame, Decision]:
+    """Top-k cosine neighbors, strategy chosen by cost. Returns
+    ``(topk, decision)``; output columns ``(query_id, neighbor_id, rank)``
+    are identical across routes (brute's exact ``cos`` column is dropped
+    so the routed schema is stable)."""
+    from sick_spark.operators.ann import cosine_topk_bruteforce
+    from sick_spark.operators.pq import ivfpq_topk
+
+    if n is None:
+        n = corpus.count()
+    if q_count is None:
+        q_count = queries.count()
+    d = choose_topk(n, dim, k, q_count, index_reused=index_reused)
+    if d.strategy == "ivfpq":
+        out = ivfpq_topk(
+            corpus, queries, k,
+            n_cells=d.params["n_cells"], nprobe=d.params["nprobe"],
+            n_codes=d.params["n_codes"], m=d.params["m"],
+            shortlist=d.params["shortlist"], id_col=id_col, vec=vec,
+        )
+    else:
+        out = cosine_topk_bruteforce(
+            queries, corpus, k, q_id=id_col, c_id=id_col, q_vec=vec, c_vec=vec
+        ).select("query_id", "neighbor_id", "rank")
+    return out.select("query_id", "neighbor_id", "rank"), d

@@ -1,0 +1,114 @@
+"""Cost-based similarity routing (sick_spark/planner.py): small corpora
+must route to the exact plans, large corpora to the bucketed/compressed
+plans, sub-target LSH configs must never ship silently, and routing must
+never change the answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.planner import (
+    choose_pairs,
+    choose_topk,
+    cosine_pairs_auto,
+    cosine_topk_auto,
+)
+
+
+# ---------------------------------------------------------------- choosers
+
+def test_pairs_small_n_routes_exact(sf_dir):
+    # the fixture regime: n=2000 at the near-dup threshold derives
+    # 5 bits x 26 tables -> L(1+probes)/2^b = 2.4 > 1, i.e. LSH does
+    # all-pairs verify work PLUS the multi-table index shuffle (measured
+    # 13x slower at sf0.1) — exact must win
+    d = choose_pairs(2_000, 64, 0.45)
+    assert d.strategy == "exact"
+    assert d.cost["exact"] < d.cost["lsh"]
+
+
+def test_pairs_large_n_routes_lsh_with_recall_met(sf_dir):
+    # 200k vectors at a 0.92 floor: derived 12 bits / ~24 tables reach the
+    # 0.999 target under the cap, and the candidate ratio collapses to
+    # ~0.02 of all-pairs — LSH must win, with the recall flag TRUE
+    d = choose_pairs(200_000, 64, 0.92)
+    assert d.strategy == "lsh"
+    assert d.analytic_recall_met
+    assert d.params["n_bits"] >= 10 and d.params["n_tables"] >= 2
+    assert d.cost["lsh"] < d.cost["exact"]
+
+
+def test_pairs_billion_n_flags_subtarget_recall():
+    # at 10^9 vectors and a LOW cosine floor, near-exhaustive recall is
+    # analytically unreachable within the table cap: the chooser still
+    # routes lsh on cost but must carry analytic_recall_met=False — the
+    # honest version of the trade, never a silent sub-target config
+    d = choose_pairs(1_000_000_000, 64, 0.45)
+    assert d.strategy == "lsh"
+    assert not d.analytic_recall_met
+
+
+def test_topk_small_n_one_shot_index_routes_brute():
+    # fixture regime: the one-shot encode+assign pass alone exceeds the
+    # entire brute scan (n=2000, |Q|=20) — matches the measured 1.0 s
+    # brute vs 1.7 s ivfpq at sf0.1
+    d = choose_topk(2_000, 64, 3, 20)
+    assert d.strategy == "brute"
+
+
+def test_topk_large_n_routes_ivfpq():
+    d = choose_topk(100_000_000, 64, 10, 10_000, index_reused=True)
+    assert d.strategy == "ivfpq"
+    assert d.params["n_cells"] >= 1000 and d.params["m"] == 16
+    # one-shot: the build's n·√n·dim assign pass ties brute exactly at
+    # |Q| = n_cells = √n, so the one-shot crossover sits at |Q| > √n —
+    # below it brute genuinely is the cheaper single-batch answer
+    assert choose_topk(100_000_000, 64, 10, 10_000).strategy == "brute"
+    assert choose_topk(100_000_000, 64, 10, 100_000).strategy == "ivfpq"
+
+
+def test_topk_reused_index_lowers_crossover():
+    # somewhere between the two regimes the persisted index flips the
+    # decision — the production argument for the at-rest (cell, codes)
+    # layout in operators/ivf.py / pq.py
+    n, q = 50_000, 50
+    assert choose_topk(n, 64, 3, q).strategy == "brute"
+    assert choose_topk(n, 64, 3, q, index_reused=True).strategy == "ivfpq"
+
+
+# ----------------------------------------------------- routed entrypoints
+
+def test_auto_pairs_matches_exact_on_fixture(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out, d = cosine_pairs_auto(e, 0.45, dim=64)
+    assert d.strategy == "exact"
+    from sick_spark.operators.ann import cosine_pairs_blocked
+
+    want = {(r.id_a, r.id_b) for r in cosine_pairs_blocked(e, 0.45).collect()}
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_auto_pairs_refuses_silent_subtarget_lsh(spark):
+    # force the chooser into the lsh-but-sub-target regime by DECLARING a
+    # huge n; the route must raise before any job runs, pointing the
+    # caller at the explicit lower-recall API
+    df = spark.createDataFrame([(1, [1.0] * 64)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="sub-target"):
+        cosine_pairs_auto(df, 0.45, dim=64, n=1_000_000_000)
+
+
+def test_auto_topk_matches_bruteforce_on_fixture(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10)
+    out, d = cosine_topk_auto(e, q, k=3, dim=64)
+    assert d.strategy == "brute"
+    from sick_spark.operators.ann import cosine_topk_bruteforce
+
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_bruteforce(q, e, k=3).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
+    assert got == want and len(got) == 30
