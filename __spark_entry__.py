@@ -1174,6 +1174,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rnk")
     q["ann_topk_ivf"] = ann_topk_ivf
 
+    # --- IVF over the AT-REST index: the corpus written (id, vec)
+    #     PARTITIONED BY (cell) and read back with the probe set pushed
+    #     into the scan as PartitionFilters — only nprobe/n_cells of the
+    #     directories are read (plan-locked in tests/test_ivf.py). Same
+    #     config as ann_topk_ivf, same value oracle: storage layout is a
+    #     plan decision, never a semantics one. The index is (re)written
+    #     to a sf-keyed tmp path on every call — cheap at fixture scale,
+    #     and staleness-proof.
+    def ann_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+
+        from sick_spark.operators.ivf import build_cell_index, ivf_topk_stored
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = f"/tmp/sick_ivf_index_{_os.path.basename(_os.path.normpath(sf_dir))}"
+        cents = build_cell_index(e, n_cells=8, path=path)
+        out = ivf_topk_stored(
+            spark, path, cents, e.where(F.col("vec_id") < 20), k=3, nprobe=4
+        )
+        return out.select(
+            "query_id", "neighbor_id", F.col("rank").alias("rnk")
+        ).orderBy("query_id", "rnk")
+    q["ann_topk_ivf_stored"] = ann_topk_ivf_stored
+
     # --- PQ ANN, two-stage: 64-dim float vectors compressed to 16 codes
     #     of 32 values, ADC scan over CODES emits a top-64 shortlist per
     #     query (per-batch partial top-k), then exactly those raw vectors
@@ -2491,4 +2515,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
         ) t WHERE rnk <= 3 ORDER BY query_id, rnk
     """
+    # the stored (cell-partitioned) index must return the in-memory IVF
+    # answer — storage layout is a plan decision, never a semantics one
+    o["ann_topk_ivf_stored"] = o["ann_topk_ivf"]
     return o

@@ -501,6 +501,7 @@ def main() -> None:
         "ann_topk_lsh",
         "ann_topk_pq",
         "ann_topk_ivfpq",
+        "ann_topk_ivf_stored",
     ):
         scale_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     # informational: the corpus-curation operators added round 3 — same

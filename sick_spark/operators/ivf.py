@@ -11,8 +11,10 @@ the bucket — ``EBACodecs.scala:517-604``) with "hash" generalized to
 Scale shape (the reason IVF beats brute force at 10^9+ vectors):
 
 * the index is ONE extra int column (``cell``) on the corpus — at rest the
-  corpus is stored partitioned/bucketed by ``cell``, so a query's candidate
-  scan is a partition-pruned read, not a shuffle;
+  corpus is stored partitioned/bucketed by ``cell``
+  (:func:`build_cell_index` writes it, :func:`ivf_topk_stored` reads it
+  with the probe set pushed down as a PartitionFilter), so a query's
+  candidate scan is a partition-pruned read, not a shuffle;
 * query fan-out is nprobe/n_cells of the corpus per query — candidate
   generation is an equi-join on ``cell`` (broadcast the queries), never a
   cross join;
@@ -129,6 +131,86 @@ def lloyd_refine(
             nxt[r["cell"], r["pos"]] = r["m"]
         cents = nxt
     return cents
+
+
+def build_cell_index(
+    corpus: DataFrame,
+    n_cells: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Write the IVF index AT REST: ``(id, vec) PARTITIONED BY (cell)``
+    parquet — the storage layout the module doc promises, where a query's
+    candidate scan is a partition-PRUNED read instead of a full-corpus
+    scan + filter. Returns the centroids; persist them beside the index
+    (they are n_cells × dim floats — the index is unreadable without the
+    exact centroids that assigned it, same contract as the LSH config
+    stamps). One pass over the corpus, no shuffle except the writer's
+    partitioning."""
+    cents = seed_centroids(corpus, n_cells, id_col, vec)
+    (
+        ivf_assign(corpus.select(id_col, vec), cents, vec)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank<=k) over a STORED cell-partitioned
+    index (:func:`build_cell_index`) — semantically identical to
+    :func:`ivf_topk` at the same (centroids, nprobe), but the probe set is
+    pushed into the parquet scan as a PARTITION FILTER: only the probed
+    nprobe/n_cells directories are ever read (plan-locked in
+    tests/test_ivf.py). This is the read path a 10^9-vector serving
+    deployment runs per query batch; the probe-cell list is |Q| × nprobe
+    ints — driver-side by construction, like the broadcast-queries shape
+    everywhere else in the ANN paths."""
+    qrows = queries.select(id_col, vec).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    q_ids = [r[0] for r in qrows]
+    qn = _normalized(np.array([r[1] for r in qrows], dtype=np.float64))
+    cn = _normalized(centroids)
+    # same math + tie rule as make_cell_udf (stable argsort, smaller cell)
+    order = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    probe_cells = sorted({int(c) for row in order for c in row})
+    probes = spark.createDataFrame(
+        [(int(q), int(c)) for q, row in zip(q_ids, order) for c in row],
+        "query_id long, cell int",
+    )
+    index = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probe_cells))  # -> PartitionFilters
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec).alias("__cv"), "cell")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("__qv"))
+    scored = (
+        F.broadcast(probes)
+        .join(index, "cell")
+        .join(F.broadcast(qv), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 def ivf_topk(

@@ -28,8 +28,11 @@ Scale shape:
   of global top-k), so the shuffle carries n_batches × |Q| × k rows, not
   n × |Q|;
 - composes with IVF: store codes partitioned by ``ivf_assign`` cell and
-  the scan becomes partition-pruned (not wired in the oracled query,
-  which exercises the flat scan).
+  the scan becomes partition-pruned — the at-rest layout is written and
+  plan-verified via ``operators/ivf.py`` (:func:`~sick_spark.operators
+  .ivf.build_cell_index` / :func:`~sick_spark.operators.ivf
+  .ivf_topk_stored`, oracled as ``ann_topk_ivf_stored``); the oracled
+  flat-PQ query exercises the unpartitioned scan.
 
 Determinism / oracle: codebooks are subvectors of the ``n_codes``
 seed vectors with the smallest portable sha60 id hash (exactly
@@ -75,6 +78,73 @@ def _books_from_seeds(raw_seeds: np.ndarray, m: int) -> np.ndarray:
     return np.ascontiguousarray(seeds.reshape(k, m, d).transpose(1, 0, 2))
 
 
+def train_codebooks(
+    corpus: DataFrame,
+    n_codes: int,
+    m: int,
+    iters: int = 8,
+    sample_n: int = 1024,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """TRAINED (m, n_codes, d) codebooks: deterministic per-subspace
+    k-means — FAISS's standard PQ training (Jégou et al. 2011 §III),
+    kept retry/cluster-stable:
+
+    * the training sample is the ``sample_n`` corpus vectors with the
+      smallest portable id hash (:func:`~sick_spark.operators.ivf
+      .seed_centroids`'s rule — a uniform, order-stable sample; its
+      collect is sample_n × dim, driver-safe by construction);
+    * init = the sample's first ``n_codes`` vectors' subvector slices —
+      EXACTLY :func:`seed_codebooks`, so ``iters=0`` degrades to the
+      seeded books and the training is a pure refinement;
+    * a FIXED number of Lloyd iterations per subspace; assignment ties
+      break toward the smaller code (np.argmin first-occurrence); empty
+      codes keep their previous centroid. Same determinism contract as
+      :func:`~sick_spark.operators.ivf.lloyd_refine`.
+
+    Why train: seeded books quantize coarsely (raw ADC@3 ≈ 0.35 on the
+    fixture); trained books shrink quantization error so the exact-rerank
+    ``shortlist`` — the scan/recall dial whose cost is C×|Q| raw-vector
+    fetches — can be several× smaller at equal recall (measured in
+    tests/test_pq.py: recall@3 ≥ 0.9 at shortlist 16 trained vs 64
+    seeded). Float means don't replay cross-engine, so trained books are
+    gated by recall pytests, not the value oracle (the ``lloyd_refine``
+    precedent, operators/ivf.py module doc)."""
+    return _train_books(
+        seed_centroids(corpus, sample_n, id_col, vec), n_codes, m, iters
+    )
+
+
+def _train_books(raw_sample: np.ndarray, n_codes: int, m: int, iters: int) -> np.ndarray:
+    """numpy half of :func:`train_codebooks` — split out so callers that
+    already hold a hash-ordered seed sample (ivfpq_topk's shared seed
+    scan) can train without a second corpus scan."""
+    sample = _normalized(raw_sample)
+    k, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k < n_codes:
+        raise ValueError(f"sample_n must be >= n_codes ({k} < {n_codes})")
+    d = dim // m
+    sub = np.ascontiguousarray(sample.reshape(k, m, d))
+    books = np.ascontiguousarray(
+        sample[:n_codes].reshape(n_codes, m, d).transpose(1, 0, 2)
+    ).copy()
+    for j in range(m):
+        bj = books[j].copy()          # (n_codes, d)
+        x = sub[:, j, :]              # (k, d), fixed hash order
+        for _ in range(iters):
+            diff = x[:, None, :] - bj[None]          # (k, n_codes, d)
+            assign = np.argmin((diff * diff).sum(-1), axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    bj[c] = x[mask].mean(axis=0)
+        books[j] = bj
+    return books
+
+
 def make_encode_udf(books: np.ndarray):
     """pandas UDF: vector → m PQ codes. One batched squared-L2 distance
     per subspace ((batch, k, d) broadcasting), argmin ties to the smaller
@@ -116,6 +186,8 @@ def pq_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
     shortlist: int | None = None,
+    train_iters: int = 0,
+    train_sample: int = 1024,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank<=k) by ADC over PQ codes.
 
@@ -138,14 +210,28 @@ def pq_topk(
     true cosine. C plays IVF's nprobe: a scan/recall dial — C=64 on the
     fixture corpus reaches recall@3 ≈ 0.97 where raw ADC@3 sits near
     0.35 (sample codebooks quantize coarsely; re-rank absorbs that).
-    Without ``shortlist`` the raw ADC ranking is returned."""
+    Without ``shortlist`` the raw ADC ranking is returned.
+
+    ``train_iters > 0`` swaps the seeded codebooks for TRAINED ones
+    (:func:`train_codebooks`, deterministic per-subspace k-means): the
+    same recall at a several-× smaller shortlist, i.e. fewer raw-vector
+    fetches per query — the dial that matters at 10^9 vectors. Trained
+    books don't replay in the cross-engine value oracle (float means),
+    so the oracled query stays seeded and training is gated by recall
+    pytests (tests/test_pq.py)."""
     if shortlist is not None and shortlist < k:
         raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     qrows = queries.select(id_col, vec).collect()
     if not qrows:  # before the seed scan: the empty path costs no jobs
         spark = corpus.sparkSession
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
-    books = seed_codebooks(corpus, n_codes, m, id_col, vec)
+    if train_iters:
+        books = train_codebooks(
+            corpus, n_codes, m, iters=train_iters, sample_n=train_sample,
+            id_col=id_col, vec=vec,
+        )
+    else:
+        books = seed_codebooks(corpus, n_codes, m, id_col, vec)
     codes = pq_encode(corpus, books, id_col, vec)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qn = _normalized(np.array([r[1] for r in qrows], dtype=np.float64))
@@ -208,6 +294,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
     shortlist: int | None = None,
+    train_iters: int = 0,
+    train_sample: int = 1024,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank<=k): the production ANN composition —
     IVF cell pruning × PQ compressed scoring (the FAISS ``IVFPQ`` shape;
@@ -240,11 +328,16 @@ def ivfpq_topk(
     qrows = queries.select(id_col, vec).collect()
     if not qrows:  # before the seed scans: the empty path costs no jobs
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
-    # centroid and codebook seeds share one ordering (smallest portable id
-    # hash), so ONE corpus scan serves both: cents is the seed prefix
-    seeds = seed_centroids(corpus, max(n_cells, n_codes), id_col, vec)
+    # centroid and codebook seeds (and the training sample, when training
+    # is on) share one ordering (smallest portable id hash), so ONE corpus
+    # scan serves all: cents is the seed prefix
+    want = max(n_cells, n_codes, train_sample if train_iters else 0)
+    seeds = seed_centroids(corpus, want, id_col, vec)
     cents = seeds[:n_cells]
-    books = _books_from_seeds(seeds[:n_codes], m)
+    if train_iters:
+        books = _train_books(seeds, n_codes, m, train_iters)
+    else:
+        books = _books_from_seeds(seeds[:n_codes], m)
     indexed = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec)), cents, vec
     ).select(

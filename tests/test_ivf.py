@@ -102,6 +102,53 @@ def test_lloyd_refine_keeps_shape_and_determinism(spark, sf_dir):
     assert not np.array_equal(r1, cents)  # it actually moved
 
 
+def test_stored_index_probe_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The at-rest claim made checkable: the (id, vec) PARTITIONED BY (cell)
+    index must serve a probe scan whose FileScan carries the probe set as
+    PartitionFilters — only nprobe/n_cells of the directories are read."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sick_spark.operators.ivf import build_cell_index, ivf_topk, ivf_topk_stored
+
+    e = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivf_index")
+    cents = build_cell_index(e, n_cells=8, path=path)
+    q = e.where(F.col("vec_id") < 20)
+    out = ivf_topk_stored(spark, path, cents, q, k=3, nprobe=4)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    p = buf.getvalue()
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf, p
+    # the probe filter must actually reach the partition pruner (non-empty,
+    # on the cell column), not degrade to a post-scan Filter node
+    assert any("cell" in ln and "[]" not in ln.replace(" ", "") for ln in pf), p
+
+    # and pruning must not change the answer: stored == in-memory IVF at
+    # the same (centroids, nprobe)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(e, q, k=3, n_cells=8, nprobe=4).collect()
+    )
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in out.collect())
+    assert got == want and len(got) == 60
+
+
+def test_stored_index_empty_queries(spark, sf_dir, tmp_path):
+    from sick_spark.operators.ivf import build_cell_index, ivf_topk_stored
+
+    e = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivf_index_empty")
+    cents = build_cell_index(e, n_cells=4, path=path)
+    out = ivf_topk_stored(spark, path, cents, e.limit(0), k=3, nprobe=2)
+    assert out.count() == 0
+
+
 def test_cell_assign_nonnull_contract(spark):
     # ivf_assign's coalesce(udf(...)[0], lit(-1)) is a nullability
     # ANNOTATION, not a fallback: if the UDF ever returned null/empty,

@@ -82,6 +82,55 @@ def test_recall_floor_with_rerank(spark, emb):
     assert recall >= 0.9, f"PQ+rerank recall@3 {recall:.2f} < 0.9"
 
 
+def test_trained_codebooks_shrink_shortlist(spark):
+    """The scan/recall dial at 10^9 vectors: trained codebooks (per-subspace
+    Lloyd, Jégou 2011 §III) must reach recall@3 >= 0.9 at shortlist C=16 —
+    a 4× smaller exact-rerank fetch than the seeded books' C=64 — and must
+    beat seeded books at the same C (measured on sf0.01: trained 0.92 vs
+    seeded 0.73 at C=16; raw ADC@3 0.52 vs 0.37)."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 20)
+    ex = {(r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(q, e, 3).collect()}
+
+    def rec(**kw):
+        got = {(r.query_id, r.neighbor_id)
+               for r in pq_topk(e, q, 3, n_codes=32, m=16, **kw).collect()}
+        return len(got & ex) / len(ex)
+
+    trained_c16 = rec(shortlist=16, train_iters=8)
+    assert trained_c16 >= 0.9, f"trained recall@3 at C=16 {trained_c16:.2f} < 0.9"
+    assert trained_c16 > rec(shortlist=16), "training must beat seeding at equal C"
+    assert rec(train_iters=8) > rec(), "raw ADC must improve too"
+
+
+def test_train_codebooks_deterministic_and_seed_degenerate(spark, emb):
+    from sick_spark.operators.pq import train_codebooks
+
+    b1 = train_codebooks(emb, n_codes=16, m=8, iters=4)
+    b2 = train_codebooks(emb, n_codes=16, m=8, iters=4)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    # iters=0 degrades to the seeded books exactly (training is a pure
+    # refinement of the same deterministic init)
+    b0 = train_codebooks(emb, n_codes=16, m=8, iters=0)
+    np.testing.assert_array_equal(b0, seed_codebooks(emb, n_codes=16, m=8))
+    assert not np.array_equal(b1, b0)  # 4 iterations actually moved them
+
+
+def test_ivfpq_trained_full_probe_equals_flat_trained(spark, emb):
+    # the trained path must stay consistent across the two ADC engines
+    # (mapInPandas LUT scan vs Catalyst zip_with/aggregate) exactly like
+    # the seeded path below
+    from sick_spark.operators.pq import ivfpq_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ivfpq_topk(emb, q, 5, n_cells=8, nprobe=8,
+                                     n_codes=32, m=16, train_iters=4).collect()))
+    b = sorted(map(tuple, pq_topk(emb, q, 5, n_codes=32, m=16,
+                                  train_iters=4).collect()))
+    assert a == b
+
+
 def test_ivfpq_full_probe_equals_flat_pq(spark, emb):
     # nprobe == n_cells disables pruning: the Catalyst zip_with/aggregate
     # ADC must reproduce the mapInPandas LUT scan ranking exactly
