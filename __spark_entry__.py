@@ -944,9 +944,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("cid"),
             "lang",
             "chunk_text",
+            "n_tokens",
         )
+        # inject chunking's own n_tokens instead of re-counting the chunk
+        # text: one token rule through the composition (and the injectable-
+        # counter path exercised under a value oracle)
         out = pack_documents(
-            withid, budget=256, group_col="lang", id_col="cid", text_col="chunk_text"
+            withid, budget=256, group_col="lang", id_col="cid",
+            text_col="chunk_text", n_tokens_col="n_tokens",
         )
         return out.select(
             "grp", F.col("doc_id").alias("cid"), "n_tokens", "bin"

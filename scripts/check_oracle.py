@@ -3,6 +3,11 @@ on Spark and its oracle_sql()[name] on DuckDB at sf0.01; compare row count,
 column names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [name_filter]
+
+name_filter: substring match, OR a comma-separated list of EXACT query
+names (the sf0.1 ladder invocation — see tests/test_oracle_sf01.py, which
+runs the sub-second queries at sf0.1 in CI so size-dependent divergence
+(tie boundaries, overflow paths) can't hide behind the sf0.01-only gate).
 """
 
 from __future__ import annotations
@@ -52,9 +57,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    exact_names = set(name_filter.split(",")) if name_filter and "," in name_filter else None
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if exact_names is not None:
+            if name not in exact_names:
+                continue
+        elif name_filter and name_filter not in name:
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()

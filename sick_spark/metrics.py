@@ -31,6 +31,12 @@ class StageMetric:
 class MetricsCollector:
     run_id: str = "run"
     stages: list[StageMetric] = field(default_factory=list)
+    #: scalar diagnostics that are numbers, not row sets (e.g. the salting
+    #: recall bound) — keyed by name, shipped in to_json next to stages
+    notes: dict = field(default_factory=dict)
+
+    def note(self, name: str, **scalars) -> None:
+        self.notes[name] = scalars
 
     def record(self, stage: str, df: DataFrame, wall_sec: float | None = None) -> StageMetric:
         t0 = time.time()
@@ -64,7 +70,12 @@ class MetricsCollector:
 
     def to_json(self) -> str:
         return json.dumps(
-            {"run_id": self.run_id, "stages": [vars(s) for s in self.stages]}, indent=2
+            {
+                "run_id": self.run_id,
+                "stages": [vars(s) for s in self.stages],
+                "notes": self.notes,
+            },
+            indent=2,
         )
 
     def dump(self, path: str) -> None:

@@ -41,23 +41,31 @@ def chunk_documents(
     text_col: str = "text",
     doc_id: str = "doc_id",
     out: str = "chunk_text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, chunk_id, n_tokens, <out>): overlapping token windows.
 
     ``stride`` must be in (0, window] — stride > window would skip
-    tokens silently, the one thing a chunker must never do."""
+    tokens silently, the one thing a chunker must never do.
+
+    ``tokens_col`` INJECTS a pre-tokenized ``array<string>`` column (a
+    subword/BPE tokenization computed upstream) in place of the default
+    whitespace split, so window/stride budgets compose with any tokenizer
+    without this engine shipping one; chunk text is the window's tokens
+    rejoined with single spaces either way. Whitespace stays the default,
+    oracled mode."""
     if not (0 < stride <= window):
         raise ValueError(f"stride must be in (0, window]; got stride={stride}")
     # split produces empty-string tokens at whitespace edges (trim() only
     # strips SPACES, so a leading tab — or a fully-blank doc — would leak
     # phantom '' tokens into packing budgets); filter them out so a blank
     # doc tokenizes to an EMPTY array: one chunk, n_tokens=0, empty text.
-    base = docs.select(
-        F.col(doc_id),
-        F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
-        ).alias("__toks"),
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
     )
+    base = docs.select(F.col(doc_id), toks.alias("__toks"))
     n = F.size(F.col("__toks"))
     last = F.when(n <= window, F.lit(0)).otherwise(
         F.expr(f"(size(__toks) - {window} + {stride - 1}) div {stride}").cast("int")

@@ -394,20 +394,104 @@ def neardup_matches(
     )
 
 
+def _with_salt_loss(stats: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """bucket_stats + the ONE salt-loss formula: ``nsalt`` (dynamic salt
+    count) and ``pairs_forgone_est`` = pairs_full · (1 − 1/nsalt) for hot
+    buckets, 0 otherwise. Shared by :func:`overflow_report` and
+    :func:`salting_loss_by_band` so the report and the recall bound can
+    never drift apart."""
+    return stats.withColumn(
+        "nsalt", F.ceil(F.col("members") / cfg.max_bucket).cast("int")
+    ).withColumn(
+        "pairs_forgone_est",
+        F.when(
+            F.col("is_hot"),
+            (F.col("pairs_full") * (1 - 1.0 / F.col("nsalt"))).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def salting_loss_by_band(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(band, pairs_total, pairs_forgone_est, loss_frac, loss_worst):
+    each band's salting loss, two ways —
+
+    * ``loss_frac``: pair-MASS-weighted (forgone / total pair mass) — the
+      loss of a collision-mass-weighted random pair, the expectation knob;
+    * ``loss_worst``: the band's single worst hot bucket (1 − 1/nsalt) —
+      what a pair loses if EVERY collision lands in the hottest bucket,
+      the adversarial-clique knob.
+
+    Input to :func:`salting_missed_pair_prob`. One aggregation over
+    bucket_stats; non-hot buckets lose nothing by construction."""
+    return (
+        _with_salt_loss(bucket_stats(bands, cfg), cfg)
+        .groupBy("band")
+        .agg(
+            F.sum("pairs_full").alias("pairs_total"),
+            F.sum("pairs_forgone_est").alias("pairs_forgone_est"),
+            F.max(
+                F.when(F.col("is_hot"), 1 - 1.0 / F.col("nsalt")).otherwise(F.lit(0.0))
+            ).alias("loss_worst"),
+        )
+        .withColumn(
+            "loss_frac",
+            F.when(
+                F.col("pairs_total") > 0,
+                F.col("pairs_forgone_est") / F.col("pairs_total"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def salting_missed_pair_prob(
+    loss_by_band: DataFrame, cfg: DedupConfig, similarity: float,
+    worst: bool = False,
+) -> float:
+    """Corpus-level P(a true pair at Jaccard ≥ ``similarity`` is MISSED by
+    candidate generation) under dynamic salting — the LSH S-curve with
+    each band's collision probability discounted by that band's salt
+    loss:
+
+        P(missed) = Π_b (1 − s^r · (1 − loss_b))
+
+    vs the salt-free ``(1 − s^r)^bands = 1 − cfg.expected_recall(s)``.
+
+    ``worst=False`` uses the pair-mass-weighted ``loss_frac`` — the
+    EXPECTED missed probability of a collision-mass-weighted random pair
+    (a planted clique that always lands in the hottest buckets can exceed
+    it). ``worst=True`` uses each band's worst hot bucket — per-band
+    survival is at least s^r·(1 − loss_worst_b) whichever bucket a pair
+    hits, and the per-band salt draws are decorrelated (hash of
+    (cid, bh) — the independence the skew test pins), so this is the
+    upper bound IN EXPECTATION under the random-hashing model. A fixed
+    seed realizes around it, and clique pairs share salt draws (one doc's
+    draw decides all its pairs in that bucket), so instance variance
+    exceeds binomial: the skew-adversarial test asserts the planted
+    clique's observed missed fraction within a 2× envelope of the
+    worst-case bound (measured 1.46×; the correlated-salt-draw regression
+    class this catches measures >10×).
+
+    Recorded into pipeline metrics next to the hot-bucket report so
+    salting's recall cost is a NUMBER, not just a bucket list (SURVEY.md
+    §4.4: no silent caps). Collects one row per band (≤ cfg.bands —
+    driver-safe by construction)."""
+    col = "loss_worst" if worst else "loss_frac"
+    by = {r["band"]: float(r[col]) for r in loss_by_band.collect()}
+    p_band = similarity ** cfg.rows
+    missed = 1.0
+    for b in range(cfg.bands):
+        missed *= 1.0 - p_band * (1.0 - by.get(b, 0.0))
+    return missed
+
+
 def overflow_report(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Pairs forgone to salting: hot buckets lose ~(1 - 1/s) of their
     intra-bucket pairs in THIS band (they may still be caught by other
-    bands), with s = ⌈members/max_bucket⌉ the dynamic salt count.
+    bands), with s = ⌈members/max_bucket⌉ the dynamic salt count
+    (:func:`_with_salt_loss`, shared with the corpus-level recall bound).
     Reported, never silent (SURVEY.md §4.4)."""
     return (
-        bucket_stats(bands, cfg)
+        _with_salt_loss(bucket_stats(bands, cfg), cfg)
         .where(F.col("is_hot"))
-        .withColumn("nsalt", F.ceil(F.col("members") / cfg.max_bucket).cast("int"))
-        .select(
-            "band",
-            "bh",
-            "members",
-            "pairs_full",
-            (F.col("pairs_full") * (1 - 1.0 / F.col("nsalt"))).cast("long").alias("pairs_forgone_est"),
-        )
+        .select("band", "bh", "members", "pairs_full", "pairs_forgone_est")
     )

@@ -39,11 +39,27 @@ PACK_SCHEMA = StructType(
 )
 
 
-def _tokenized(df: DataFrame, group_col: str, id_col: str, text_col: str) -> DataFrame:
+def _tokenized(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """(grp, doc_id, n_tokens) projection. ``n_tokens_col`` INJECTS a
+    caller-supplied token counter (a subword/BPE count column computed
+    upstream, or chunking's own ``n_tokens``) in place of the default
+    whitespace count — packing budgets stay composable with any
+    tokenizer without this engine shipping one."""
+    n = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
     return df.select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+        n.alias("n_tokens"),
     )
 
 
@@ -53,9 +69,14 @@ def pack_documents(
     group_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
-    """(grp, doc_id, n_tokens, bin): next-fit token packing per group."""
-    toks = _tokenized(df, group_col, id_col, text_col)
+    """(grp, doc_id, n_tokens, bin): next-fit token packing per group.
+
+    ``n_tokens_col`` swaps the whitespace counter for a caller-supplied
+    count column (subword budgets; see :func:`_tokenized`) — whitespace
+    stays the default, oracled mode."""
+    toks = _tokenized(df, group_col, id_col, text_col, n_tokens_col)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -78,6 +99,7 @@ def pack_documents_ffd(
     group_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """First-fit-decreasing variant: same (grp, doc_id, n_tokens) universe
     as :func:`pack_documents`, tighter fill (FFD uses at most 11/9·OPT+1
@@ -94,7 +116,7 @@ def pack_documents_ffd(
     contract as the module doc); swap in the classic segment-tree scan if
     shards ever exceed ~10^5 docs.
     """
-    toks = _tokenized(df, group_col, id_col, text_col)
+    toks = _tokenized(df, group_col, id_col, text_col, n_tokens_col)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -128,13 +150,17 @@ def pack_with_report(
     text_col: str = "text",
     strategy: str = "nextfit",
     metrics=None,
+    n_tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Pack + fill accounting in one call; records the report into a
     :class:`~sick_spark.metrics.MetricsCollector` when given (stage name
     ``pack_fill_<strategy>``) so packing efficiency shows up next to the
     skew/overflow metrics."""
     packer = {"nextfit": pack_documents, "ffd": pack_documents_ffd}[strategy]
-    packed = packer(df, budget, group_col, id_col=id_col, text_col=text_col)
+    packed = packer(
+        df, budget, group_col, id_col=id_col, text_col=text_col,
+        n_tokens_col=n_tokens_col,
+    )
     report = bin_fill_report(packed, budget)
     if metrics is not None:
         metrics.record(f"pack_fill_{strategy}", report)

@@ -167,6 +167,32 @@ def run_pipeline(
         rep = overflow_report(bands, cfg).localCheckpoint(eager=False)
         if rep.count():
             metrics.record("hot_buckets", rep)
+            # salting's recall COST as one number: the S-curve with each
+            # band's pair-mass-weighted salt loss, at the verify threshold
+            # (every kept pair sits at or above it). Next to the bucket
+            # list so the degradation is quantified, not just located.
+            from sick_spark.operators.lsh import (
+                salting_loss_by_band,
+                salting_missed_pair_prob,
+            )
+
+            loss = salting_loss_by_band(bands, cfg).localCheckpoint(eager=False)
+            t = cfg.jaccard_threshold
+            metrics.note(
+                "salting_recall_bound",
+                at_similarity=t,
+                expected_missed_pair_prob=round(
+                    salting_missed_pair_prob(loss, cfg, t), 6
+                ),
+                worst_bucket_missed_prob=round(
+                    salting_missed_pair_prob(loss, cfg, t, worst=True), 6
+                ),
+                saltfree_missed_prob=round(1.0 - cfg.expected_recall(t), 6),
+                per_band_loss_frac={
+                    int(r["band"]): round(float(r["loss_frac"]), 6)
+                    for r in loss.collect()
+                },
+            )
 
     # 4. exact-Jaccard verification (JVM array_intersect)
     verified = ckpt(verify_pairs(pairs, sig, cfg.jaccard_threshold), "verified")

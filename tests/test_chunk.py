@@ -69,6 +69,50 @@ def test_blank_doc_yields_zero_token_chunk(spark):
     assert rows[2]["n_tokens"] == 1 and rows[2]["chunk_text"] == "one"
 
 
+def test_pretokenized_column_overrides_whitespace(spark):
+    # a caller-supplied tokenization (here: per-character, standing in for
+    # a subword tokenizer) must drive the windows instead of whitespace
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "one-line doc")], "doc_id long, text string"
+    ).withColumn("bpe", F.split(F.lit("a,b,c,d,e,f,g,h,i,j,k"), ","))
+    rows = sorted(
+        chunk_documents(docs, window=4, stride=4, tokens_col="bpe").collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # 11 chars -> 3 chunks of 4/4/3; whitespace would have given 1 chunk
+    assert [r["n_tokens"] for r in rows] == [4, 4, 3]
+    assert rows[0]["chunk_text"] == "a b c d"
+
+
+def test_injected_pack_counts_override_whitespace(spark):
+    # subword budgets compose: the injected counter (not the 2-word text)
+    # must drive bin boundaries — 100-token docs at budget 128 pack singly
+    from pyspark.sql import functions as F
+
+    from sick_spark.operators.pack import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "g0", "two words", 100) for i in range(4)],
+        "doc_id long, grp string, text string, n_bpe long",
+    )
+    by_ws = pack_documents(docs, budget=128, group_col="grp").collect()
+    assert {r.bin for r in by_ws} == {0}  # 4 x 2 ws-tokens fit one bin
+    by_bpe = pack_documents(
+        docs, budget=128, group_col="grp", n_tokens_col="n_bpe"
+    ).collect()
+    assert sorted(r.bin for r in by_bpe) == [0, 1, 2, 3]
+    assert all(r.n_tokens == 100 for r in by_bpe)
+    # FFD honors the injection too
+    from sick_spark.operators.pack import pack_documents_ffd
+
+    ffd = pack_documents_ffd(
+        docs, budget=128, group_col="grp", n_tokens_col="n_bpe"
+    ).collect()
+    assert sorted(r.bin for r in ffd) == [0, 1, 2, 3]
+
+
 def test_bad_stride_raises(spark):
     with pytest.raises(ValueError):
         chunk_documents(_doc(spark, 5), window=4, stride=5)

@@ -1,0 +1,66 @@
+"""The sf0.1 oracle ladder (round-3 verdict item 7): every query verifies
+against DuckDB at sf0.01 via the driver gate, but size-dependent
+divergence — tie boundaries, overflow paths, integer-division edges —
+would be invisible there. Run the SUB-SECOND queries (the ones cheap
+enough for CI at 10× the rows, per BENCH_r03 timings) value-level at
+sf0.1 too.
+
+Heavier queries (pipeline/CC compositions whose DuckDB recursive-CTE
+oracles are the slow side) stay sf0.01-only by budget, not by doubt —
+the list below is the fast tier of the same contract.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+import __spark_entry__ as entrymod
+from check_oracle import normalize
+
+SF01 = "/root/testdata/sf0.1"
+
+#: sub-second at sf0.1 on local[32] (BENCH_r03 queries/curation groups)
+#: plus their direct kin with equally light oracles
+CHEAP = [
+    "events_hourly",
+    "doc_textstats",
+    "doc_length_quantiles",
+    "doc_shuffle_order",
+    "doc_chunks",
+    "code_normalized_dedup",
+    "decontaminate_benchmark_overlap",
+    "doc_boilerplate_removed",
+    "chunk_pack_e2e",
+    "doc_redaction_stats",
+    "doc_sample_per_source",
+    "token_vocab_by_lang",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.1 testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CHEAP)
+def test_oracle_at_sf01(spark, duck, name):
+    sdf = normalize(entrymod.queries()[name](spark, SF01).toPandas())
+    odf = normalize(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(sdf.columns) == list(odf.columns), (name, sdf.columns, odf.columns)
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert sdf.equals(odf), f"{name}: values diverge at sf0.1"
