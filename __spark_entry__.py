@@ -1193,7 +1193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sick_spark.operators.ivf import build_cell_index, ivf_topk_stored
 
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        path = f"/tmp/sick_ivf_index_{_os.path.basename(_os.path.normpath(sf_dir))}"
+        # pid-keyed path: concurrent sessions (oracle checker + bench, two
+        # CI jobs) must not overwrite each other's index mid-scan
+        path = (
+            f"/tmp/sick_ivf_index_{_os.path.basename(_os.path.normpath(sf_dir))}"
+            f"_{_os.getpid()}"
+        )
         cents = build_cell_index(e, n_cells=8, path=path)
         out = ivf_topk_stored(
             spark, path, cents, e.where(F.col("vec_id") < 20), k=3, nprobe=4
@@ -1548,7 +1553,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_packing_bins"] = r"""
         WITH RECURSIVE
         d AS (SELECT lang AS grp, doc_id,
-                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          tk -> tk <> '')) AS BIGINT) AS n_tokens
               FROM documents),
         ord AS (SELECT grp, doc_id, n_tokens,
                        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
@@ -1605,7 +1611,8 @@ def oracle_sql() -> dict[str, str]:
                      FROM reps d LEFT JOIN comp c ON d.doc_id = c.cid),
         keep AS (SELECT min(doc_id) AS doc_id FROM clusters GROUP BY component),
         kd AS (SELECT k.doc_id, o.lang,
-                      CAST(len(string_split_regex(trim(o.text), '\s+')) AS BIGINT) AS n_tokens
+                      CAST(len(list_filter(string_split_regex(o.text, '\s+'),
+                                           tk -> tk <> '')) AS BIGINT) AS n_tokens
                FROM keep k JOIN ok o USING (doc_id)),
         ord AS (SELECT lang, doc_id, n_tokens,
                        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
@@ -1669,7 +1676,8 @@ def oracle_sql() -> dict[str, str]:
                    + (CASE WHEN pr <= 0.3 THEN 1 ELSE 0 END) * 0.3 >= {_TPQ}),
         reps AS (SELECT content, min(doc_id) AS doc_id FROM ok GROUP BY content),
         kd AS (SELECT r.doc_id, o.lang,
-                      CAST(len(string_split_regex(trim(r.content), '\s+')) AS BIGINT) AS n_tokens
+                      CAST(len(list_filter(string_split_regex(r.content, '\s+'),
+                                           tk -> tk <> '')) AS BIGINT) AS n_tokens
                FROM reps r JOIN ok o USING (doc_id)),
         ord AS (SELECT lang, doc_id, n_tokens,
                        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
@@ -1850,7 +1858,9 @@ def oracle_sql() -> dict[str, str]:
         _keep = ", ".join(f"n_{n}s" for n, _, _ in _RED[:_i])
         _keep = (_keep + ", ") if _keep else ""
         # quote-escape: a future pattern containing ' must not corrupt SQL
-        _pat, _rep = _pat.replace("'", "''"), _rep.replace("'", "''")
+        from sick_spark.functions.text import sql_quote as _q
+
+        _pat, _rep = _q(_pat), _q(_rep)
         _red_sql += f""",
         {_cur} AS (SELECT doc_id, {_keep}len(regexp_extract_all(c, '{_pat}')) AS n_{_nm}s,
                           regexp_replace(c, '{_pat}', '{_rep}', 'g') AS c FROM {_prev})"""

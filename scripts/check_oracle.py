@@ -57,8 +57,18 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    exact_names = set(name_filter.split(",")) if name_filter and "," in name_filter else None
+    # filter semantics: an exact query name (or a comma list of them)
+    # selects exactly those; anything else is a substring match. A listed
+    # name that doesn't exist FAILS the run — a typo'd ladder invocation
+    # must never exit green having verified nothing.
+    exact_names = None
+    if name_filter and ("," in name_filter or name_filter in qs):
+        exact_names = set(name_filter.split(","))
     n_pass = n_fail = n_rowsonly = 0
+    if exact_names is not None:
+        for missing in sorted(exact_names - set(qs)):
+            print(f"FAIL  {missing}: no such query")
+            n_fail += 1
     for name, fn in qs.items():
         if exact_names is not None:
             if name not in exact_names:

@@ -71,8 +71,9 @@ def normalized_key(col: str | Column, hash_comments: bool = True) -> Column:
 def normalization_sql(col: str, hash_comments: bool = True) -> str:
     """DuckDB-dialect expression computing the identical canonical text
     (single source of truth: built from NORMALIZATIONS)."""
+    from sick_spark.functions.text import sql_quote
+
     expr = col
     for _, pat, rep in _rules(hash_comments):
-        q = lambda s: s.replace("'", "''")  # noqa: E731
-        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+        expr = f"regexp_replace({expr}, '{sql_quote(pat)}', '{sql_quote(rep)}', 'g')"
     return f"trim({expr})"

@@ -37,7 +37,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 REDACTIONS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("prefixed_key", r"\b(?:gh[pousr]_|github_pat_|sk-|AKIA)[A-Za-z0-9_]{16,}", "<KEY>"),
+    # tail class includes '-' because real key BODIES carry dashes
+    # (sk-proj-..., sk-ant-api03-...); the cost is a rare false positive
+    # on a 16+-char hyphen chain right after a prefix — over-redacting one
+    # odd compound word is the cheap side of the trade vs shipping a live
+    # credential
+    ("prefixed_key", r"\b(?:gh[pousr]_|github_pat_|sk-|AKIA)[A-Za-z0-9_\-]{16,}", "<KEY>"),
     ("key", r"\b[0-9a-fA-F]{32,}\b", "<KEY>"),
 )
 
@@ -68,10 +73,11 @@ def redaction_sql(col: str) -> str:
     (single source of truth: built from REDACTIONS, same order). Patterns
     and replacements are quote-escaped ('' doubling) so a future pattern
     containing a single quote cannot silently corrupt the oracle SQL."""
+    from sick_spark.functions.text import sql_quote
+
     expr = col
     for _, pat, rep in REDACTIONS:
-        q = lambda s: s.replace("'", "''")  # noqa: E731
-        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+        expr = f"regexp_replace({expr}, '{sql_quote(pat)}', '{sql_quote(rep)}', 'g')"
     return expr
 
 

@@ -41,6 +41,14 @@ def tokens_sql(col: str) -> str:
     return f"split(trim({col}), '\\\\s+')"
 
 
+def sql_quote(s: str) -> str:
+    """Escape a string for interpolation into a single-quoted SQL literal
+    ('' doubling) — THE one escaping helper for every generated-oracle
+    builder (redaction_sql, normalization_sql, the entry-side generators),
+    so a future pattern containing ``'`` can never corrupt oracle SQL."""
+    return s.replace("'", "''")
+
+
 def token_shingles(tokens_col: str | Column, k: int) -> Column:
     """Distinct k-gram shingles over a token array. Pure Catalyst:
     ``transform(sequence(...))`` stays in whole-stage codegen; documents

@@ -5,8 +5,9 @@ to sequence packing (``operators/pack.py``, which assembles SHORT
 documents into bins; a document larger than the budget gets a bin of its
 own there, and this operator is what cuts it down first).
 
-Token = whitespace-split word, the same tokenization as ``token_vocab``
-and packing, so budgets compose across the three operators. Chunk text
+Token = whitespace-split word with empty edge tokens dropped — the SAME
+budget rule as ``pack_documents``, so chunk→pack compositions agree at
+the seam (and both accept a caller-injected tokenization). Chunk text
 is the window's tokens rejoined with single spaces (token-level
 chunking is whitespace-normalizing by construction — byte-exact
 reconstruction is the packing stage's concern, not the chunker's).

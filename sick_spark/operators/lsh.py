@@ -473,10 +473,12 @@ def salting_missed_pair_prob(
 
     Recorded into pipeline metrics next to the hot-bucket report so
     salting's recall cost is a NUMBER, not just a bucket list (SURVEY.md
-    §4.4: no silent caps). Collects one row per band (≤ cfg.bands —
-    driver-safe by construction)."""
+    §4.4: no silent caps). ``loss_by_band`` may be the DataFrame or its
+    already-collected rows (≤ cfg.bands either way — driver-safe by
+    construction; callers computing several bounds collect once)."""
+    rows = loss_by_band if isinstance(loss_by_band, list) else loss_by_band.collect()
     col = "loss_worst" if worst else "loss_frac"
-    by = {r["band"]: float(r[col]) for r in loss_by_band.collect()}
+    by = {r["band"]: float(r[col]) for r in rows}
     p_band = similarity ** cfg.rows
     missed = 1.0
     for b in range(cfg.bands):

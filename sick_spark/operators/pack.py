@@ -2,8 +2,13 @@
 (context-window construction for training pipelines).
 
 Next-fit discipline per group: walk the group's documents in a
-deterministic order (ascending id), accumulate whitespace token counts,
-close the current bin when the next document would overflow the budget; a
+deterministic order (ascending id), accumulate token counts — the BUDGET
+token rule shared with ``chunk_documents`` (whitespace split with empty
+edge tokens dropped: blank docs budget 0, a leading tab adds nothing), or
+a caller-injected ``n_tokens_col`` for subword budgets. The display
+statistics (``textstats.token_count``, ``token_vocab``) keep the plain
+trim+split convention their oracles replay; only BUDGETS use the filtered
+rule. Close the current bin when the next document would overflow; a
 document larger than the budget gets a bin of its own. Next-fit (not
 first-fit/best-fit) because it is single-pass, order-deterministic, and
 exactly reproducible by a sequential fold in plain SQL — the property the
@@ -51,10 +56,16 @@ def _tokenized(
     upstream, or chunking's own ``n_tokens``) in place of the default
     whitespace count — packing budgets stay composable with any
     tokenizer without this engine shipping one."""
+    # the BUDGET token rule, shared with chunk_documents: split then drop
+    # empty edge tokens, so blank docs budget 0 (not a phantom 1) and
+    # leading-tab docs don't overcount — chunk and pack must agree or the
+    # "budgets compose" contract breaks at the composition seam
     n = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+        else F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+        ).cast("long")
     )
     return df.select(
         F.col(group_col).cast("string").alias("grp"),

@@ -33,11 +33,20 @@ the crossover both plans are acceptable):
   production shape) and then scans only nprobe/n_cells of the corpus at
   m code lookups per row plus a shortlist re-rank.
 
-Recall honesty: the chooser never silently ships a sub-target config. The
-decision carries ``analytic_recall_met``; when the table cap makes the
-derived LSH config sub-target (derive_rhp would raise under strict=True),
-the flag is False and callers whose output is value-compared to an exact
-oracle must not take that route (the routed pair query asserts this).
+Recall honesty: the decision carries ``analytic_recall_met``.
+
+* PAIRS route: the output is CLAIMED exact (same value oracle as the
+  exact mode), so a cost-chosen LSH route whose derived config is
+  analytically sub-target makes :func:`cosine_pairs_auto` RAISE — the
+  caller must opt into lower recall explicitly via cosine_pairs_lsh.
+* TOP-K route: IVF-PQ is approximate BY DESIGN (cell pruning has no
+  analytic recall bound; its recall is empirical, gated by the pytest
+  recall floors) — an ivfpq decision therefore always carries
+  ``analytic_recall_met=False``, and :func:`cosine_topk_auto` exposes
+  ``exact_only=True`` for callers whose output must match an exact
+  oracle. The fixture-scale oracled query routes to brute by cost; if a
+  cost-model change ever flipped it, the shared exact value oracle fails
+  loudly rather than silently accepting approximate output.
 """
 
 from __future__ import annotations
@@ -166,7 +175,9 @@ def choose_topk(
     }
     cost = {"brute": cost_brute, "ivfpq": cost_ivfpq}
     if cost_ivfpq < cost_brute:
-        return Decision("ivfpq", params, cost)
+        # ivfpq recall is empirical (cell pruning has no analytic bound) —
+        # the flag is honest about that, it never claims a met target
+        return Decision("ivfpq", params, cost, analytic_recall_met=False)
     return Decision("brute", {}, cost)
 
 
@@ -224,11 +235,17 @@ def cosine_topk_auto(
     n: int | None = None,
     q_count: int | None = None,
     index_reused: bool = False,
+    exact_only: bool = False,
 ) -> tuple[DataFrame, Decision]:
     """Top-k cosine neighbors, strategy chosen by cost. Returns
     ``(topk, decision)``; output columns ``(query_id, neighbor_id, rank)``
     are identical across routes (brute's exact ``cos`` column is dropped
-    so the routed schema is stable)."""
+    so the routed schema is stable).
+
+    The ivfpq route is APPROXIMATE (decision.analytic_recall_met=False —
+    cell pruning's recall is empirical, pytest-gated, never an analytic
+    bound). Callers whose output must equal an exact computation pass
+    ``exact_only=True`` to pin the brute route regardless of cost."""
     from sick_spark.operators.ann import cosine_topk_bruteforce
     from sick_spark.operators.pq import ivfpq_topk
 
@@ -236,7 +253,10 @@ def cosine_topk_auto(
         n = corpus.count()
     if q_count is None:
         q_count = queries.count()
-    d = choose_topk(n, dim, k, q_count, index_reused=index_reused)
+    if exact_only:
+        d = Decision("brute", {}, {"forced": 0.0})
+    else:
+        d = choose_topk(n, dim, k, q_count, index_reused=index_reused)
     if d.strategy == "ivfpq":
         out = ivfpq_topk(
             corpus, queries, k,

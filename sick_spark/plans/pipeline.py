@@ -176,21 +176,23 @@ def run_pipeline(
                 salting_missed_pair_prob,
             )
 
-            loss = salting_loss_by_band(bands, cfg).localCheckpoint(eager=False)
+            # ONE action: the <=cfg.bands loss rows feed both bounds and
+            # the per-band dict
+            loss_rows = salting_loss_by_band(bands, cfg).collect()
             t = cfg.jaccard_threshold
             metrics.note(
                 "salting_recall_bound",
                 at_similarity=t,
                 expected_missed_pair_prob=round(
-                    salting_missed_pair_prob(loss, cfg, t), 6
+                    salting_missed_pair_prob(loss_rows, cfg, t), 6
                 ),
                 worst_bucket_missed_prob=round(
-                    salting_missed_pair_prob(loss, cfg, t, worst=True), 6
+                    salting_missed_pair_prob(loss_rows, cfg, t, worst=True), 6
                 ),
                 saltfree_missed_prob=round(1.0 - cfg.expected_recall(t), 6),
                 per_band_loss_frac={
                     int(r["band"]): round(float(r["loss_frac"]), 6)
-                    for r in loss.collect()
+                    for r in loss_rows
                 },
             )
 

@@ -113,6 +113,21 @@ def test_injected_pack_counts_override_whitespace(spark):
     assert sorted(r.bin for r in ffd) == [0, 1, 2, 3]
 
 
+def test_pack_blank_doc_budgets_zero_tokens(spark):
+    # the budget rule is SHARED with the chunker: a blank doc must budget
+    # 0 tokens in packing too (not the phantom 1 of raw trim+split)
+    from sick_spark.operators.pack import pack_documents
+
+    docs = spark.createDataFrame(
+        [(0, "g", ""), (1, "g", " \t "), (2, "g", "one two")],
+        "doc_id long, grp string, text string",
+    )
+    rows = {r.doc_id: r for r in pack_documents(docs, 128, "grp").collect()}
+    assert rows[0].n_tokens == 0 and rows[1].n_tokens == 0
+    assert rows[2].n_tokens == 2
+    assert {r.bin for r in rows.values()} == {0}
+
+
 def test_bad_stride_raises(spark):
     with pytest.raises(ValueError):
         chunk_documents(_doc(spark, 5), window=4, stride=5)

@@ -60,6 +60,9 @@ def test_topk_small_n_one_shot_index_routes_brute():
 def test_topk_large_n_routes_ivfpq():
     d = choose_topk(100_000_000, 64, 10, 10_000, index_reused=True)
     assert d.strategy == "ivfpq"
+    # ivfpq is approximate by design: the decision must never claim an
+    # analytic recall target was met (its recall is pytest-gated, empirical)
+    assert not d.analytic_recall_met
     assert d.params["n_cells"] >= 1000 and d.params["m"] == 16
     # one-shot: the build's n·√n·dim assign pass ties brute exactly at
     # |Q| = n_cells = √n, so the one-shot crossover sits at |Q| > √n —
@@ -75,6 +78,18 @@ def test_topk_reused_index_lowers_crossover():
     n, q = 50_000, 50
     assert choose_topk(n, 64, 3, q).strategy == "brute"
     assert choose_topk(n, 64, 3, q, index_reused=True).strategy == "ivfpq"
+
+
+def test_auto_topk_exact_only_pins_brute(spark, sf_dir):
+    # callers whose output must equal an exact computation can refuse the
+    # approximate route regardless of cost
+    from sick_spark.planner import cosine_topk_auto as auto
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    _, d = auto(e, q, k=3, dim=64, n=100_000_000, q_count=100_000,
+                index_reused=True, exact_only=True)
+    assert d.strategy == "brute"
 
 
 # ----------------------------------------------------- routed entrypoints
