@@ -108,6 +108,13 @@ def ivf_assign(
     return df.withColumn(out, F.coalesce(udf(F.col(vec))[0], F.lit(-1)))
 
 
+#: hard cap on driver-collected (cell, pos) mean rows per Lloyd iteration.
+#: 16M rows ~ a few hundred MB of Row objects — far above any sane centroid
+#: table (FAISS-scale 2^18 cells x dim 128 = 33.5M would trip it, and
+#: SHOULD: that refine belongs on sampled data, not the full corpus loop).
+LLOYD_COLLECT_MAX = int(16e6)
+
+
 def lloyd_refine(
     df: DataFrame, centroids: np.ndarray, iters: int, vec: str = "embedding"
 ) -> np.ndarray:
@@ -116,7 +123,23 @@ def lloyd_refine(
     distributed, deterministic (fixed iteration count, float sums are
     per-cell aggregations whose order Spark fixes per partition layout only
     up to reordering — hence NOT used when a cross-engine oracle must match;
-    see module doc). Empty cells keep their previous centroid."""
+    see module doc). Empty cells keep their previous centroid.
+
+    Each iteration collects exactly n_cells x dim means to the driver —
+    bounded by the CONFIG (centroid table size), never by corpus rows.
+    The guard makes that bound load-bearing instead of a comment: a
+    config that would collect more than ``LLOYD_COLLECT_MAX`` rows per
+    iteration (e.g. n_cells=10^6 at dim=1024) fails loudly here rather
+    than OOMing the driver mid-loop."""
+    if centroids.shape[0] * centroids.shape[1] > LLOYD_COLLECT_MAX:
+        raise ValueError(
+            f"lloyd_refine would collect n_cells*dim = "
+            f"{centroids.shape[0]}*{centroids.shape[1]} = "
+            f"{centroids.shape[0] * centroids.shape[1]:,} rows per iteration "
+            f"to the driver (> LLOYD_COLLECT_MAX={LLOYD_COLLECT_MAX:,}); "
+            "refine with a smaller centroid table or raise the bound "
+            "knowingly."
+        )
     cents = centroids
     for _ in range(iters):
         assigned = ivf_assign(df, cents, vec)
