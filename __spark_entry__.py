@@ -814,6 +814,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_length_quantiles"] = doc_length_quantiles
 
+    # --- corpus-level EXACT SUBSTRING dedup (operators/substrdup.py, the
+    #     Lee et al. 2021 ExactSubstr pass relationally): duplicated token
+    #     l-grams (corpus-wide occurrence count ≥ 2, within-doc repeats
+    #     included) merged into maximal per-doc spans; the pairwise LCS
+    #     operators answer two-document sharing, this answers the
+    #     corpus-wide question with no pair enumeration. l=8 so the
+    #     fixture's planted near-dup families produce real spans (sf0.01:
+    #     ~1k duplicated grams across ~47 docs).
+    def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.substrdup import duplicated_spans
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return duplicated_spans(d, l=8, min_count=2).orderBy("doc_id", "span_start")
+    q["substring_dup_spans"] = substring_dup_spans
+
+    # --- per-doc duplication profile over the same spans; zero-dup docs
+    #     appear with zeros (the clean tail is the product)
+    def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.substrdup import substring_dup_stats as _stats
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return _stats(d, l=8, min_count=2).orderBy("doc_id")
+    q["substring_dup_stats"] = substring_dup_stats
+
+    # --- span excision: duplicated spans removed, survivors re-joined with
+    #     single spaces in original order; verified by sha256 of the clean
+    #     text (the content-identity invariant, E1/E10 parity). Single-pass
+    #     as in Lee et al. §4.1 — excision can create new adjacencies,
+    #     documented in the module header.
+    def doc_substrdup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.substrdup import remove_duplicated_spans
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            remove_duplicated_spans(d, l=8, min_count=2)
+            .select(
+                "doc_id",
+                "n_tokens_kept",
+                F.sha2(F.col("clean_text").cast("binary"), 256).alias("clean_sha"),
+            )
+            .orderBy("doc_id")
+        )
+    q["doc_substrdup_removed"] = doc_substrdup_removed
+
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
     #     2 distinct identities per text, normalized shas collapse the
@@ -1992,6 +2036,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, COUNT(*) AS docs,
                CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens_total
         FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    # exact substring dedup: the shared CTE replays tokenize → l-gram sha60
+    # → occurrence count ≥ 2 → interval merge (gaps-and-islands); COALESCE
+    # prev_e to -1 ≡ Spark's isNull branch since s ≥ 1. l=8 throughout
+    # (slice t[i:i+7] is DuckDB 1-based inclusive = 8 tokens).
+    _substr_cte = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(CONCAT('0x', SUBSTR(sha256(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+            WHERE len(t) >= 8
+        ),
+        hot AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+        ivals AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+                  FROM grams g JOIN hot USING (gh)),
+        brk AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1 THEN 1 ELSE 0 END AS b
+            FROM ivals
+        ),
+        isl AS (SELECT doc_id, s, e,
+                       SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+                FROM brk),
+        spans AS (SELECT doc_id, grp, MIN(s) AS span_start, MAX(e) AS span_end
+                  FROM isl GROUP BY doc_id, grp)
+    """
+    o["substring_dup_spans"] = f"""
+        {_substr_cte}
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start + 1 AS span_tokens
+        FROM spans ORDER BY doc_id, span_start
+    """
+    o["substring_dup_stats"] = f"""
+        {_substr_cte},
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+                           SUM(span_end - span_start + 1) AS n_dup_tokens
+                    FROM spans GROUP BY doc_id)
+        SELECT tk.doc_id, len(tk.t) AS n_tokens,
+               COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+               CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+               ROUND(COALESCE(p.n_dup_tokens, 0) / GREATEST(len(tk.t), 1), 9) AS dup_frac
+        FROM toks tk LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
+    """
+    o["doc_substrdup_removed"] = f"""
+        {_substr_cte},
+        posn AS (SELECT doc_id, p, t[p] AS tok
+                 FROM toks, UNNEST(range(1, len(t) + 1)) AS u(p)),
+        kept AS (SELECT posn.* FROM posn WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp WHERE sp.doc_id = posn.doc_id
+                      AND posn.p BETWEEN sp.span_start AND sp.span_end)),
+        agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY p) AS ct
+                FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id, COALESCE(a.n_kept, 0) AS n_tokens_kept,
+               sha256(COALESCE(a.ct, '')) AS clean_sha
+        FROM toks tk LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
     """
     o["json_path_events"] = """
         SELECT event_type, COUNT(*) AS n,

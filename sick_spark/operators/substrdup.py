@@ -1,0 +1,218 @@
+"""Corpus-level exact substring deduplication: find every token span that
+occurs verbatim more than once ANYWHERE in the corpus (across documents or
+repeated inside one), merge overlapping occurrences into maximal per-document
+spans, and optionally rewrite documents with those spans removed.
+
+This is the ExactSubstr pass of Lee et al. 2021 ("Deduplicating Training
+Data Makes Language Models Better") re-expressed relationally: instead of a
+corpus-wide suffix array, a duplicated region is detected as a run of
+duplicated fixed-length token l-grams — a substring of ≥ l tokens occurs
+twice iff every one of its l-grams occurs twice, so the union of duplicated
+l-gram windows is exactly the set of token positions lying inside some
+duplicated substring of length ≥ l. The reference analogue is frequency
+counting over interned identities (E10, ``DeduplicatingRefTableBuilder``
+ref counts): an l-gram's occurrence count IS the ref count of its interned
+identity, and spans are the maximal runs of positions whose identity's ref
+count crosses 2. The pairwise LCS operators (``operators/partialdup.py``)
+answer "how much do THESE TWO documents share"; this pass answers the
+corpus-wide question with no pair enumeration at all.
+
+Semantics (both engines replay them exactly — see the
+``substring_dup_spans`` / ``doc_substrdup_removed`` oracles):
+
+- tokens are whitespace-split (the ONE shared
+  :func:`~sick_spark.functions.text.tokens_sql` rule); positions are
+  1-based token indexes;
+- an l-gram is the space-joined slice of ``l`` consecutive tokens; its
+  identity is the portable :func:`~sick_spark.functions.text.sha60` of that
+  string (``portable=False`` swaps in xxhash64 — faster, JVM-only, for
+  production runs that need no cross-engine oracle);
+- an l-gram is DUPLICATED if its total occurrence count across the corpus
+  (including repeats within one document) is ≥ ``min_count`` (default 2);
+- a document's duplicated spans are the maximal merged intervals
+  ``[pos, pos+l-1]`` over its duplicated l-gram occurrences — overlapping
+  or ADJACENT intervals merge (two abutting duplicated windows are one
+  duplicated region);
+- removal drops every token inside a span and rejoins survivors with a
+  single space in original order. As in Lee et al. §4.1, removal is a
+  single pass: excising spans can create new token adjacencies, so the
+  output is not a fixed point of re-running the pass (documented, not
+  iterated — the residue is < l tokens per excision).
+
+Scale shape (the 100 TB plan):
+
+- the occurrence count explodes l-grams but shuffles only
+  ``(gram_hash)`` 8-byte keys — content never rides the wide exchange,
+  and the count is map-side combinable (a billion-occurrence license
+  banner gram arrives at its reducer as one partial count per map task,
+  not a billion rows);
+- the duplicated set joins back to occurrences on the hashed key — an
+  equi-join AQE can skew-split; interval merging is a window partitioned
+  by ``doc_id`` (bounded by single-document token count, never global);
+- reconstruction joins each document to its OWN span list (collect_list
+  bounded by tokens/l per doc) and filters the token array map-side — the
+  corpus is exchanged at most once and never exploded through a shuffle.
+
+Reference parity anchors: E10 frequency counting
+(``json-sick-scala/src/main/scala/izumi/sick/tables/DeduplicatingRefTableBuilder.scala``
+ref counts); the suffix-automaton LCS twin is ``operators/partialdup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sick_spark.functions.text import SHA60_LAMBDA_SQL, tokens_sql
+
+
+def _grams_sql(toks: str, l: int, portable: bool) -> str:
+    """array<bigint> of l-gram hashes at 0-based window offsets; empty when
+    the document has fewer than ``l`` tokens (NEVER ``sequence(1, 0)``,
+    which Spark evaluates as the DESCENDING ramp [1, 0])."""
+    hash_one = SHA60_LAMBDA_SQL if portable else "s -> xxhash64(s)"
+    return (
+        f"case when size({toks}) >= {l} then "
+        f"transform(transform(sequence(1, size({toks}) - {l} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {l}))), {hash_one}) "
+        f"else cast(array() as array<bigint>) end"
+    )
+
+
+def gram_occurrences(
+    docs: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    l: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """(id, pos, gh): one row per l-gram occurrence, pos = 1-based start."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.expr(_grams_sql(tokens_sql(content), l, portable)).alias("__g"),
+        )
+        .select("id", F.posexplode("__g").alias("idx", "gh"))
+        .select("id", (F.col("idx") + 1).alias("pos"), "gh")
+    )
+
+
+def duplicated_grams(occ: DataFrame, min_count: int = 2) -> DataFrame:
+    """Gram hashes whose corpus-wide occurrence count ≥ min_count.
+
+    Counts total occurrences (within-document repeats included), matching
+    Lee et al.'s suffix-array criterion "appears more than once in the
+    corpus" — a document that pastes its own header twice is duplicated."""
+    return (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("gh")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    l: int = 8,
+    min_count: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens): maximal merged duplicated
+    token spans per document, 1-based inclusive positions."""
+    occ = gram_occurrences(docs, content, id_col, l, portable)
+    hot = duplicated_grams(occ, min_count)
+    ivals = occ.join(hot, "gh").select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + l - 1).alias("e")
+    )
+    # gaps-and-islands: (id, s) is unique (one gram per position), so the
+    # ordering is total and the running max of e is deterministic
+    w = Window.partitionBy("id").orderBy("s")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_e.isNull() | (F.col("s") > prev_e + 1), 1).otherwise(0)
+    islands = ivals.withColumn(
+        "isl", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("id", "isl")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    l: int = 8,
+    min_count: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document duplication profile: (id, n_tokens, n_dup_spans,
+    n_dup_tokens, dup_frac). Zero-dup documents appear with zeros — the
+    clean tail is the product, not an absence."""
+    spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_tokens").alias("n_dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.expr(tokens_sql(content))).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                9,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    l: int = 8,
+    min_count: int = 2,
+    portable: bool = True,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Documents with every duplicated span excised: survivors of the token
+    array re-joined with single spaces, original order. Adds ``out`` and
+    ``n_tokens_kept``; all other columns pass through.
+
+    The span list rides a per-document collect_list (bounded by tokens/l),
+    is equi-joined back, and the excision is a map-side array ``filter`` —
+    the corpus itself never rides a wide exchange."""
+    spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokens_sql(content)
+    kept = (
+        f"filter(transform({toks}, (t, i) -> struct(t as t, i + 1 as p)), "
+        f"x -> __spans is null or not exists(__spans, "
+        f"sp -> x.p >= sp.span_start and x.p <= sp.span_end))"
+    )
+    return (
+        docs.join(span_lists, id_col, "left")
+        .withColumn("__kept", F.expr(kept))
+        .withColumn(out, F.concat_ws(" ", F.expr("transform(__kept, x -> x.t)")))
+        .withColumn("n_tokens_kept", F.size("__kept").cast("long"))
+        .drop("__spans", "__kept")
+    )

@@ -1,0 +1,124 @@
+"""Corpus-level exact substring dedup (operators/substrdup.py): planted
+shared-passage ground truth, within-document repetition, interval merging,
+short/empty-document edges, and removal semantics."""
+
+from __future__ import annotations
+
+from sick_spark.operators.substrdup import (
+    duplicated_spans,
+    remove_duplicated_spans,
+    substring_dup_stats,
+)
+
+# an 8-token passage pasted into several otherwise-unique documents
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _uniq(i: int, n: int = 12) -> str:
+    """n unique filler tokens no other doc shares."""
+    return " ".join(f"u{i}x{j}" for j in range(n))
+
+
+def test_planted_shared_passage_spans(spark):
+    d = _docs(
+        spark,
+        [
+            (1, f"{_uniq(1)} {SHARED} {_uniq(101)}"),
+            (2, f"{SHARED} {_uniq(2)}"),
+            (3, _uniq(3, 20)),
+        ],
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(d, l=8).collect()
+    }
+    # doc 1: passage at tokens 13..20; doc 2: at 1..8; doc 3: clean
+    assert spans == {(1, 13, 20), (2, 1, 8)}
+
+
+def test_within_doc_repetition_is_duplicated(spark):
+    # one doc repeating its own 8-gram is duplicated even with no twin doc
+    d = _docs(spark, [(1, f"{SHARED} {_uniq(1)} {SHARED}"), (2, _uniq(2, 20))])
+    got = {(r.doc_id, r.span_start, r.span_end) for r in duplicated_spans(d, l=8).collect()}
+    assert got == {(1, 1, 8), (1, 21, 28)}
+
+
+def test_adjacent_and_overlapping_windows_merge(spark):
+    # a 10-token shared passage → three overlapping 8-gram windows → ONE span
+    long_shared = SHARED + " iota kappa"
+    d = _docs(
+        spark,
+        [(1, f"{long_shared} {_uniq(1)}"), (2, f"{_uniq(2)} {long_shared}")],
+    )
+    spans = duplicated_spans(d, l=8)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in spans.collect()}
+    assert got == {(1, 1, 10, 10), (2, 13, 22, 10)}
+
+
+def test_short_and_empty_docs_produce_no_grams(spark):
+    d = _docs(spark, [(1, "a b c"), (2, ""), (3, "a b c")])
+    assert duplicated_spans(d, l=8).count() == 0
+    stats = {r.doc_id: r for r in substring_dup_stats(d, l=8).collect()}
+    assert stats[1].n_dup_spans == 0 and stats[1].dup_frac == 0.0
+    assert set(stats) == {1, 2, 3}
+
+
+def test_stats_fraction(spark):
+    d = _docs(
+        spark,
+        [(1, f"{SHARED} {_uniq(1, 8)}"), (2, f"{SHARED} {_uniq(2, 8)}")],
+    )
+    stats = {r.doc_id: r for r in substring_dup_stats(d, l=8).collect()}
+    for i in (1, 2):
+        assert stats[i].n_tokens == 16
+        assert stats[i].n_dup_tokens == 8
+        assert stats[i].dup_frac == 0.5
+
+
+def test_removal_excises_exactly_the_spans(spark):
+    tail1, tail2 = _uniq(1), _uniq(2)
+    d = _docs(spark, [(1, f"{SHARED} {tail1}"), (2, f"{SHARED} {tail2}")])
+    out = {r.doc_id: r for r in remove_duplicated_spans(d, l=8).collect()}
+    assert out[1].clean_text == tail1
+    assert out[2].clean_text == tail2
+    assert out[1].n_tokens_kept == 12
+
+
+def test_removal_keeps_clean_docs_verbatim(spark):
+    txt = _uniq(7, 30)
+    d = _docs(spark, [(1, txt), (2, _uniq(8, 30))])
+    out = remove_duplicated_spans(d, l=8).where("doc_id = 1").collect()[0]
+    assert out.clean_text == txt
+    assert out.n_tokens_kept == 30
+
+
+def test_fully_duplicated_doc_removes_to_empty(spark):
+    d = _docs(spark, [(1, SHARED), (2, SHARED)])
+    out = {r.doc_id: r for r in remove_duplicated_spans(d, l=8).collect()}
+    assert out[1].clean_text == "" and out[1].n_tokens_kept == 0
+    assert out[2].clean_text == "" and out[2].n_tokens_kept == 0
+
+
+def test_min_count_threshold(spark):
+    # with min_count=3 a passage shared by only two docs is NOT duplicated
+    d = _docs(spark, [(1, f"{SHARED} {_uniq(1)}"), (2, f"{SHARED} {_uniq(2)}")])
+    assert duplicated_spans(d, l=8, min_count=3).count() == 0
+    assert duplicated_spans(d, l=8, min_count=2).count() == 2
+
+
+def test_portable_and_xxhash_backends_agree(spark):
+    d = _docs(
+        spark,
+        [
+            (1, f"{_uniq(1)} {SHARED}"),
+            (2, f"{SHARED} {_uniq(2)}"),
+            (3, _uniq(3, 20)),
+        ],
+    )
+    a = {tuple(r) for r in duplicated_spans(d, l=8, portable=True).collect()}
+    b = {tuple(r) for r in duplicated_spans(d, l=8, portable=False).collect()}
+    assert a == b
