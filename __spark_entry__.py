@@ -689,6 +689,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["embedding_clusters"] = embedding_clusters
 
+    # --- SemDeDup (operators/semdedup.py, Abbas et al. 2023): semantic
+    #     prune over the IVF cells — drop any vector with a smaller-id
+    #     same-cell mate at cosine >= 0.30. Threshold margin is safe
+    #     cross-engine: the nearest pair cosine to 0.30 is ~6e-6 away at
+    #     sf0.01 (measured), 9 orders above float64 divergence. Contrast
+    #     with embedding_clusters (CC groups conservatively; this prunes
+    #     aggressively, per-edge).
+    def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.semdedup import semdedup_flags as _flags
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return _flags(e, threshold=0.30, n_clusters=8).orderBy("vec_id")
+    q["semdedup_flags"] = semdedup_flags
+
     # --- brute-force cosine top-k (exact ANN baseline)
     def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2642,4 +2656,28 @@ def oracle_sql() -> dict[str, str]:
     # the stored (cell-partitioned) index must return the in-memory IVF
     # answer — storage layout is a plan decision, never a semantics one
     o["ann_topk_ivf_stored"] = o["ann_topk_ivf"]
+
+    # SemDeDup: same seeded-centroid assignment CTE as the IVF oracle, then
+    # the per-edge smaller-id prune within each cell
+    o["semdedup_flags"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        hashed AS (SELECT vec_id, v,
+                          CAST(CONCAT('0x', SUBSTR(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM e),
+        cent AS (SELECT v AS cv,
+                        ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+                 FROM hashed QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+        assign AS (SELECT vec_id, v, cell FROM (
+                     SELECT e.vec_id, e.v, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS r
+                     FROM e CROSS JOIN cent c) t WHERE r = 1),
+        dup AS (SELECT DISTINCT b.vec_id AS id
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.30)
+        SELECT a.vec_id, a.cell, (d.id IS NOT NULL) AS is_dup
+        FROM assign a LEFT JOIN dup d ON d.id = a.vec_id
+        ORDER BY vec_id
+    """
     return o

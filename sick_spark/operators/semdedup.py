@@ -1,0 +1,145 @@
+"""SemDeDup — semantic deduplication over an embedding column (Abbas et
+al. 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication"): partition the corpus into k centroid cells, compare pairs
+only WITHIN a cell, and drop every vector that has a sufficiently-similar
+cell-mate — near-duplicate *meaning*, not near-duplicate *bytes*, the layer
+of the dedup family the token-level passes (MinHash/SimHash/ExactSubstr)
+cannot reach: a paraphrase shares no shingles but lands on the same
+embedding.
+
+Construction reuses this engine's IVF machinery verbatim — the cells ARE
+the IVF coarse quantizer (deterministic hash-seeded centroids,
+:func:`~sick_spark.operators.ivf.seed_centroids`; batch-matmul assignment,
+:func:`~sick_spark.operators.ivf.ivf_assign`), so the reference anchor is
+the same E11 KHash bounded-bucket idea (``EBACodecs.scala:527-543``): hash
+(here: nearest centroid) into one of k buckets and scan only the bucket.
+
+Semantics (both engines replay them exactly — see the ``semdedup_flags``
+oracle):
+
+- centroids = the ``n_clusters`` corpus vectors with the smallest portable
+  id hash (rank = cell index); assignment = argmax cosine, ties to the
+  smaller cell;
+- a vector is a DUPLICATE iff some SAME-CELL vector with a smaller id has
+  cosine ≥ ``threshold`` — the paper keeps one exemplar per semantic
+  neighborhood chosen at random / by centroid distance; this engine keeps
+  the smallest id, the same deterministic keep-first rule its exact-dedup
+  and cluster-labeling stages use (reproducible across runs AND engines);
+- keeping is per-edge, not per-component: if A~B and B~C but A!~C, both B
+  and C are dropped (each has a smaller similar cell-mate). That matches
+  the paper's epsilon-ball pruning, and differs from the connected-
+  components clustering of ``embedding_clusters`` by design — SemDeDup
+  prunes aggressively, CC groups conservatively.
+
+Scale shape (the 100 TB plan):
+
+- the quadratic surface is bounded per cell (the paper's own device: cell
+  population ≈ n/k, so pair volume ≈ n²/k per the whole corpus split into
+  k independent equi-join groups — k is the knob that keeps any one
+  group's fan-out shuffle-safe, 50k cells at paper scale);
+- the within-cell pair join is a plain equi-join on ``cell`` (AQE
+  skew-splittable); the cosine is the JVM ``zip_with``/``aggregate``
+  expression — no Python in the pair loop;
+- ``cell_size_report`` surfaces the population of every cell ABOVE a
+  bound so a degenerate centroid draw is a visible report, never a silent
+  quadratic blow-up (same reported-never-silent contract as the LSH
+  salting and hot-shingle caps);
+- optional ``trained_iters`` runs the distributed Lloyd refinement
+  (:func:`~sick_spark.operators.ivf.lloyd_refine`) before assignment —
+  better-balanced cells at scale; NOT used in the oracled query because
+  per-cell float-mean accumulation order is not engine-portable (the
+  ``lloyd_refine`` precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sick_spark.functions.vectors import cosine
+from sick_spark.operators.ivf import ivf_assign, lloyd_refine, seed_centroids
+
+
+def semdedup_assign(
+    embs: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    trained_iters: int = 0,
+) -> DataFrame:
+    """(id, vec, cell): the corpus with its SemDeDup cell assignment."""
+    cents = seed_centroids(embs, n_clusters, id_col, vec)
+    if trained_iters:
+        cents = lloyd_refine(embs, cents, trained_iters, vec)
+    return ivf_assign(
+        embs.select(F.col(id_col).alias("id"), F.col(vec).alias("v")),
+        cents,
+        vec="v",
+    )
+
+
+def semdedup_flags(
+    embs: DataFrame,
+    threshold: float,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    trained_iters: int = 0,
+) -> DataFrame:
+    """(id, cell, is_dup): is_dup ⇔ a same-cell vector with a smaller id has
+    cosine ≥ threshold. The keep set is ``is_dup = false``."""
+    assigned = semdedup_assign(embs, n_clusters, id_col, vec, trained_iters)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def semdedup_kept(
+    embs: DataFrame,
+    threshold: float,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    trained_iters: int = 0,
+) -> DataFrame:
+    """The pruned corpus: original rows whose id survived the flag pass."""
+    flags = semdedup_flags(embs, threshold, n_clusters, id_col, vec, trained_iters)
+    keep = flags.where(~F.col("is_dup")).select(id_col)
+    return embs.join(keep, id_col, "semi")
+
+
+def cell_size_report(
+    embs: DataFrame,
+    n_clusters: int = 8,
+    max_cell_size: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    trained_iters: int = 0,
+) -> DataFrame:
+    """Cells whose population exceeds ``max_cell_size`` — the quadratic
+    surface made visible. Empty report = every cell's pair fan-out is
+    within budget; a hot row says re-seed with more cells (or train the
+    centroids) BEFORE paying its n² pair join."""
+    assigned = semdedup_assign(embs, n_clusters, id_col, vec, trained_iters)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > max_cell_size)
+        .orderBy(F.desc("n_vecs"))
+    )

@@ -1,0 +1,90 @@
+"""SemDeDup (operators/semdedup.py): planted duplicate groups, the
+per-edge smaller-id prune rule (vs connected components), the kept-set
+contract, the trained-centroid path, and the cell-size report."""
+
+from __future__ import annotations
+
+import math
+
+from sick_spark.operators.semdedup import (
+    cell_size_report,
+    semdedup_flags,
+    semdedup_kept,
+)
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _rot(theta_deg: float) -> list[float]:
+    t = math.radians(theta_deg)
+    return [math.cos(t), math.sin(t)]
+
+
+def test_planted_duplicate_group_keeps_smallest_id(spark):
+    # 1,2,3 identical; 10,11 identical; 20 unique — one cell, high threshold
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+        (10, [0.0, 1.0]), (11, [0.0, 1.0]),
+        (20, [0.7, -0.7]),
+    ]
+    flags = {r.vec_id: r.is_dup for r in semdedup_flags(_embs(spark, rows), 0.99, n_clusters=1).collect()}
+    assert flags == {1: False, 2: True, 3: True, 10: False, 11: True, 20: False}
+
+
+def test_per_edge_prune_not_connected_components(spark):
+    # chain A~B~C with A!~C: CC would make one component; SemDeDup drops
+    # BOTH B and C (each has a smaller similar mate)
+    rows = [(1, _rot(0)), (2, _rot(30)), (3, _rot(60))]
+    flags = {r.vec_id: r.is_dup for r in semdedup_flags(_embs(spark, rows), 0.8, n_clusters=1).collect()}
+    # cos(30°)=.866 >= .8 → 2 dup of 1, 3 dup of 2; cos(60°)=.5 < .8
+    assert flags == {1: False, 2: True, 3: True}
+
+
+def test_cells_bound_comparisons(spark):
+    # identical vectors in DIFFERENT cells are not compared: seed 2 cells
+    # from orthogonal groups; each group's dups collapse within its cell
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]), (4, [0.0, 1.0]),
+    ]
+    got = {(r.vec_id, r.is_dup) for r in semdedup_flags(_embs(spark, rows), 0.99, n_clusters=2).collect()}
+    dups = {v for v, d in got if d}
+    keeps = {v for v, d in got if not d}
+    # exactly one keeper per identical pair, whatever the cell labels are
+    assert len(dups) == 2 and len(keeps) == 2
+    assert not ({1, 2} <= dups) and not ({3, 4} <= dups)
+
+
+def test_kept_set_matches_flags(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    e = _embs(spark, rows)
+    kept = {r.vec_id for r in semdedup_kept(e, 0.99, n_clusters=1).collect()}
+    flags = {r.vec_id: r.is_dup for r in semdedup_flags(e, 0.99, n_clusters=1).collect()}
+    assert kept == {v for v, d in flags.items() if not d} == {1, 3}
+
+
+def test_trained_centroids_still_flag_exact_dups(spark):
+    # Lloyd refinement moves centroids but identical vectors always share
+    # a cell (same argmax), so planted exact-dups stay flagged
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]), (4, [0.0, 1.0]),
+        (5, [-1.0, 0.1]),
+    ]
+    flags = {
+        r.vec_id: r.is_dup
+        for r in semdedup_flags(_embs(spark, rows), 0.99, n_clusters=2, trained_iters=2).collect()
+    }
+    assert flags[2] is True and flags[4] is True
+    assert flags[1] is False and flags[3] is False
+
+
+def test_cell_size_report_surfaces_hot_cells(spark):
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(20)]
+    e = _embs(spark, rows)
+    # every vector lands in one cell → population 20 > bound 5 → reported
+    hot = cell_size_report(e, n_clusters=1, max_cell_size=5).collect()
+    assert len(hot) == 1 and hot[0].n_vecs == 20
+    assert cell_size_report(e, n_clusters=1, max_cell_size=50).count() == 0
