@@ -494,6 +494,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_a", "doc_b")
     q["neardup_pairs_ngram_capped"] = neardup_pairs_ngram_capped
 
+    # --- ASYMMETRIC near-dup: exact shingle-set CONTAINMENT >= 0.9
+    #     (shared/min(|A|,|B|)) — the quoted-excerpt / fork-of-a-large-doc
+    #     shape Jaccard provably misses (excerpt-in-parent has containment
+    #     1.0, Jaccard ~ |A|/|B|). The fixture's planted near-dups are all
+    #     symmetric edits, so the query derives excerpt docs from the
+    #     corpus deterministically (first 40 tokens of every doc_id%7==0
+    #     doc with >= 60 tokens, id offset +100000 — the planted-transform
+    #     idiom of code_normalized_dedup); at sf0.01 containment>=0.9
+    #     finds 71 pairs where Jaccard>=0.5 on the same derived corpus
+    #     finds 42.
+    def containment_pairs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.ngram import ngram_containment_pairs
+
+        base = _docs_distinct(spark, sf_dir)
+        excerpt = (
+            base.withColumn("__ws", F.expr("split(trim(text), '\\\\s+')"))
+            .where((F.size("__ws") >= 60) & (F.col("doc_id") % 7 == 0))
+            .select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.expr("concat_ws(' ', slice(__ws, 1, 40))").alias("text"),
+            )
+        )
+        corpus = base.select("doc_id", "text").unionAll(excerpt)
+        shingled = with_token_shingle_hashes(
+            corpus.withColumnRenamed("text", "content"), "content", _K
+        ).select("doc_id", "shingle_hashes")
+        return ngram_containment_pairs(shingled, 0.9).orderBy("doc_a", "doc_b")
+    q["containment_pairs_ngram"] = containment_pairs_ngram
+
     # --- the cap's overflow accounting (never silent, SURVEY.md §4.4):
     #     per-df shingle counts + pairs forgone. Keyed by df, not by the
     #     engine-local hash, so DuckDB replays it from string shingles.
@@ -871,6 +900,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
     q["doc_substrdup_removed"] = doc_substrdup_removed
+
+    # --- unigram-LM quality (operators/lmquality.py, the CCNet-style
+    #     statistical quality signal): mean token ln P(token) under the
+    #     corpus-trained unigram model. Engine-exact via per-token
+    #     fixed-point logs (round(ln*1e6) as BIGINT) + integer aggregation;
+    #     the heuristic twin is doc_quality (textstats).
+    def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.lmquality import unigram_logprob
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return unigram_logprob(d).orderBy("doc_id")
+    q["doc_unigram_logprob"] = doc_unigram_logprob
 
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
@@ -1787,6 +1828,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT da AS doc_a, db AS doc_b FROM truepairs ORDER BY doc_a, doc_b
     """
 
+    # asymmetric containment over the excerpt-derived corpus (see the
+    # queries() comment): same shingle rule as _DUCK_SHINGLE_CTES but over
+    # base ∪ excerpts; containment = shared/min sizes, rounded like Spark
+    o["containment_pairs_ngram"] = """
+        WITH base AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        bw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM base),
+        exc AS (SELECT doc_id + 100000 AS doc_id,
+                       array_to_string(list_slice(ws, 1, 40), ' ') AS text
+                FROM bw WHERE len(ws) >= 60 AND doc_id % 7 = 0),
+        corpus AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM exc),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+               FROM w),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b, i AS shared,
+               x.n AS n_a, y.n AS n_b,
+               ROUND(i * 1.0 / least(x.n, y.n), 9) AS containment
+        FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+        WHERE ROUND(i * 1.0 / least(x.n, y.n), 9) >= 0.9
+        ORDER BY doc_a, doc_b
+    """
+
     o["ngram_hot_shingle_stats"] = f"""
         WITH {_DUCK_SHINGLE_CTES},
         df AS (SELECT s, count(*) AS df FROM sh GROUP BY s HAVING count(*) > {_NG_MAXDF})
@@ -2102,6 +2170,22 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COALESCE(p.n_dup_tokens, 0) / GREATEST(len(tk.t), 1), 9) AS dup_frac
         FROM toks tk LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
     """
+    # unigram-LM quality: the per-token log-prob is fixed-pointed once per
+    # DISTINCT token (integer grid), so every aggregate is order-free
+    # integer math — see operators/lmquality.py for the boundary analysis
+    o["doc_unigram_logprob"] = """
+        WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+                   FROM documents),
+        vocab AS (SELECT token, COUNT(*) AS df FROM w GROUP BY token),
+        tot AS (SELECT SUM(df) AS total FROM vocab),
+        lp AS (SELECT token, CAST(ROUND(ln(df * 1.0 / total) * 1000000, 0) AS BIGINT) AS lp_fp
+               FROM vocab, tot)
+        SELECT w.doc_id, COUNT(*) AS n_tokens,
+               SUM(lp_fp) * 1.0 / COUNT(*) / 1000000 AS logprob
+        FROM w JOIN lp USING (token)
+        GROUP BY w.doc_id ORDER BY doc_id
+    """
+
     o["doc_substrdup_removed"] = f"""
         {_substr_cte},
         posn AS (SELECT doc_id, p, t[p] AS tok

@@ -518,6 +518,13 @@ def main() -> None:
         "doc_shuffle_order",
         "doc_chunks",
         "chunk_pack_e2e",
+        # round 4: corpus-level exact substring dedup, semantic dedup,
+        # asymmetric containment
+        "substring_dup_stats",
+        "doc_substrdup_removed",
+        "semdedup_flags",
+        "containment_pairs_ngram",
+        "doc_unigram_logprob",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

@@ -1,0 +1,133 @@
+"""Unigram-LM quality scoring: per-document mean token log-probability
+under a unigram language model trained on the corpus itself — the
+CCNet-style "perplexity bucket" quality signal (Wenzek et al. 2020), the
+statistical member of this engine's quality family (the heuristic member
+is ``functions/textstats.quality_score``: punctuation/stopword/length
+ratios).
+
+A document of common, fluently-distributed tokens scores near the corpus
+mean; gibberish, alphabet soup, and rare-token spam score far below it.
+The reference anchor is E10 frequency counting
+(``DeduplicatingRefTableBuilder.scala`` ref counts): the unigram model IS
+the interned-identity ref-count table normalized into a distribution.
+
+Cross-engine determinism (the oracle contract): floating-point ``ln`` and
+float SUM order are not portable, so the per-token log-probability is
+FIXED-POINTED once per DISTINCT token — ``round(ln(df/total) * 1e6)``
+cast to BIGINT — and every downstream aggregate is integer arithmetic
+(order-free, exact in both engines). A boundary flip would need the two
+engines' ``ln`` (ulp-comparable, so ~1e-9 apart after the 1e6 scale) to
+straddle the same integer-rounding edge — probability ~1e-9 per
+vocabulary entry. The final division back to a
+double is one exact-integer / exact-integer operation, rounded to 9
+decimals like every float-bearing oracle column.
+
+Scale shape (the 100 TB plan):
+
+- the model is one token explode → ``groupBy(token)`` count (map-side
+  combinable; identical to the vocab stage of ``operators/sample.py``);
+  ``total`` is a single driver scalar — bounded by construction (one
+  aggregate row), the same shape as the planner's corpus-stat probes;
+- scoring joins the exploded corpus to the vocabulary on the token — an
+  equi-join AQE can skew-split (the stop-word mega-keys are the classic
+  case); the per-doc rollup is one map-side-combinable sum of 8-byte
+  fixed-point longs;
+- nothing quadratic anywhere: cost is O(corpus tokens) + one
+  vocabulary-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sick_spark.functions.text import tokens_sql
+
+#: fixed-point scale for per-token log-probabilities (6 decimals — see
+#: module doc for the cross-engine boundary analysis)
+LP_SCALE = 1_000_000
+
+
+def unigram_vocab(
+    docs: DataFrame, content: str = "text", out_token: str = "token"
+) -> DataFrame:
+    """(token, df): corpus-wide token occurrence counts (the unigram model
+    numerators). ``df`` counts OCCURRENCES, not documents — a unigram LM is
+    trained on the token stream."""
+    return (
+        docs.select(F.explode(F.expr(tokens_sql(content))).alias(out_token))
+        .groupBy(out_token)
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, logprob): mean per-token ln P(token) under the
+    corpus-trained unigram model, exact-integer aggregation throughout
+    (see module doc). Every corpus token has df ≥ 1, so there is no OOV
+    branch when the model is scored on its own training corpus; a
+    held-out variant would smooth — out of scope here."""
+    vocab = unigram_vocab(docs, content)
+    total = vocab.agg(F.sum("df")).collect()[0][0] or 1
+    # ONE rounding, straight to the integer grid (round(ln,6)*1e6 would
+    # double-round: the 6-decimal double times 1e6 can land 1 ulp off the
+    # integer and truncate wrong under cast)
+    lp = vocab.withColumn(
+        "lp_fp",
+        F.round(F.log(F.col("df") / F.lit(float(total))) * LP_SCALE, 0).cast("long"),
+    ).select("token", "lp_fp")
+    toks = docs.select(
+        F.col(id_col), F.explode(F.expr(tokens_sql(content))).alias("token")
+    )
+    return (
+        toks.join(lp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp_fp").alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            # NO final rounding: both operands are exact integers, so the
+            # two IEEE divisions are bit-identical in every engine —
+            # whereas round(x, 9) diverges when s/n lands exactly on a
+            # 9th-decimal half (n a power of two): Java rounds the
+            # SHORTEST DECIMAL form (BigDecimal.valueOf) HALF_UP while
+            # C-family engines round the binary value
+            (F.col("__s") / F.col("n_tokens") / LP_SCALE).alias("logprob"),
+        )
+    )
+
+
+def logprob_buckets(
+    scored: DataFrame, n_buckets: int = 3, accuracy: int = 10_000
+) -> DataFrame:
+    """CCNet's head/middle/tail split: cut documents into ``n_buckets`` by
+    quantile boundaries of ``logprob`` (bucket 0 = best). Boundaries come
+    from ONE ``approx_percentile`` aggregate (a single reduced row — no
+    global sort, no window over the whole corpus; ntile would need
+    exactly the global ``Window.orderBy`` this engine bans), then the
+    bucket is a map-side comparison against the broadcast boundary array.
+    Exactly CCNet's deployment shape: they bucket against FIXED
+    perplexity thresholds, not a total ordering."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = scored.agg(
+        F.expr(
+            f"approx_percentile(logprob, array({', '.join(str(q) for q in qs)}), {accuracy})"
+        ).alias("b")
+    ).collect()[0]["b"]
+    # boundaries descend (best bucket first); ties land in the better
+    # bucket. The when-chain tests the LARGEST bound first — a score above
+    # several bounds must take the best bucket, so order is load-bearing.
+    bounds = sorted(row or [], reverse=True)
+    expr = None
+    for i, b in enumerate(bounds):
+        cond = F.col("logprob") >= F.lit(b)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    if expr is None:
+        return scored.withColumn("bucket", F.lit(0))
+    return scored.withColumn("bucket", expr.otherwise(F.lit(len(bounds))).cast("int"))

@@ -53,6 +53,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    hashes: str = "shingle_hashes",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, shared, n_a, n_b, containment) with exact containment
+    ``|A∩B| / min(|A|,|B|) >= threshold`` over distinct shingle sets.
+
+    The ASYMMETRIC companion to :func:`ngram_jaccard_pairs`: a short
+    document quoted whole inside a long one has containment 1.0 but
+    Jaccard ≈ |A|/|B| → 0, so Jaccard-thresholded dedup never sees it —
+    the fork-of-a-large-repo / quoted-excerpt shape (same metric the
+    repo-level pass uses, ``operators/repodup.py``). The smaller set is
+    the contained one: ``containment = 1.0`` means the smaller document's
+    every shingle appears in the larger.
+
+    Same scale discipline as the Jaccard mode: ``max_df`` excludes hot
+    shingles from PAIR GENERATION only (set sizes stay full, so reported
+    containment is never inflated; losses quantified by
+    :func:`hot_shingle_report`, never silent).
+    """
+    sh = shingled.select(F.col(id_col).alias("doc_id"), F.col(hashes).alias("__h"))
+    ex = sh.select("doc_id", F.explode("__h").alias("h"))
+    sizes = sh.select("doc_id", F.size("__h").alias("n"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df).select("h")
+        )
+        ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 9),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "containment",
+        )
+    )
+
+
 def hot_shingle_report(
     shingled: DataFrame,
     max_df: int,

@@ -87,7 +87,14 @@ def semdedup_flags(
 ) -> DataFrame:
     """(id, cell, is_dup): is_dup ⇔ a same-cell vector with a smaller id has
     cosine ≥ threshold. The keep set is ``is_dup = false``."""
-    assigned = semdedup_assign(embs, n_clusters, id_col, vec, trained_iters)
+    # the assignment is referenced THREE times (both pair-join sides + the
+    # flag join); without a cut Catalyst re-evaluates the centroid matmul
+    # per reference (the inferred-filter double-eval class, and exchange
+    # reuse dies as soon as one side broadcasts). The lazy localCheckpoint
+    # is the same one-materialization idiom as lsh.candidate_pairs.
+    assigned = semdedup_assign(embs, n_clusters, id_col, vec, trained_iters).localCheckpoint(
+        eager=False
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     dups = (

@@ -53,6 +53,15 @@ Scale shape (the 100 TB plan):
   bounded by tokens/l per doc) and filters the token array map-side — the
   corpus is exchanged at most once and never exploded through a shuffle.
 
+Rejected alternative (for the record): a single ``count(*) OVER
+(PARTITION BY gh)`` window would find duplicated occurrences in ONE
+shuffle of the occurrence table with no join-back — but a window
+partition cannot be AQE-skew-split, so one 10⁹-occurrence license-banner
+gram would serialize into a single task. The count-then-join shape pays
+a second (map-side-combined, 8-byte-key) pass to keep every skew surface
+on an equi-join AQE can split — the same trade the LSH bucket stage
+makes.
+
 Reference parity anchors: E10 frequency counting
 (``json-sick-scala/src/main/scala/izumi/sick/tables/DeduplicatingRefTableBuilder.scala``
 ref counts); the suffix-automaton LCS twin is ``operators/partialdup.py``.

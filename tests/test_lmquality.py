@@ -1,0 +1,86 @@
+"""Unigram-LM quality scoring (operators/lmquality.py): exact values vs a
+Python reference, the common-vs-gibberish ranking property, and the
+head/middle/tail bucket split."""
+
+from __future__ import annotations
+
+import math
+
+from sick_spark.operators.lmquality import (
+    LP_SCALE,
+    logprob_buckets,
+    unigram_logprob,
+    unigram_vocab,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_logprob(texts: dict[int, str]):
+    """The module's semantics in plain Python: fixed-point per-token logs,
+    integer aggregation, one final division."""
+    from collections import Counter
+
+    counts = Counter(t for s in texts.values() for t in s.split())
+    total = sum(counts.values())
+    lp = {t: round(math.log(c / total) * LP_SCALE) for t, c in counts.items()}
+    out = {}
+    for d, s in texts.items():
+        ws = s.split()
+        out[d] = (len(ws), sum(lp[t] for t in ws) / len(ws) / LP_SCALE)
+    return out
+
+
+def test_exact_values_match_python_reference(spark):
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "zq xv qqj zzz xv",
+    }
+    got = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob(_docs(spark, list(texts.items()))).collect()}
+    assert got == _py_logprob(texts)
+
+
+def test_common_tokens_outscore_gibberish(spark):
+    # doc 1 reuses corpus-common tokens; doc 9 is unique-token soup
+    rows = [(i, "alpha beta gamma delta") for i in range(1, 6)]
+    rows.append((9, "qz9 vx7 jjk wpl"))
+    got = {r.doc_id: r.logprob for r in unigram_logprob(_docs(spark, rows)).collect()}
+    assert got[1] > got[9]
+    assert got[1] == got[2]  # identical docs score identically
+
+
+def test_vocab_counts_occurrences_not_documents(spark):
+    d = _docs(spark, [(1, "a a b"), (2, "a c")])
+    vocab = {r.token: r.df for r in unigram_vocab(d).collect()}
+    assert vocab == {"a": 3, "b": 1, "c": 1}
+
+
+def test_buckets_split_by_rank(spark):
+    # 5 common docs vs 3 rare-soup docs: the median boundary falls inside
+    # the common group, so common → head bucket, soup → tail, with the
+    # >=-boundary tie rule sending boundary-valued docs to the better side
+    rows = [(i, "common common common") for i in range(1, 6)]
+    rows += [(i, "rare%d x%d y%d" % (i, i, i)) for i in range(6, 9)]
+    scored = unigram_logprob(_docs(spark, rows))
+    b = {r.doc_id: r.bucket for r in logprob_buckets(scored, n_buckets=2).collect()}
+    assert all(b[i] == 0 for i in range(1, 6))
+    assert all(b[i] == 1 for i in range(6, 9))
+
+
+def test_random_corpora_match_python_reference(spark):
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        texts = {
+            d: " ".join(rng.choice(["a", "b", "cc", "ddd"]) for _ in range(rng.randint(1, 20)))
+            for d in range(6)
+        }
+        got = {
+            r.doc_id: (r.n_tokens, r.logprob)
+            for r in unigram_logprob(_docs(spark, list(texts.items()))).collect()
+        }
+        assert got == _py_logprob(texts), (seed, texts)

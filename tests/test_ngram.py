@@ -60,3 +60,36 @@ def test_max_df_cap_reported_not_silent(spark):
     rep = hot_shingle_report(sh, max_df=4).collect()
     assert len(rep) >= 1
     assert all(r["df"] == 5 and r["pairs_forgone"] == 10 for r in rep)
+
+
+def test_containment_finds_excerpt_that_jaccard_misses(spark):
+    # doc 10 = a long doc; doc 11 = its first-8-token prefix (an excerpt):
+    # containment 1.0, Jaccard small
+    long = " ".join(f"t{i}" for i in range(40))
+    texts = {10: long, 11: " ".join(f"t{i}" for i in range(8)), 12: "z1 z2 z3 z4 z5 z6"}
+    sh = _shingled(spark, texts)
+    from sick_spark.operators.ngram import ngram_containment_pairs
+
+    cont = {(r.doc_a, r.doc_b): r for r in ngram_containment_pairs(sh, 0.9).collect()}
+    assert set(cont) == {(10, 11)}
+    r = cont[(10, 11)]
+    assert r.containment == 1.0 and r.n_b == 6 and r.shared == 6
+    # the same pair is invisible to Jaccard at any usable threshold
+    jac = {(p.doc_a, p.doc_b) for p in ngram_jaccard_pairs(sh, 0.5).collect()}
+    assert (10, 11) not in jac
+
+
+def test_containment_max_df_cap_never_inflates(spark):
+    # a hot shingle shared by all docs; with the cap it stops generating
+    # pairs but still counts in sizes, so containment can only DROP
+    from sick_spark.operators.ngram import ngram_containment_pairs
+
+    texts = {i: f"hot1 hot2 hot3 u{i}a u{i}b u{i}c" for i in range(1, 5)}
+    texts[9] = "hot1 hot2 hot3 w1 w2 w3"
+    sh = _shingled(spark, texts)
+    uncapped = {(r.doc_a, r.doc_b): r.containment
+                for r in ngram_containment_pairs(sh, 0.0).collect()}
+    capped = {(r.doc_a, r.doc_b): r.containment
+              for r in ngram_containment_pairs(sh, 0.0, max_df=2).collect()}
+    for pair, c in capped.items():
+        assert c <= uncapped[pair]

@@ -146,3 +146,39 @@ def test_ivfpq_single_assign_pass_and_no_smj(spark):
     p = plan_str(out)
     assert "SortMergeJoin" not in p, p
     assert p.count("ArrowEvalPython") <= 2, p
+
+
+def test_substrdup_stats_is_pure_catalyst(spark):
+    """The exact-substring pass must stay JVM-side end-to-end: gram
+    hashing, the occurrence count, interval merging, and the per-doc
+    rollup are all Catalyst expressions — no Python eval node anywhere,
+    and the gram-count aggregation has a map-side partial."""
+    df = em.queries()["substring_dup_stats"](spark, SF)
+    p = plan_str(df)
+    assert "EvalPython" not in p, p
+    pe = plan_str(df, mode="extended")
+    assert "partial_" in pe, pe
+
+
+def test_semdedup_evaluates_assignment_once(spark):
+    """semdedup_flags references the cell assignment THREE times (both
+    pair-join sides + the flag join); the operator cuts it with one lazy
+    localCheckpoint so the centroid matmul runs ONCE over the corpus —
+    the downstream plan must carry ZERO ArrowEval nodes (the checkpoint
+    scan is the only source), not one per reference (the inferred-filter
+    double-eval class, round 3)."""
+    p = plan_str(em.queries()["semdedup_flags"](spark, SF))
+    assert p.count("ArrowEvalPython") == 0 and "ExistingRDD" in p, p
+
+
+def test_containment_pairs_have_no_python_eval(spark):
+    p = plan_str(em.queries()["containment_pairs_ngram"](spark, SF))
+    assert "EvalPython" not in p, p
+
+
+def test_unigram_logprob_is_pure_catalyst(spark):
+    df = em.queries()["doc_unigram_logprob"](spark, SF)
+    p = plan_str(df)
+    assert "EvalPython" not in p, p
+    pe = plan_str(df, mode="extended")
+    assert "partial_" in pe, pe

@@ -122,3 +122,52 @@ def test_portable_and_xxhash_backends_agree(spark):
     a = {tuple(r) for r in duplicated_spans(d, l=8, portable=True).collect()}
     b = {tuple(r) for r in duplicated_spans(d, l=8, portable=False).collect()}
     assert a == b
+
+
+def _py_spans(texts: dict[int, str], l: int, min_count: int = 2):
+    """Brute-force reference: duplicated l-gram occurrence positions merged
+    into maximal spans, straight from the module's semantics."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in texts.items()}
+    counts = Counter()
+    for ws in toks.values():
+        for i in range(len(ws) - l + 1):
+            counts[" ".join(ws[i : i + l])] += 1
+    out = set()
+    for doc, ws in toks.items():
+        ivals = [
+            (i + 1, i + l)
+            for i in range(len(ws) - l + 1)
+            if counts[" ".join(ws[i : i + l])] >= min_count
+        ]
+        cur = None
+        for s, e in ivals:
+            if cur and s <= cur[1] + 1:
+                cur = (cur[0], max(cur[1], e))
+            else:
+                if cur:
+                    out.add((doc, cur[0], cur[1]))
+                cur = (s, e)
+        if cur:
+            out.add((doc, cur[0], cur[1]))
+    return out
+
+
+def test_random_corpora_match_python_reference(spark):
+    # seeded random corpora over a tiny alphabet force organic l-gram
+    # repeats (within and across docs); Spark must equal the brute force
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        texts = {
+            d: " ".join(rng.choice("ab") for _ in range(rng.randint(0, 30)))
+            for d in range(8)
+        }
+        l = rng.choice([2, 3])
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_spans(_docs(spark, list(texts.items())), l=l).collect()
+        }
+        assert got == _py_spans(texts, l), (seed, l, texts)
