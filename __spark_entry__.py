@@ -913,6 +913,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob(d).orderBy("doc_id")
     q["doc_unigram_logprob"] = doc_unigram_logprob
 
+    # --- Gopher repetition filters (operators/repetition.py, Rae et al.
+    #     2021 Appendix A): top-n-gram char fractions, duplicated-n-gram
+    #     token coverage, duplicate-line fractions, composed into the
+    #     standard keep/drop gates. The corpus is decorated with
+    #     deterministic planted repetition (two 8-token lines split out of
+    #     each doc; doc_id%4 repeats line 1, doc_id%5 appends line 2 twice
+    #     over so duplicated 5-grams exist) — the base word-soup is
+    #     single-line with no dup 5-grams, so line and dup-gram stats would
+    #     be degenerate without the planting (same fixture-decoration
+    #     pattern as doc_redaction_stats).
+    def doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.repetition import gopher_repetition_flags
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ts = F.split(F.trim("text"), r"\s+")
+        line1 = F.concat_ws(" ", F.slice(ts, 1, 8))
+        line2 = F.concat_ws(" ", F.slice(ts, 9, 8))
+        rest = F.concat_ws(" ", F.slice(ts, 17, 1000000))
+        content = F.concat(
+            F.concat_ws("\n", line1, line2, rest),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.concat(F.lit("\n"), line1)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("\n"), line2, F.lit(" "), line2),
+            ).otherwise(F.lit("")),
+        )
+        c = d.select("doc_id", content.alias("content"))
+        return gopher_repetition_flags(
+            c,
+            top_thresholds={2: 0.20, 3: 0.18, 4: 0.16},
+            dup_thresholds={5: 0.15, 10: 0.10},
+        ).orderBy("doc_id")
+    q["doc_repetition_flags"] = doc_repetition_flags
+
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
     #     2 distinct identities per text, normalized shas collapse the
@@ -2763,5 +2799,100 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id, a.cell, (d.id IS NOT NULL) AS is_dup
         FROM assign a LEFT JOIN dup d ON d.id = a.vec_id
         ORDER BY vec_id
+    """
+
+    # Gopher repetition gates: the oracle replays the planted decoration,
+    # counts gram STRINGS where Spark counts xxhash64(gram) (counts agree
+    # unless xxhash64 collides within one document — ~n²/2⁶⁵), and
+    # reproduces the interval-union coverage with the same lag() window.
+    o["doc_repetition_flags"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), l1, l2, rest)
+                 || CASE WHEN doc_id % 4 = 0 THEN chr(10) || l1 ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN chr(10) || l2 || ' ' || l2 ELSE '' END
+                 AS content
+          FROM (
+            SELECT doc_id,
+                   -- coalesce: DuckDB list_slice past the end yields NULL
+                   -- (Spark slice yields []); concat_ws would then drop the
+                   -- separator Spark keeps
+                   coalesce(array_to_string(list_slice(ws, 1, 8), ' '), '') AS l1,
+                   coalesce(array_to_string(list_slice(ws, 9, 16), ' '), '') AS l2,
+                   coalesce(array_to_string(list_slice(ws, 17, len(ws)), ' '), '') AS rest
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                  FROM documents))),
+        tok AS (SELECT doc_id,
+                       list_filter(string_split_regex(trim(content), '\\s+'),
+                                   t -> t <> '') AS ts,
+                       length(content) AS tot_chars
+                FROM src),
+        base AS (SELECT doc_id, len(ts) AS n_tok, tot_chars FROM tok),
+        g0 AS (SELECT doc_id, n,
+                      [{'pos': i,
+                        'gram': array_to_string(list_slice(ts, i, i + n - 1), ' ')}
+                       FOR i IN generate_series(1, len(ts) - n + 1)] AS gs
+               FROM tok CROSS JOIN (VALUES (2), (3), (4), (5), (10)) AS nn(n)),
+        g AS (SELECT doc_id, n, unnest(gs, recursive := true) FROM g0),
+        c AS (SELECT doc_id, n, gram, length(gram) AS glen, count(*) AS c
+              FROM g GROUP BY 1, 2, 3, 4),
+        top AS (SELECT doc_id,
+                       max(CASE WHEN n = 2 THEN c * glen END) AS top2,
+                       max(CASE WHEN n = 3 THEN c * glen END) AS top3,
+                       max(CASE WHEN n = 4 THEN c * glen END) AS top4
+                FROM c GROUP BY 1),
+        dpos AS (SELECT doc_id, n, pos FROM (
+                   SELECT doc_id, n, pos,
+                          count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+                   FROM g WHERE n IN (5, 10)) t
+                 WHERE cnt >= 2),
+        cov AS (SELECT doc_id, n,
+                       coalesce(least(n, pos - lag(pos) OVER (
+                           PARTITION BY doc_id, n ORDER BY pos)), n) AS cv
+                FROM dpos),
+        dup AS (SELECT doc_id,
+                       sum(CASE WHEN n = 5 THEN cv END) AS dup5,
+                       sum(CASE WHEN n = 10 THEN cv END) AS dup10
+                FROM cov GROUP BY 1),
+        lines0 AS (SELECT doc_id,
+                          unnest(list_filter(
+                              list_transform(string_split(content, chr(10)),
+                                             l -> trim(l)),
+                              l -> l <> '')) AS line
+                   FROM src),
+        perline AS (SELECT doc_id, line, count(*) AS c FROM lines0 GROUP BY 1, 2),
+        lagg AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+                        sum(c * length(line)) AS line_chars,
+                        sum((c - 1) * length(line)) AS dup_line_chars
+                 FROM perline GROUP BY 1),
+        stats AS (SELECT b.doc_id, b.n_tok, b.tot_chars,
+                         coalesce(t.top2, 0) * 1.0 / greatest(b.tot_chars, 1) AS top2_char_frac,
+                         coalesce(t.top3, 0) * 1.0 / greatest(b.tot_chars, 1) AS top3_char_frac,
+                         coalesce(t.top4, 0) * 1.0 / greatest(b.tot_chars, 1) AS top4_char_frac,
+                         coalesce(d.dup5, 0) * 1.0 / greatest(b.n_tok, 1) AS dup5_tok_frac,
+                         coalesce(d.dup10, 0) * 1.0 / greatest(b.n_tok, 1) AS dup10_tok_frac,
+                         CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+                         coalesce(l.dup_lines, 0) * 1.0 / greatest(coalesce(l.n_lines, 0), 1) AS dup_line_frac,
+                         coalesce(l.dup_line_chars, 0) * 1.0 / greatest(coalesce(l.line_chars, 0), 1) AS dup_line_char_frac
+                  FROM base b
+                  LEFT JOIN top t ON t.doc_id = b.doc_id
+                  LEFT JOIN dup d ON d.doc_id = b.doc_id
+                  LEFT JOIN lagg l ON l.doc_id = b.doc_id),
+        flagged AS (SELECT *,
+                 CAST((CASE WHEN top2_char_frac > 0.20 THEN 1 ELSE 0 END)
+               + (CASE WHEN top3_char_frac > 0.18 THEN 1 ELSE 0 END)
+               + (CASE WHEN top4_char_frac > 0.16 THEN 1 ELSE 0 END)
+               + (CASE WHEN dup5_tok_frac > 0.15 THEN 1 ELSE 0 END)
+               + (CASE WHEN dup10_tok_frac > 0.10 THEN 1 ELSE 0 END)
+               + (CASE WHEN dup_line_frac > 0.30 THEN 1 ELSE 0 END)
+               + (CASE WHEN dup_line_char_frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gates_fired
+            FROM stats)
+        SELECT doc_id, n_tok, tot_chars,
+               top2_char_frac, top3_char_frac, top4_char_frac,
+               dup5_tok_frac, dup10_tok_frac,
+               n_lines, dup_line_frac, dup_line_char_frac,
+               n_gates_fired, (n_gates_fired > 0) AS repetitive
+        FROM flagged ORDER BY doc_id
     """
     return o

@@ -1,0 +1,271 @@
+"""Gopher-style repetition filters (Rae et al. 2021, Appendix A): the
+standard "is this document degenerately repetitive?" quality gates used by
+every large-scale LLM-data pipeline (Gopher/MassiveText, FineWeb, Dolma).
+
+Per document:
+
+* **top n-gram character fraction** (n = 2, 3, 4): characters covered by
+  the single most frequent n-gram, as a fraction of document characters —
+  high values mean one phrase dominates ("click here click here ...").
+* **duplicated n-gram token coverage** (n = 5, 10): fraction of token
+  positions covered by n-grams that occur ≥2 times in the document,
+  counting each position once (interval union, so overlapping duplicate
+  grams don't double-count). Gopher states this as a character fraction;
+  we use token positions — the same signal with exact integer arithmetic
+  that replays bit-for-bit in the DuckDB oracle.
+* **duplicate line fraction / duplicate line character fraction**: line
+  occurrences beyond the first, by count and by characters.
+
+Reference anchor: E10 frequency counting over interned identities
+(``DeduplicatingRefTableBuilder.scala:17-26`` keeps a ref count per
+interned value) — an n-gram's within-document occurrence count is exactly
+the ref count of its interned identity, scoped to one document.
+
+Scale shape (the 100 TB plan):
+
+- one corpus scan; grams for ALL requested n are emitted from a single
+  projection (``explode`` over a per-n struct array), all JVM-side
+  whole-stage codegen — no Python anywhere.
+- the one wide exchange carries ``(doc_id, n, gram_hash, gram_chars,
+  pos)`` — 64-bit hashes, never gram strings (the oracle counts strings;
+  counts agree unless xxhash64 collides *within one document*, ~n²/2⁶⁵ —
+  negligible and detectable, since a collision merges two gram groups).
+- the per-gram groupBy is map-side combinable on ``(doc_id, n, gh)``.
+  Duplicate-position coverage re-shuffles ONLY the positions of grams
+  already known duplicated — rare by construction in a clean corpus, so
+  the second exchange is tiny.
+- per-gram position lists are bounded by document length (same
+  doc-fits-in-memory contract as chunking; pathological docs are chunked
+  upstream, ``operators/chunk.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sick_spark.functions.text import tokens_sql
+
+#: Gopher Appendix A thresholds. top-n: fraction of chars in the most
+#: frequent n-gram. dup-n: duplicated n-gram coverage (we measure token
+#: positions, Gopher measures characters — documented adaptation; the
+#: token fraction is within O(1/mean_token_len) of the char fraction).
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_DUP_LINE_FRAC = 0.30
+GOPHER_DUP_LINE_CHAR_FRAC = 0.20
+
+
+def _gram_rows(
+    docs: DataFrame, content: str, doc_id: str, ns: tuple[int, ...]
+) -> DataFrame:
+    """One scan → ``(doc_id, n_tok, tot_chars, n, pos, gh, glen)`` occurrence
+    rows for every n in ``ns``. Positions are 1-based; ``glen`` is the gram's
+    character length (token chars + separating spaces). Documents shorter
+    than n emit no n-gram (repetition of a gram that cannot occur twice is
+    zero by definition — unlike dedup shingling, there is no whole-doc
+    fallback gram here)."""
+    tok = tokens_sql(content)
+    per_n = []
+    for n in ns:
+        gram_args = ", ".join(f"try_element_at(__th, i + {j})" for j in range(n))
+        # slice(__tl, i, n) is the token-length window; glen adds n-1 spaces
+        per_n.append(
+            f"struct({n}L as n, "
+            f"  case when size(__th) >= {n} then "
+            f"    transform(sequence(1, size(__th) - {n} + 1), "
+            f"      i -> struct(xxhash64({gram_args}) as gh, "
+            f"                  aggregate(slice(__tl, i, {n}), {n - 1}, (a, x) -> a + x) as glen)) "
+            f"  else array() end as gs)"
+        )
+    base = (
+        docs.withColumn("__t", F.expr(f"filter({tok}, t -> t <> '')"))
+        .withColumn("__th", F.expr("transform(__t, t -> xxhash64(t))"))
+        .withColumn("__tl", F.expr("transform(__t, t -> length(t))"))
+        .select(
+            doc_id,
+            F.expr("size(__t)").alias("n_tok"),
+            F.length(F.col(content)).alias("tot_chars"),
+            F.explode(F.expr("array(" + ", ".join(per_n) + ")")).alias("ng"),
+        )
+    )
+    return base.select(
+        doc_id,
+        "n_tok",
+        "tot_chars",
+        F.col("ng.n").alias("n"),
+        F.posexplode("ng.gs").alias("pos0", "g"),
+    ).select(
+        doc_id,
+        "n_tok",
+        "tot_chars",
+        "n",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("g.gh").alias("gh"),
+        F.col("g.glen").alias("glen"),
+    )
+
+
+def ngram_repetition_stats(
+    docs: DataFrame,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Per-document top-n-gram char fractions and duplicated-n-gram token
+    coverage. Returns one row per input document (zero-repetition docs
+    included) with columns ``top{n}_char_frac`` for n in ``top_ns`` and
+    ``dup{n}_tok_frac`` for n in ``dup_ns``.
+
+    Fractions are exact-integer numerators/denominators divided once at the
+    end, so they replay bit-identically in any IEEE engine.
+    """
+    ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+    rows = _gram_rows(docs, content, doc_id, ns)
+
+    # one map-side-combinable groupBy per (doc, n, gram): occurrence count
+    # + the positions (bounded by doc length; see module docstring)
+    per_gram = rows.groupBy(doc_id, "n", "gh", "glen").agg(
+        F.count("*").alias("c"), F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+
+    # top-n-gram chars: max over grams of count * gram_chars (the tie rule —
+    # equal counts resolved by char length — is deterministic and order-free).
+    # Occurrences are the sliding-window count (same as DataTrove's
+    # Counter(ngrams)), so overlapping self-repeats ("x y x y" has FOUR
+    # overlapping 4-gram occurrences of itself) can push the fraction above
+    # 1.0 for degenerate documents — far past any threshold, kept exact so
+    # the oracle replays it rather than hiding it behind a cap.
+    top = per_gram.groupBy(doc_id).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("c") * F.col("glen"))).alias(
+                f"__top{n}_chars"
+            )
+            for n in top_ns
+        ]
+    )
+
+    # duplicated-gram coverage: union of [pos, pos+n-1] over duplicated
+    # grams. Same-length intervals sorted by start ⇒ each interval adds
+    # min(n, pos - prev_pos) new positions.
+    dup_pos = (
+        per_gram.where((F.col("c") >= 2) & F.col("n").isin(*dup_ns))
+        .select(doc_id, "n", F.explode("ps").alias("pos"))
+    )
+    w = Window.partitionBy(doc_id, "n").orderBy("pos")
+    covered = dup_pos.withColumn(
+        "cov",
+        F.least(F.col("n"), F.col("pos") - F.lag("pos").over(w)).cast("long"),
+    ).withColumn("cov", F.coalesce("cov", F.col("n")))
+    dup = covered.groupBy(doc_id).agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col("cov"))).alias(f"__dup{n}_tok")
+            for n in dup_ns
+        ]
+    )
+
+    base = docs.select(
+        doc_id,
+        F.expr(f"size(filter({tokens_sql(content)}, t -> t <> ''))").alias("n_tok"),
+        F.length(F.col(content)).alias("tot_chars"),
+    )
+    out = base.join(top, doc_id, "left").join(dup, doc_id, "left")
+    sel = [F.col(doc_id), F.col("n_tok"), F.col("tot_chars")]
+    for n in top_ns:
+        sel.append(
+            (
+                F.coalesce(F.col(f"__top{n}_chars"), F.lit(0))
+                / F.greatest(F.col("tot_chars"), F.lit(1))
+            ).alias(f"top{n}_char_frac")
+        )
+    for n in dup_ns:
+        sel.append(
+            (
+                F.coalesce(F.col(f"__dup{n}_tok"), F.lit(0))
+                / F.greatest(F.col("n_tok"), F.lit(1))
+            ).alias(f"dup{n}_tok_frac")
+        )
+    return out.select(*sel)
+
+
+def line_repetition_stats(
+    docs: DataFrame,
+    content: str = "content",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-line stats: ``dup_line_frac`` (occurrences
+    beyond the first / total lines) and ``dup_line_char_frac`` (their
+    characters / total line characters). Lines are newline-split, trimmed;
+    blank lines are ignored. Single-line documents score 0.
+
+    One shuffle, keyed ``(doc_id, line_hash)`` — line text never rides the
+    exchange (hash + length only, same narrow-exchange rule as
+    ``operators/lines.py``).
+    """
+    lines = (
+        docs.select(
+            doc_id,
+            F.explode(
+                F.expr(
+                    f"filter(transform(split({content}, '\\n'), l -> trim(l)), "
+                    "l -> l <> '')"
+                )
+            ).alias("line"),
+        )
+        .select(doc_id, F.xxhash64("line").alias("lh"), F.length("line").alias("llen"))
+    )
+    per_line = lines.groupBy(doc_id, "lh", "llen").agg(F.count("*").alias("c"))
+    agg = per_line.groupBy(doc_id).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.col("c") - 1).alias("dup_lines"),
+        F.sum(F.col("c") * F.col("llen")).alias("line_chars"),
+        F.sum((F.col("c") - 1) * F.col("llen")).alias("dup_line_chars"),
+    )
+    base = docs.select(doc_id)
+    return base.join(agg, doc_id, "left").select(
+        doc_id,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        (
+            F.coalesce("dup_lines", F.lit(0)) / F.greatest(F.coalesce("n_lines", F.lit(0)), F.lit(1))
+        ).alias("dup_line_frac"),
+        (
+            F.coalesce("dup_line_chars", F.lit(0))
+            / F.greatest(F.coalesce("line_chars", F.lit(0)), F.lit(1))
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def gopher_repetition_flags(
+    docs: DataFrame,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    top_thresholds: dict[int, float] | None = None,
+    dup_thresholds: dict[int, float] | None = None,
+    dup_line_frac: float = GOPHER_DUP_LINE_FRAC,
+    dup_line_char_frac: float = GOPHER_DUP_LINE_CHAR_FRAC,
+) -> DataFrame:
+    """Compose the stats into a per-document keep/drop decision with the
+    Gopher thresholds: ``repetitive`` is true iff ANY gate fires. Returns
+    ``(doc_id, repetitive, n_gates_fired)`` plus every underlying stat, so
+    downstream filters can audit which gate dropped a document."""
+    tops = GOPHER_TOP_THRESHOLDS if top_thresholds is None else top_thresholds
+    dups = GOPHER_DUP_THRESHOLDS if dup_thresholds is None else dup_thresholds
+    ng = ngram_repetition_stats(
+        docs, content, doc_id, top_ns=tuple(sorted(tops)), dup_ns=tuple(sorted(dups))
+    )
+    ln = line_repetition_stats(docs, content, doc_id)
+    j = ng.join(ln, doc_id)
+    gates = [
+        (F.col(f"top{n}_char_frac") > t).cast("int") for n, t in sorted(tops.items())
+    ] + [
+        (F.col(f"dup{n}_tok_frac") > t).cast("int") for n, t in sorted(dups.items())
+    ] + [
+        (F.col("dup_line_frac") > dup_line_frac).cast("int"),
+        (F.col("dup_line_char_frac") > dup_line_char_frac).cast("int"),
+    ]
+    fired = gates[0]
+    for g in gates[1:]:
+        fired = fired + g
+    return j.withColumn("n_gates_fired", fired.cast("long")).withColumn(
+        "repetitive", F.col("n_gates_fired") > 0
+    )

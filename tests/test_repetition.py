@@ -1,0 +1,99 @@
+"""Gopher repetition filters (operators/repetition.py): exact semantics on
+hand-computable documents, zero-repetition and empty-document edges, and the
+interval-union (no double counting) rule for overlapping duplicated grams."""
+
+from __future__ import annotations
+
+import pytest
+
+from sick_spark.operators.repetition import (
+    gopher_repetition_flags,
+    line_repetition_stats,
+    ngram_repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),  # all grams distinct
+            (1, "x y x y x y x y x y"),  # degenerate self-repetition
+            (2, "one two three four five one two three four five tail"),
+            (3, "hi"),  # shorter than every n
+            (4, ""),  # empty
+            (5, "l1 l1\nl2\nl1 l1\nl2\n"),  # duplicate lines
+        ],
+        ["doc_id", "content"],
+    )
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_ngram_stats_exact(spark, docs):
+    s = _by_id(ngram_repetition_stats(docs))
+    assert set(s) == {0, 1, 2, 3, 4, 5}  # one row per doc, zeros included
+
+    # doc 0: every 2-gram unique -> top2 = 1 occurrence * 3 chars / 19
+    assert s[0]["top2_char_frac"] == pytest.approx(3 / 19)
+    assert s[0]["dup5_tok_frac"] == 0.0
+
+    # doc 1: "x y" occurs 5 times (sliding) -> 5*3/19; every 5-gram start
+    # position 1..6 is duplicated -> union covers all 10 tokens
+    assert s[1]["top2_char_frac"] == pytest.approx(15 / 19)
+    assert s[1]["dup5_tok_frac"] == 1.0
+    assert s[1]["dup10_tok_frac"] == 0.0  # the single 10-gram occurs once
+
+    # doc 2: "one two three four five" at positions 1 and 6 -> [1,5] u [6,10]
+    # = 10 of 11 tokens, overlap counted once
+    assert s[2]["dup5_tok_frac"] == pytest.approx(10 / 11)
+
+    # shorter-than-n docs emit no grams at all (no whole-doc fallback here)
+    assert s[3]["top2_char_frac"] == 0.0
+    assert s[4]["n_tok"] == 0 and s[4]["top2_char_frac"] == 0.0
+
+
+def test_interval_union_does_not_double_count(spark):
+    # "a b a b a b": 2x duplicated 2-grams overlap at every position;
+    # coverage must be 6 tokens exactly once, not 5 intervals * 2
+    d = spark.createDataFrame([(0, "a b a b a b")], ["doc_id", "content"])
+    s = _by_id(ngram_repetition_stats(d, dup_ns=(2,)))
+    assert s[0]["dup2_tok_frac"] == 1.0
+
+
+def test_line_stats(spark, docs):
+    s = _by_id(line_repetition_stats(docs))
+    # doc 5: lines [l1 l1, l2, l1 l1, l2] -> 2 of 4 beyond-first; chars 7/14
+    assert s[5]["n_lines"] == 4
+    assert s[5]["dup_line_frac"] == 0.5
+    assert s[5]["dup_line_char_frac"] == 0.5
+    # single-line docs score 0; empty doc has 0 lines (not a phantom one)
+    assert s[0]["n_lines"] == 1 and s[0]["dup_line_frac"] == 0.0
+    assert s[4]["n_lines"] == 0 and s[4]["dup_line_frac"] == 0.0
+
+
+def test_flags_compose_and_count_gates(spark, docs):
+    f = _by_id(
+        gopher_repetition_flags(
+            docs,
+            top_thresholds={2: 0.20, 3: 0.18, 4: 0.16},
+            dup_thresholds={5: 0.15, 10: 0.10},
+        )
+    )
+    assert f[1]["repetitive"] and f[1]["n_gates_fired"] >= 4
+    assert not f[3]["repetitive"] and f[3]["n_gates_fired"] == 0
+    assert not f[4]["repetitive"]
+    assert f[5]["repetitive"]  # line gates
+    # every underlying stat rides along for auditability
+    for col in ("top2_char_frac", "dup5_tok_frac", "dup_line_frac", "n_lines"):
+        assert col in f[0]
+
+
+def test_no_python_udf_in_plan(spark, docs):
+    # pure Catalyst: the whole operator must stay JVM-side
+    plan = ngram_repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    plan2 = gopher_repetition_flags(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2 and "ArrowEval" not in plan2
