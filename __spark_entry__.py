@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sick_spark.config import DedupConfig, derive_rhp
 from sick_spark.corpus import corpus_from_documents
 from sick_spark.functions.text import (
+    content_key,
     sha60_shingle_hashes,
     with_shingle_strings,
     with_token_shingle_hashes,
@@ -948,6 +949,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dup_thresholds={5: 0.15, 10: 0.10},
         ).orderBy("doc_id")
     q["doc_repetition_flags"] = doc_repetition_flags
+
+    # --- deterministic train/val splitting (operators/split.py): the
+    #     hash-threshold scale mode and the exact-quota stratified mode in
+    #     one row — both seeded, portable (sha60), and replayed exactly by
+    #     the oracle. Stratified: every source gets exactly floor(0.1·n)
+    #     validation docs.
+    def doc_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.split import split_assign, split_assign_stratified
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        s1 = split_assign(d, 0.1, out="split_hash")
+        return split_assign_stratified(
+            s1, 0.1, strata="source", out="split_strat"
+        ).orderBy("doc_id")
+    q["doc_split_stratified"] = doc_split_stratified
+
+    # --- split-leakage audit (operators/split.py): exact near-dup pairs
+    #     (RAW corpus, so exact-duplicate pairs are included at Jaccard 1)
+    #     vs a naive doc-keyed split and a sha-group-keyed split. The
+    #     group split never separates exact duplicates (same sha ⇒ same
+    #     side by construction) — visible in the output; component-keyed
+    #     splits (never separating NEAR-dups either) are pinned in pytest
+    #     against the pipeline's clusters.
+    def split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.ngram import ngram_jaccard_pairs
+        from sick_spark.operators.split import split_assign, split_assign_by_group
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = with_token_shingle_hashes(
+            d.withColumnRenamed("text", "content"), "content", _K
+        ).select("doc_id", "shingle_hashes")
+        pairs = ngram_jaccard_pairs(sh, _J)
+        naive = split_assign(d.select("doc_id"), 0.5, seed=7)
+        grouped = split_assign_by_group(
+            d.select("doc_id", content_key("text").alias("sha")),
+            0.5,
+            group_col="sha",
+            seed=7,
+        ).select("doc_id", "split")
+        audit = (
+            pairs.join(
+                naive.select(
+                    F.col("doc_id").alias("doc_a"), F.col("split").alias("na")
+                ),
+                "doc_a",
+            )
+            .join(
+                naive.select(
+                    F.col("doc_id").alias("doc_b"), F.col("split").alias("nb")
+                ),
+                "doc_b",
+            )
+            .join(
+                grouped.select(
+                    F.col("doc_id").alias("doc_a"), F.col("split").alias("ga")
+                ),
+                "doc_a",
+            )
+            .join(
+                grouped.select(
+                    F.col("doc_id").alias("doc_b"), F.col("split").alias("gb")
+                ),
+                "doc_b",
+            )
+        )
+        return audit.select(
+            "doc_a",
+            "doc_b",
+            (F.col("na") != F.col("nb")).alias("naive_cross"),
+            (F.col("ga") != F.col("gb")).alias("group_cross"),
+        ).orderBy("doc_a", "doc_b")
+    q["split_leak_audit"] = split_leak_audit
 
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
@@ -2894,5 +2969,54 @@ def oracle_sql() -> dict[str, str]:
                n_lines, dup_line_frac, dup_line_char_frac,
                n_gates_fired, (n_gates_fired > 0) AS repetitive
         FROM flagged ORDER BY doc_id
+    """
+
+    # Deterministic splits: hash-threshold (sha60(seed:id) % 1e6 < 1e5) and
+    # exact-quota stratified (rank by the same hash within each source)
+    o["doc_split_stratified"] = """
+        WITH h AS (SELECT doc_id, source,
+                          CAST(CONCAT('0x', SUBSTR(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+                   FROM documents),
+        s AS (SELECT doc_id, source,
+                     CASE WHEN hh % 1000000 < 100000 THEN 'val' ELSE 'train' END AS split_hash,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM h)
+        SELECT doc_id, source, split_hash,
+               CASE WHEN rn <= floor(0.1 * n) THEN 'val' ELSE 'train' END AS split_strat
+        FROM s ORDER BY doc_id
+    """
+
+    # Leakage audit: exact-Jaccard pairs over the RAW corpus (exact dups
+    # included), naive split keyed by doc_id vs leak-safe split keyed by
+    # content sha — the sha-keyed split can never separate an exact-dup pair
+    o["split_leak_audit"] = """
+        WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                            FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+               FROM w),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truepairs AS (SELECT da, db FROM inter
+                      JOIN sizes x ON da = x.doc_id
+                      JOIN sizes y ON db = y.doc_id
+                      WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+        assign AS (SELECT doc_id,
+                          CASE WHEN CAST(CONCAT('0x', SUBSTR(sha256('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < 500000
+                               THEN 'val' ELSE 'train' END AS nv,
+                          CASE WHEN CAST(CONCAT('0x', SUBSTR(sha256('7:' || sha256(text)), 1, 15)) AS BIGINT) % 1000000 < 500000
+                               THEN 'val' ELSE 'train' END AS gv
+                   FROM w)
+        SELECT t.da AS doc_a, t.db AS doc_b,
+               (a.nv <> b.nv) AS naive_cross,
+               (a.gv <> b.gv) AS group_cross
+        FROM truepairs t
+        JOIN assign a ON a.doc_id = t.da
+        JOIN assign b ON b.doc_id = t.db
+        ORDER BY doc_a, doc_b
     """
     return o

@@ -1,0 +1,136 @@
+"""Deterministic train/validation splitting for training corpora: seeded,
+engine-replayable, stratified, and dedup-aware (leak-safe).
+
+Why this lives next to dedup: a random split taken BEFORE deduplication
+leaks near-identical documents across the train/val boundary and inflates
+eval — the split must be keyed by the same content identity the dedup
+stages compute. Reference anchor: content-addressed identity as the
+randomness source (hash-consed ids, E1 ``DeduplicatingRefTableBuilder
+.scala:17-26``) — the split key is a pure function of (seed, identity),
+exactly like ``operators/sample.py``'s deterministic shuffle.
+
+Three modes, all seeded and portable (sha60, no ``rand()``):
+
+* :func:`split_assign` — hash-threshold. ZERO shuffle: each row decides its
+  side map-side from ``sha60(seed:id)``. The fraction is exact in
+  expectation with binomial variance (±~1/√n) — the only mode that scales
+  to 10¹² rows, and the default.
+* :func:`split_assign_stratified` — exact per-stratum quotas via a
+  rank-by-hash window. Each stratum gets exactly ``floor(frac·n)``
+  validation rows. The window is one task PER STRATUM — correct only when
+  every stratum fits a partition (sources, languages, shards; NOT raw
+  10¹²-row strata). The scale path for huge strata is hash-threshold,
+  whose per-stratum deviation is already negligible at that size; the
+  docstring trade mirrors the exact/LSH crossover in ``planner.py``.
+* :func:`split_assign_by_group` — leak-safe: the hash is taken over a GROUP
+  key (content sha, near-dup component id), so every member of a duplicate
+  cluster lands on the same side by construction. Map-side expression over
+  an existing (id, group) relation — the group relation comes from the
+  dedup pipeline's checkpoint, no new shuffle.
+
+:func:`split_leak_pairs` audits any assignment: given near-dup pairs and an
+assignment, returns the pairs that cross the boundary (empty iff leak-safe
+w.r.t. those pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sick_spark.functions.text import sha60
+
+#: denominator of the hash-threshold rule — sha60 values are uniform on
+#: [0, 2^60); val iff h % SPLIT_MOD < frac * SPLIT_MOD (integer compare, so
+#: the rule replays exactly cross-engine for any frac expressible in 1e6ths)
+SPLIT_MOD = 1_000_000
+
+
+def _split_hash(id_col: str, seed: int) -> F.Column:
+    return sha60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+
+
+def split_assign(
+    docs: DataFrame,
+    frac_val: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Hash-threshold split: adds ``split`` ('train' | 'val'). Zero shuffle;
+    the decision is a pure function of (seed, id), so reruns, retries and
+    other engines agree row-by-row. ``frac_val`` is quantized to 1e-6 (the
+    integer threshold) so the comparison is exact integer math."""
+    thresh = int(round(frac_val * SPLIT_MOD))
+    h = _split_hash(id_col, seed) % SPLIT_MOD
+    return docs.withColumn(
+        out, F.when(h < thresh, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def split_assign_stratified(
+    docs: DataFrame,
+    frac_val: float,
+    strata: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Exact-quota stratified split: within each stratum, the
+    ``floor(frac_val * n)`` rows with the smallest split hashes go to
+    'val'. Deterministic (hash then id tiebreak — ids are unique, so the
+    rank is total). One shuffle, keyed by the stratum column; see the
+    module docstring for the stratum-must-fit-a-partition bound."""
+    w = Window.partitionBy(strata).orderBy(
+        _split_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(strata)
+    quota = F.floor(F.lit(frac_val) * F.count("*").over(wc))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .withColumn(out, F.when(F.col("__rn") <= quota, F.lit("val")).otherwise(F.lit("train")))
+        .drop("__rn")
+    )
+
+
+def split_assign_by_group(
+    docs: DataFrame,
+    frac_val: float,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Leak-safe split: the hash-threshold decision is taken on
+    ``group_col`` (content sha / near-dup component id), so all rows of a
+    group share a side. ``docs`` must already carry the group column — at
+    scale that is the dedup pipeline's (sha, component) checkpoint joined
+    upstream, so this operator itself adds zero shuffle."""
+    return split_assign(docs, frac_val, id_col=group_col, seed=seed, out=out)
+
+
+def split_leak_pairs(
+    pairs: DataFrame,
+    assign: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup pairs whose endpoints fall on different sides of the split
+    — the leakage audit. ``pairs`` is any (doc_a, doc_b) relation (exact
+    Jaccard, LSH-verified, embedding near-dup); ``assign`` is (id, split).
+    Two equi-joins on the (small) assignment relation; at scale the
+    assignment is a narrow (id, split) projection and the pair relation is
+    already the bounded output of the dedup stages."""
+    aa = assign.select(
+        F.col(id_col).alias(a_col), F.col(split_col).alias("split_a")
+    )
+    bb = assign.select(
+        F.col(id_col).alias(b_col), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(aa, a_col)
+        .join(bb, b_col)
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(a_col, b_col, "split_a", "split_b")
+    )

@@ -1,0 +1,120 @@
+"""Deterministic train/val splitting (operators/split.py): determinism,
+fraction accuracy, exact stratified quotas, and the leak-safety ladder —
+sha-keyed splits never separate exact duplicates, component-keyed splits
+never separate near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sick_spark.functions.text import content_key, with_token_shingle_hashes
+from sick_spark.operators.components import connected_components
+from sick_spark.operators.ngram import ngram_jaccard_pairs
+from sick_spark.operators.split import (
+    split_assign,
+    split_assign_by_group,
+    split_assign_stratified,
+    split_leak_pairs,
+)
+
+
+def test_hash_split_deterministic_and_fraction(spark):
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = split_assign(d, 0.2, seed=1)
+    b = split_assign(d, 0.2, seed=1)
+    assert a.exceptAll(b).count() == 0  # pure function of (seed, id)
+    n_val = a.where("split = 'val'").count()
+    assert abs(n_val / 2000 - 0.2) < 0.03  # binomial tolerance
+    # a different seed reshuffles membership, not just the fraction
+    c = split_assign(d, 0.2, seed=2)
+    moved = a.join(c.withColumnRenamed("split", "s2"), "doc_id").where(
+        "split <> s2"
+    )
+    assert moved.count() > 0
+
+
+def test_stratified_exact_quota(spark):
+    rows = [(i, f"s{i % 3}") for i in range(90)]  # 30 per stratum
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    s = split_assign_stratified(d, 0.1, strata="source")
+    per = (
+        s.where("split = 'val'").groupBy("source").count().collect()
+    )
+    assert {r["source"]: r["count"] for r in per} == {"s0": 3, "s1": 3, "s2": 3}
+    # total rows preserved, assignment total
+    assert s.count() == 90
+
+
+def test_group_split_never_separates_exact_dups(spark):
+    d = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(70)], ["doc_id", "text"]
+    )
+    g = split_assign_by_group(
+        d.withColumn("sha", content_key("text")), 0.5, group_col="sha"
+    )
+    sides = g.groupBy("sha").agg(F.countDistinct("split").alias("k"))
+    assert sides.where("k > 1").count() == 0
+
+
+def test_component_split_has_zero_neardup_leakage(spark):
+    # planted near-dup families: doc i and i+100 share all but one token
+    base = [
+        (i, " ".join(f"w{i}t{j}" for j in range(12)))
+        for i in range(20)
+    ]
+    mut = [
+        (i + 100, " ".join(f"w{i}t{j}" for j in range(11)) + " zz")
+        for i in range(20)
+    ]
+    d = spark.createDataFrame(base + mut, ["doc_id", "content"])
+    sh = with_token_shingle_hashes(d, "content", 3).select(
+        "doc_id", "shingle_hashes"
+    )
+    pairs = ngram_jaccard_pairs(sh, 0.5)
+    assert pairs.count() == 20
+    comp = connected_components(
+        pairs.select(
+            F.col("doc_a").cast("string").alias("id_a"),
+            F.col("doc_b").cast("string").alias("id_b"),
+        )
+    )
+    assign = (
+        d.select(F.col("doc_id").cast("string").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("component", F.col("id")).alias("grp"),
+        )
+    )
+    s = split_assign_by_group(assign, 0.5, group_col="grp")
+    leaks = split_leak_pairs(
+        pairs.select(
+            F.col("doc_a").cast("string").alias("doc_a"),
+            F.col("doc_b").cast("string").alias("doc_b"),
+        ),
+        s.select("doc_id", "split"),
+    )
+    assert leaks.count() == 0
+    # while the naive doc-keyed split DOES leak on this fixture
+    naive = split_assign(
+        d.select(F.col("doc_id").cast("string").alias("doc_id")), 0.5, seed=7
+    )
+    naive_leaks = split_leak_pairs(
+        pairs.select(
+            F.col("doc_a").cast("string").alias("doc_a"),
+            F.col("doc_b").cast("string").alias("doc_b"),
+        ),
+        naive,
+    )
+    assert naive_leaks.count() > 0
+
+
+def test_split_is_map_side_zero_shuffle(spark):
+    d = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = (
+        split_assign(d, 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
