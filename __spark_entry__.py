@@ -1024,6 +1024,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_a", "doc_b")
     q["split_leak_audit"] = split_leak_audit
 
+    # --- bloom-prefiltered decontamination (operators/bloom.py): the same
+    #     answer as decontaminate_benchmark_overlap — the bloom pass is a
+    #     constant-memory plan optimization (false positives die at the
+    #     exact verify join, false negatives don't exist), so the query
+    #     shares its exact twin's value oracle (the ann_topk_ivf_stored
+    #     precedent). 1% target FP, filter sized by bloom_params.
+    def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.bloom import benchmark_ngram_hits_bloom
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = _benchmark_spans(d)
+        return (
+            benchmark_ngram_hits_bloom(
+                d, bench, k=8, content="text", bench_content="content"
+            ).orderBy("doc_id")
+        )
+    q["decontaminate_bloom_prefilter"] = decontaminate_bloom_prefilter
+
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
     #     2 distinct identities per text, normalized shas collapse the
@@ -3019,4 +3037,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN assign b ON b.doc_id = t.db
         ORDER BY doc_a, doc_b
     """
+
+    # the bloom prefilter must return the exact decontamination answer —
+    # membership compression is a plan decision, never a semantics one
+    o["decontaminate_bloom_prefilter"] = o["decontaminate_benchmark_overlap"]
     return o

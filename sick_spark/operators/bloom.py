@@ -1,0 +1,221 @@
+"""Bloom-filter membership prefilter: constant-memory set probing for
+decontamination (and any other "does this hash belong to the reference
+set?" pass) when the reference set outgrows a broadcast hash relation.
+
+Reference anchor: E11 KHash bucketing (``EBACodecs.scala:527-543``) — hash
+a value to a bounded structure to bound the scan; the Bloom filter is that
+idea with the bucket compressed to bits.
+
+Why not Spark's built-in runtime bloom filters: those are injected by the
+optimizer for shuffle pruning and aren't addressable as a first-class,
+checkpointable artifact. This one is: the filter is a **single-row
+DataFrame** ``(bits: array<long>, n_bits, n_hashes, n_items)`` built with
+one aggregation, broadcast to every probe task, and writable/readable as a
+one-row parquet table (the same stage-checkpoint discipline as every other
+pipeline artifact, SURVEY §2.1 E8).
+
+Scale shape (the 100 TB plan):
+
+- **build** is one ``explode(k seeds)`` + ``groupBy(word) bit_or`` over the
+  (small) reference side, then a single-row densify. A 10⁸-item reference
+  set at 1% FP is ~2²⁷ bits = 16 MB of longs — broadcastable where the raw
+  10⁸×8 B hash relation + join hashmap overhead is not.
+- **probe** is a pure Catalyst expression (k AND-ed bit tests against the
+  broadcast array) inside whole-stage codegen — zero Python, zero shuffle,
+  zero per-row JVM object churn. The corpus never moves.
+- **exactness**: the filter has false positives, never false negatives, so
+  callers use it as a PREFILTER: rows that fail the bloom skip the exact
+  verify join entirely; rows that pass (rare) are verified against the
+  true set. The composed answer is exactly the exact answer — the bloom is
+  a plan optimization, not a semantics change (the ``ann_topk_ivf_stored``
+  precedent), which is what lets bloom-routed queries share their exact
+  twin's value oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: refuse to densify a filter that would exceed ~256 MB on the driver-less
+#: single-row path (2^31 bits) — at that size the reference set belongs in
+#: a partitioned join, not a broadcast bloom
+BLOOM_MAX_BITS = 1 << 31
+
+
+def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Classic sizing: m = -n·ln p / ln²2 bits (rounded up to a multiple of
+    64), k = m/n·ln 2 hash functions. Deterministic, derive-don't-ask
+    (the ``SICKSettings`` rule, ``config.derive_rhp`` precedent)."""
+    if n_items <= 0:
+        return 64, 1
+    m = math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    if m > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"bloom filter would need {m} bits (> {BLOOM_MAX_BITS}); "
+            "use a partitioned exact join instead of a broadcast bloom"
+        )
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def bloom_build(
+    hashes: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+    h: str = "h",
+) -> DataFrame:
+    """Reference-set int64 hashes → a single-row ``(bits, n_bits, n_hashes,
+    n_items)`` filter. ``n_bits`` must be a multiple of 64.
+
+    Derived bit positions are ``pmod(xxhash64(h, j), n_bits)`` for seed j —
+    k independent functions from one 64-bit input, all JVM-side."""
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
+    if n_bits > BLOOM_MAX_BITS:
+        raise ValueError(f"n_bits {n_bits} exceeds BLOOM_MAX_BITS {BLOOM_MAX_BITS}")
+    n_words = n_bits // 64
+    seeds = F.explode(F.array(*[F.lit(j) for j in range(n_hashes)])).alias("j")
+    pos_sql = f"pmod(xxhash64(__h, j), {n_bits}L)"
+    sparse = (
+        hashes.select(F.col(h).alias("__h"), seeds)
+        .select(
+            F.expr(f"{pos_sql} div 64").alias("w"),
+            F.expr(f"shiftleft(1L, cast({pos_sql} % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    n_items = hashes.select(F.countDistinct(h).alias("n")).withColumn("__k", F.lit(1))
+    dense = (
+        sparse.groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm"))
+        .withColumn(
+            "bits",
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), "
+                "i -> coalesce(wm[cast(i as bigint)], 0L))"
+            ),
+        )
+        .withColumn("__k", F.lit(1))
+    )
+    return (
+        dense.join(n_items, "__k")
+        .select(
+            "bits",
+            F.lit(n_bits).alias("n_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+            F.col("n").alias("n_items"),
+        )
+    )
+
+
+def bloom_might_contain(h: str, bits_col: str, n_bits: int, n_hashes: int) -> Column:
+    """Pure-Catalyst membership test: all k bit probes set. ``h`` and
+    ``bits_col`` name the probe-hash and broadcast-filter-array columns; k
+    is fixed at build time so the test is a static AND chain in codegen."""
+    terms = []
+    for j in range(n_hashes):
+        pos = f"pmod(xxhash64({h}, {j}), {n_bits}L)"
+        terms.append(
+            f"(element_at({bits_col}, cast({pos} div 64 as int) + 1) "
+            f"& shiftleft(1L, cast({pos} % 64 as int))) != 0"
+        )
+    return F.expr(" AND ".join(terms))
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    bloom: DataFrame,
+    h: str = "h",
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """Rows of ``probe`` whose hash might be in the filter. ``bloom`` is the
+    single-row build output (broadcast here); n_bits/n_hashes default to the
+    filter's own metadata (read once, driver-side — one row)."""
+    if n_bits is None or n_hashes is None:
+        meta = bloom.select("n_bits", "n_hashes").first()
+        n_bits = n_bits or meta["n_bits"]
+        n_hashes = n_hashes or meta["n_hashes"]
+    b = F.broadcast(bloom.select("bits"))
+    return (
+        probe.crossJoin(b)
+        .where(bloom_might_contain(h, "bits", n_bits, n_hashes))
+        .drop("bits")
+    )
+
+
+def benchmark_ngram_hits_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    bench_content: str = "content",
+    fp_rate: float = 0.01,
+    n_bench_shingles: int | None = None,
+) -> DataFrame:
+    """Two-phase decontamination: bloom prefilter → exact verify. Returns
+    exactly :func:`sick_spark.operators.decontam.benchmark_ngram_hits`'s
+    answer — same columns, same rows (false positives die at the verify
+    join) — but corpus shingles that fail the bloom never reach any join.
+
+    ``n_bench_shingles`` sizes the filter without an extra count pass when
+    the caller already knows it; otherwise one count over the (small)
+    benchmark side."""
+    from sick_spark.operators.decontam import benchmark_shingles
+    from sick_spark.functions.text import with_token_shingle_hashes
+
+    bh = benchmark_shingles(bench, bench_content, k, bench_id)
+    n = (
+        n_bench_shingles
+        if n_bench_shingles is not None
+        else bh.select(F.countDistinct("h")).first()[0]
+    )
+    n_bits, n_hashes = bloom_params(max(n, 1), fp_rate)
+    bloom = bloom_build(bh.select("h").distinct(), n_bits, n_hashes)
+
+    dh = with_token_shingle_hashes(docs, content, k).select(
+        doc_id, F.explode_outer("shingle_hashes").alias("h")
+    )
+    candidates = bloom_prefilter(dh, bloom, n_bits=n_bits, n_hashes=n_hashes)
+    hits = candidates.join(F.broadcast(bh), "h")
+    return hits.groupBy(doc_id).agg(
+        F.countDistinct("h").alias("n_hit_shingles"),
+        F.countDistinct(bench_id).alias("n_benchmark_docs"),
+    )
+
+
+def bloom_fp_report(
+    probe: DataFrame,
+    bloom: DataFrame,
+    truth: DataFrame,
+    h: str = "h",
+) -> DataFrame:
+    """Observed false-positive accounting: of the probe hashes the bloom
+    passes, how many are actually in ``truth``? One row:
+    ``(n_probed, n_passed, n_true, fp_observed)`` — the no-silent-caps
+    discipline applied to the prefilter's error rate."""
+    passed = bloom_prefilter(probe.select(h).distinct(), bloom, h=h)
+    joined = passed.join(
+        truth.select(F.col(h).alias("__th")).distinct().withColumn("__t", F.lit(1)),
+        passed[h] == F.col("__th"),
+        "left",
+    )
+    agg = joined.agg(
+        F.count("*").alias("n_passed"),
+        F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+    )
+    total = probe.select(h).distinct().count()
+    return agg.select(
+        F.lit(total).alias("n_probed"),
+        "n_passed",
+        "n_true",
+        ((F.col("n_passed") - F.col("n_true")) / F.greatest(F.lit(total), F.lit(1))).alias(
+            "fp_observed"
+        ),
+    )

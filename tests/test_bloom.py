@@ -1,0 +1,102 @@
+"""Bloom-filter membership prefilter (operators/bloom.py): no false
+negatives ever, observed FP near target, sizing math, exact equality of the
+two-phase decontamination with its exact twin, and the JVM-only probe plan."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.operators.bloom import (
+    BLOOM_MAX_BITS,
+    benchmark_ngram_hits_bloom,
+    bloom_build,
+    bloom_fp_report,
+    bloom_params,
+    bloom_prefilter,
+)
+from sick_spark.operators.decontam import benchmark_ngram_hits
+
+
+@pytest.fixture(scope="module")
+def ref(spark):
+    rnd = random.Random(1)
+    return spark.createDataFrame(
+        [(rnd.getrandbits(63),) for _ in range(1000)], ["h"]
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def bloom(spark, ref):
+    n_bits, n_hashes = bloom_params(1000, 0.01)
+    return bloom_build(ref, n_bits, n_hashes).cache()
+
+
+def test_params_math():
+    m, k = bloom_params(1000, 0.01)
+    assert m % 64 == 0 and 9000 <= m <= 10240  # ~9.6 bits/item at 1%
+    assert k == 7  # round(m/n * ln2)
+    assert bloom_params(0, 0.01) == (64, 1)
+    with pytest.raises(ValueError):
+        bloom_params(BLOOM_MAX_BITS, 1e-9)
+
+
+def test_no_false_negatives(spark, ref, bloom):
+    # every inserted hash must pass — the property the exactness argument
+    # (prefilter-then-verify) rests on
+    assert bloom_prefilter(ref, bloom).count() == 1000
+
+
+def test_fp_rate_near_target(spark, ref, bloom):
+    rnd = random.Random(2)
+    probe = spark.createDataFrame(
+        [((1 << 62) + rnd.getrandbits(61),) for _ in range(5000)], ["h"]
+    )
+    row = bloom_fp_report(probe, bloom, ref).first()
+    assert row["n_true"] == 0  # disjoint ranges by construction
+    assert row["fp_observed"] < 0.03  # target 0.01, generous variance room
+
+
+def test_two_phase_decontam_equals_exact(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("text", "content")
+    )
+    toks = F.split(F.trim("content"), r"\s+")
+    bench = docs.where("doc_id % 53 = 1").select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, 3, 16)).alias("content"),
+    )
+    exact = benchmark_ngram_hits(docs, bench, k=8).orderBy("doc_id").collect()
+    bloomed = (
+        benchmark_ngram_hits_bloom(docs, bench, k=8).orderBy("doc_id").collect()
+    )
+    assert len(exact) > 0 and exact == bloomed
+
+
+def test_probe_is_jvm_side(spark, ref, bloom):
+    plan = (
+        bloom_prefilter(ref, bloom)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_build_rejects_bad_sizes(spark, ref):
+    with pytest.raises(ValueError):
+        bloom_build(ref, 100, 3)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build(ref, BLOOM_MAX_BITS * 2, 3)
+
+
+def test_roundtrip_through_parquet(spark, ref, bloom, tmp_path):
+    # the filter is a checkpointable one-row table (stage-checkpoint
+    # discipline): write, read back, probe — identical behavior
+    p = str(tmp_path / "bloom")
+    bloom.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    assert bloom_prefilter(ref, back).count() == 1000
