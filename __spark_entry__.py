@@ -1042,6 +1042,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["decontaminate_bloom_prefilter"] = decontaminate_bloom_prefilter
 
+    # --- fuzzy (overlap-ratio) decontamination: the GPT-3/PaLM rule —
+    #     contaminated iff >= 5% of a doc's distinct 8-gram shingles appear
+    #     in any benchmark entry. Every doc appears (clean tail with
+    #     zeros); same planted benchmark derivation as the verbatim query.
+    def decontaminate_fuzzy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.decontam import contamination_fraction
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = _benchmark_spans(d)
+        return contamination_fraction(
+            d, bench, k=8, threshold=0.05, content="text", bench_content="content"
+        ).orderBy("doc_id")
+    q["decontaminate_fuzzy_overlap"] = decontaminate_fuzzy_overlap
+
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
     #     2 distinct identities per text, normalized shas collapse the
@@ -3041,4 +3055,34 @@ def oracle_sql() -> dict[str, str]:
     # the bloom prefilter must return the exact decontamination answer —
     # membership compression is a plan decision, never a semantics one
     o["decontaminate_bloom_prefilter"] = o["decontaminate_benchmark_overlap"]
+
+    # fuzzy decontamination: same span derivation + 8-gram shingles, but
+    # the per-doc DISTINCT-shingle denominator and the >= 5% ratio rule
+    o["decontaminate_fuzzy_overlap"] = rf"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents),
+        bspan AS (SELECT doc_id AS bench_id, {_BM_SLICE_SQL} AS bs
+                  FROM w WHERE {_BM_WHERE_SQL}),
+        bsh AS (SELECT DISTINCT
+                       unnest([array_to_string(list_slice(bs, i, i + 7), ' ')
+                               FOR i IN generate_series(1, greatest(len(bs) - 7, 1))]) AS s
+                FROM bspan),
+        dsh AS (SELECT doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(list_slice(ws, i, i + 7), ' ')
+                            FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS s
+                FROM w),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY 1),
+        hits AS (SELECT d.doc_id, count(DISTINCT d.s) AS n_hit_shingles
+                 FROM dsh d JOIN bsh b ON d.s = b.s GROUP BY 1)
+        SELECT s.doc_id,
+               CAST(s.n_shingles AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+               coalesce(h.n_hit_shingles, 0) * 1.0 / greatest(s.n_shingles, 1)
+                   AS contamination_frac,
+               (coalesce(h.n_hit_shingles, 0) * 1.0 / greatest(s.n_shingles, 1)
+                   >= 0.05) AS contaminated
+        FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        ORDER BY s.doc_id
+    """
     return o

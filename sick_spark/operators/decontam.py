@@ -91,6 +91,75 @@ def benchmark_ngram_hits(
     )
 
 
+def contamination_fraction(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int,
+    threshold: float = 0.05,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    bench_content: str = "content",
+) -> DataFrame:
+    """Fuzzy (overlap-ratio) contamination, the GPT-3/PaLM-style rule: a
+    document is contaminated when ≥ ``threshold`` of its distinct k-gram
+    shingles appear in ANY benchmark entry — catching paraphrase-adjacent
+    leakage that single-shingle hit counting treats the same as one
+    accidental collision. Returns EVERY document:
+    ``(doc_id, n_shingles, n_hit_shingles, contamination_frac,
+    contaminated)`` — the clean tail with zeros is the product.
+
+    Same scale shape as :func:`benchmark_ngram_hits`: the per-doc
+    denominator (distinct shingle count) is computed map-side before the
+    explode; only hit rows shuffle.
+    """
+    bh = benchmark_shingles(bench, bench_content, k, bench_id).select("h").distinct()
+    dsh = with_token_shingle_hashes(docs, content, k)
+    sizes = dsh.select(doc_id, F.size("shingle_hashes").alias("n_shingles"))
+    dh = dsh.select(doc_id, F.explode_outer("shingle_hashes").alias("h"))
+    hits = (
+        dh.join(F.broadcast(bh), "h")
+        .groupBy(doc_id)
+        .agg(F.countDistinct("h").alias("n_hit_shingles"))
+    )
+    frac = F.coalesce("n_hit_shingles", F.lit(0)) / F.greatest(
+        F.col("n_shingles"), F.lit(1)
+    )
+    return (
+        sizes.join(hits, doc_id, "left")
+        .select(
+            doc_id,
+            "n_shingles",
+            F.coalesce("n_hit_shingles", F.lit(0)).alias("n_hit_shingles"),
+            frac.alias("contamination_frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int,
+    threshold: float = 0.05,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    bench_content: str = "content",
+) -> DataFrame:
+    """Drop pass for the overlap-ratio rule: ``docs`` minus documents whose
+    contamination fraction meets ``threshold``. Broadcast LEFT ANTI on the
+    (small) contaminated-id relation — corpus rows never shuffle."""
+    bad = (
+        contamination_fraction(
+            docs, bench, k, threshold, content, doc_id, bench_id, bench_content
+        )
+        .where("contaminated")
+        .select(doc_id)
+    )
+    return docs.join(F.broadcast(bad), doc_id, "left_anti")
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

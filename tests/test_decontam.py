@@ -87,3 +87,35 @@ def test_benchmark_shingles_distinct_pairs(spark):
     rows = benchmark_shingles(bench, "content", k=8).collect()
     # 9 tokens -> 2 grams per entry, distinct per (bench_id, h)
     assert len(rows) == 4
+
+
+def test_contamination_fraction_all_docs_with_zeros(spark):
+    from sick_spark.operators.decontam import contamination_fraction
+
+    r = {
+        row["doc_id"]: row.asDict()
+        for row in contamination_fraction(
+            _corpus(spark), _bench(spark), k=8, threshold=0.05, content="text"
+        ).collect()
+    }
+    assert set(r) == {1, 2, 3, 4}  # clean docs present with zeros
+    assert r[4]["n_hit_shingles"] == 0 and not r[4]["contaminated"]
+    assert r[3]["n_hit_shingles"] == 0  # shares words, no 8-gram
+    # doc 1 embeds the benchmark verbatim: 3 of its 14 8-grams leak
+    assert r[1]["n_hit_shingles"] == 3
+    assert r[1]["contamination_frac"] == 3 / r[1]["n_shingles"]
+    assert r[1]["contaminated"]
+
+
+def test_decontaminate_fuzzy_threshold_separates(spark):
+    from sick_spark.operators.decontam import decontaminate_fuzzy
+
+    # at a high threshold only the verbatim embedder is dropped; at a tiny
+    # one every doc sharing a single 8-gram goes
+    kept_high = decontaminate_fuzzy(
+        _corpus(spark), _bench(spark), k=8, threshold=0.5, content="text"
+    ).count()
+    kept_low = decontaminate_fuzzy(
+        _corpus(spark), _bench(spark), k=8, threshold=1e-9, content="text"
+    ).count()
+    assert kept_low < kept_high <= 4
