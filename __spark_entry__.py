@@ -1056,6 +1056,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["decontaminate_fuzzy_overlap"] = decontaminate_fuzzy_overlap
 
+    # --- round-4 capstone composition: repetition gate → fuzzy decontam →
+    #     exact collapse → stratified leak-bounded split → per-(lang,split)
+    #     release accounting. The third "does it compose" proof next to
+    #     training_prep_e2e (near-dup path) and curation_prep_e2e
+    #     (normalize/redact path), covering the operators added this round;
+    #     one DuckDB oracle replays the whole chain.
+    def corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.decontam import contamination_fraction
+        from sick_spark.operators.repetition import ngram_repetition_stats
+        from sick_spark.operators.split import split_assign_stratified
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        rep = ngram_repetition_stats(d, content="text", top_ns=(2, 3), dup_ns=())
+        keep = rep.where(
+            (F.col("top2_char_frac") <= 0.20) & (F.col("top3_char_frac") <= 0.18)
+        ).select("doc_id")
+        survivors = d.join(keep, "doc_id")
+        bench = _benchmark_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        cf = contamination_fraction(
+            survivors, bench, k=8, threshold=0.05, content="text"
+        )
+        clean = survivors.join(
+            cf.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+        reps = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        kept = reps.join(clean.select("doc_id", "lang"), "doc_id")
+        s = split_assign_stratified(kept.select("doc_id", "lang"), 0.1, strata="lang")
+        out = s.join(
+            kept.select("doc_id", token_count("text").alias("nt")), "doc_id"
+        )
+        return (
+            out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("nt").alias("tokens"))
+            .orderBy("lang", "split")
+        )
+    q["corpus_release_e2e"] = corpus_release_e2e
+
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
     #     2 distinct identities per text, normalized shas collapse the
@@ -3084,5 +3123,57 @@ def oracle_sql() -> dict[str, str]:
                    >= 0.05) AS contaminated
         FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
         ORDER BY s.doc_id
+    """
+
+    # round-4 capstone: one CTE chain replays repetition gate → fuzzy
+    # decontam → exact collapse → stratified split → release accounting
+    o["corpus_release_e2e"] = rf"""
+        WITH w AS (SELECT doc_id, lang, text,
+                          list_filter(string_split_regex(trim(text), '\s+'),
+                                      t -> t <> '') AS ts,
+                          string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents),
+        g0 AS (SELECT doc_id, n,
+                      [array_to_string(list_slice(ts, i, i + n - 1), ' ')
+                       FOR i IN generate_series(1, len(ts) - n + 1)] AS gs
+               FROM w CROSS JOIN (VALUES (2), (3)) AS nn(n)),
+        g AS (SELECT doc_id, n, unnest(gs) AS gram FROM g0),
+        c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        top AS (SELECT w.doc_id,
+                       coalesce(max(CASE WHEN n = 2 THEN c * length(gram) END), 0) * 1.0
+                           / greatest(length(w.text), 1) AS t2,
+                       coalesce(max(CASE WHEN n = 3 THEN c * length(gram) END), 0) * 1.0
+                           / greatest(length(w.text), 1) AS t3
+                FROM w LEFT JOIN c ON c.doc_id = w.doc_id
+                GROUP BY w.doc_id, w.text),
+        keep AS (SELECT doc_id FROM top WHERE t2 <= 0.20 AND t3 <= 0.18),
+        bspan AS (SELECT doc_id AS bench_id, {_BM_SLICE_SQL} AS bs
+                  FROM w WHERE {_BM_WHERE_SQL}),
+        bsh AS (SELECT DISTINCT
+                       unnest([array_to_string(list_slice(bs, i, i + 7), ' ')
+                               FOR i IN generate_series(1, greatest(len(bs) - 7, 1))]) AS s
+                FROM bspan),
+        dsh AS (SELECT w.doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(list_slice(ws, i, i + 7), ' ')
+                            FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS s
+                FROM w JOIN keep USING (doc_id)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        hits AS (SELECT d.doc_id, count(DISTINCT d.s) AS h
+                 FROM dsh d JOIN bsh b ON d.s = b.s GROUP BY 1),
+        clean AS (SELECT s.doc_id FROM sizes s LEFT JOIN hits h USING (doc_id)
+                  WHERE coalesce(h.h, 0) * 1.0 / greatest(s.n, 1) < 0.05),
+        reps AS (SELECT min(w.doc_id) AS doc_id, w.text
+                 FROM w JOIN clean USING (doc_id) GROUP BY w.text),
+        kept AS (SELECT r.doc_id, w2.lang, len(w2.ws) AS nt,
+                        CAST(CONCAT('0x', SUBSTR(sha256('42:' || CAST(r.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+                 FROM reps r JOIN w w2 ON w2.doc_id = r.doc_id),
+        sp AS (SELECT lang, nt,
+                      CASE WHEN ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+                                <= floor(0.1 * COUNT(*) OVER (PARTITION BY lang))
+                           THEN 'val' ELSE 'train' END AS split
+               FROM kept)
+        SELECT lang, split, count(*) AS docs, CAST(sum(nt) AS BIGINT) AS tokens
+        FROM sp GROUP BY 1, 2 ORDER BY lang, split
     """
     return o

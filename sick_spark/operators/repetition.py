@@ -121,6 +121,8 @@ def ngram_repetition_stats(
     end, so they replay bit-identically in any IEEE engine.
     """
     ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+    if not ns:
+        raise ValueError("at least one of top_ns/dup_ns must be non-empty")
     rows = _gram_rows(docs, content, doc_id, ns)
 
     # one map-side-combinable groupBy per (doc, n, gram): occurrence count
@@ -130,46 +132,58 @@ def ngram_repetition_stats(
     )
 
     # top-n-gram chars: max over grams of count * gram_chars (the tie rule —
-    # equal counts resolved by char length — is deterministic and order-free).
+    # equal counts resolved by char length — is deterministic and order-free);
+    # either stat family may be empty (e.g. dup_ns=() when only the top-n
+    # gates are wanted) and its aggregate/columns are simply omitted.
     # Occurrences are the sliding-window count (same as DataTrove's
     # Counter(ngrams)), so overlapping self-repeats ("x y x y" has FOUR
     # overlapping 4-gram occurrences of itself) can push the fraction above
     # 1.0 for degenerate documents — far past any threshold, kept exact so
     # the oracle replays it rather than hiding it behind a cap.
-    top = per_gram.groupBy(doc_id).agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("c") * F.col("glen"))).alias(
-                f"__top{n}_chars"
+    aggs = []
+    if top_ns:
+        aggs.append(
+            per_gram.groupBy(doc_id).agg(
+                *[
+                    F.max(
+                        F.when(F.col("n") == n, F.col("c") * F.col("glen"))
+                    ).alias(f"__top{n}_chars")
+                    for n in top_ns
+                ]
             )
-            for n in top_ns
-        ]
-    )
+        )
 
     # duplicated-gram coverage: union of [pos, pos+n-1] over duplicated
     # grams. Same-length intervals sorted by start ⇒ each interval adds
     # min(n, pos - prev_pos) new positions.
-    dup_pos = (
-        per_gram.where((F.col("c") >= 2) & F.col("n").isin(*dup_ns))
-        .select(doc_id, "n", F.explode("ps").alias("pos"))
-    )
-    w = Window.partitionBy(doc_id, "n").orderBy("pos")
-    covered = dup_pos.withColumn(
-        "cov",
-        F.least(F.col("n"), F.col("pos") - F.lag("pos").over(w)).cast("long"),
-    ).withColumn("cov", F.coalesce("cov", F.col("n")))
-    dup = covered.groupBy(doc_id).agg(
-        *[
-            F.sum(F.when(F.col("n") == n, F.col("cov"))).alias(f"__dup{n}_tok")
-            for n in dup_ns
-        ]
-    )
+    if dup_ns:
+        dup_pos = (
+            per_gram.where((F.col("c") >= 2) & F.col("n").isin(*dup_ns))
+            .select(doc_id, "n", F.explode("ps").alias("pos"))
+        )
+        w = Window.partitionBy(doc_id, "n").orderBy("pos")
+        covered = dup_pos.withColumn(
+            "cov",
+            F.least(F.col("n"), F.col("pos") - F.lag("pos").over(w)).cast("long"),
+        ).withColumn("cov", F.coalesce("cov", F.col("n")))
+        aggs.append(
+            covered.groupBy(doc_id).agg(
+                *[
+                    F.sum(F.when(F.col("n") == n, F.col("cov"))).alias(
+                        f"__dup{n}_tok"
+                    )
+                    for n in dup_ns
+                ]
+            )
+        )
 
-    base = docs.select(
+    out = docs.select(
         doc_id,
         F.expr(f"size(filter({tokens_sql(content)}, t -> t <> ''))").alias("n_tok"),
         F.length(F.col(content)).alias("tot_chars"),
     )
-    out = base.join(top, doc_id, "left").join(dup, doc_id, "left")
+    for a in aggs:
+        out = out.join(a, doc_id, "left")
     sel = [F.col(doc_id), F.col("n_tok"), F.col("tot_chars")]
     for n in top_ns:
         sel.append(
