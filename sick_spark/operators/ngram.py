@@ -22,6 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _explode_shingles(sh: DataFrame, col: str = "__h") -> DataFrame:
+    """``explode_outer`` + null drop instead of plain ``explode`` — the
+    decontam optimizer workaround (``operators/decontam.py``
+    ``benchmark_shingles`` docstring): inner explode makes Catalyst infer a
+    ``size(arr) > 0`` filter and push it BELOW the shingle projection,
+    re-inlining the two-step token-hash expression per element access —
+    O(grams × k) re-tokenizations per row when the shingle frame is not
+    checkpointed (measured 11 s → ~4 s on containment_pairs_ngram at
+    sf0.1). The arrays are never empty by construction (sub-k docs emit one
+    whole-doc shingle), so this is value-identical; the null filter runs on
+    the exploded OUTPUT and guards the impossible empty-array row."""
+    return sh.select("doc_id", F.explode_outer(col).alias("h")).where(
+        F.col("h").isNotNull()
+    )
+
+
 def ngram_jaccard_pairs(
     shingled: DataFrame,
     threshold: float,
@@ -32,7 +48,7 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b) with exact Jaccard >= threshold over distinct shingle
     sets. ``max_df`` caps per-shingle fan-out (see module doc)."""
     sh = shingled.select(F.col(id_col).alias("doc_id"), F.col(hashes).alias("__h"))
-    ex = sh.select("doc_id", F.explode("__h").alias("h"))
+    ex = _explode_shingles(sh)
     sizes = sh.select("doc_id", F.size("__h").alias("n"))
     if max_df is not None:
         hot = (
@@ -77,7 +93,7 @@ def ngram_containment_pairs(
     :func:`hot_shingle_report`, never silent).
     """
     sh = shingled.select(F.col(id_col).alias("doc_id"), F.col(hashes).alias("__h"))
-    ex = sh.select("doc_id", F.explode("__h").alias("h"))
+    ex = _explode_shingles(sh)
     sizes = sh.select("doc_id", F.size("__h").alias("n"))
     if max_df is not None:
         hot = (

@@ -94,13 +94,23 @@ def gram_occurrences(
     l: int = 8,
     portable: bool = True,
 ) -> DataFrame:
-    """(id, pos, gh): one row per l-gram occurrence, pos = 1-based start."""
+    """(id, pos, gh): one row per l-gram occurrence, pos = 1-based start.
+
+    ``posexplode_outer`` + null drop instead of plain ``posexplode`` — the
+    decontam optimizer workaround: inner explode makes Catalyst infer a
+    ``size(__g) > 0`` filter and push it BELOW the gram projection, where
+    the per-gram sha60 chain gets re-inlined per element access (measured
+    12 s → 3 s on the sf0.1 corpus). Sub-l documents DO produce an empty
+    gram array here, so the emitted null row is real and the null filter
+    load-bearing (it drops exactly those documents, as inner explode
+    would)."""
     return (
         docs.select(
             F.col(id_col).alias("id"),
             F.expr(_grams_sql(tokens_sql(content), l, portable)).alias("__g"),
         )
-        .select("id", F.posexplode("__g").alias("idx", "gh"))
+        .select("id", F.posexplode_outer("__g").alias("idx", "gh"))
+        .where(F.col("gh").isNotNull())
         .select("id", (F.col("idx") + 1).alias("pos"), "gh")
     )
 
