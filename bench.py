@@ -525,6 +525,13 @@ def main() -> None:
         "semdedup_flags",
         "containment_pairs_ngram",
         "doc_unigram_logprob",
+        # round 4 (cont.): Gopher repetition gates, deterministic splits,
+        # bloom-prefiltered + fuzzy decontamination, release composition
+        "doc_repetition_flags",
+        "doc_split_stratified",
+        "decontaminate_bloom_prefilter",
+        "decontaminate_fuzzy_overlap",
+        "corpus_release_e2e",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

@@ -1,0 +1,145 @@
+"""Trainable quality classifier + importance-sampled filtering — the GPT-3
+curation recipe (Brown et al. 2020, Appendix A): a logistic-regression
+classifier over hashed tf-idf features scores every document's similarity
+to a high-quality reference corpus, and documents are kept by a Pareto
+acceptance rule so the filtered corpus still contains (mostly lower-scored)
+out-of-distribution documents instead of collapsing onto the classifier's
+mode.
+
+This is the TRAINED sibling of the two existing quality signals — the
+closed-form heuristic (``functions/textstats.quality_score``) and the
+corpus-statistical unigram LM (``operators/lmquality``). Reference anchor:
+E3 builder dispatch — the caller picks the quality discipline, the engine
+keeps the plan (the same seat the injectable token counter occupies for
+packing).
+
+Spark ML, not sklearn: HashingTF/IDF/LogisticRegression are JVM-side and
+distributed — feature hashing is map-side per document, IDF is one
+aggregate, L-BFGS training runs as treeAggregate rounds over the (small)
+labeled set, and SCORING (the 10¹²-row side) is a map-side sparse dot per
+document with zero Python and zero shuffle.
+
+Determinism:
+
+- training is deterministic for a fixed input + partitioning (L-BFGS over
+  treeAggregate float sums; the usual float-order caveat applies across
+  REPARTITIONINGS — the ``lloyd_refine`` precedent, which is why this
+  operator is pytest-gated rather than value-oracled: iterative float
+  optimization does not replay cross-engine);
+- the ACCEPTANCE rule is engine-deterministic: GPT-3 keeps a document iff
+  ``np.random.pareto(alpha) > 1 - score``; we replace the RNG draw with
+  the portable uniform ``u = sha60(seed:id) / 2⁶⁰`` pushed through the
+  Pareto-II inverse CDF ``(1-u)^(-1/alpha) - 1`` — same marginal
+  distribution, but a pure function of (seed, id), so retries, reruns and
+  engines agree row-by-row (the split/shuffle discipline,
+  ``operators/split.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sick_spark.functions.text import sha60
+
+#: GPT-3's published Pareto shape for the acceptance rule
+GPT3_PARETO_ALPHA = 9.0
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    content: str = "content",
+    n_features: int = 1 << 18,
+    reg_param: float = 1e-3,
+    max_iter: int = 50,
+):
+    """Fit tf-idf + logistic regression on (reference ∪ negative) documents.
+
+    ``positive`` is the high-quality reference (GPT-3 used WebText/books/
+    wiki), ``negative`` the raw-corpus sample. Returns a fitted
+    ``pyspark.ml.PipelineModel`` whose ``transform`` adds a ``probability``
+    vector — everything JVM-side (RegexTokenizer → HashingTF → IDF → LR).
+    The labeled set is the SMALL side at scale (10⁵–10⁷ docs); the model
+    itself is a dense coefficient vector of ``n_features`` — broadcastable.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+
+    labeled = positive.select(
+        F.col(content).alias("__text"), F.lit(1.0).alias("label")
+    ).unionByName(
+        negative.select(F.col(content).alias("__text"), F.lit(0.0).alias("label"))
+    )
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol="__text", outputCol="__toks", pattern=r"\s+", minTokenLength=1
+            ),
+            HashingTF(inputCol="__toks", outputCol="__tf", numFeatures=n_features),
+            IDF(inputCol="__tf", outputCol="__features"),
+            LogisticRegression(
+                featuresCol="__features",
+                labelCol="label",
+                regParam=reg_param,
+                maxIter=max_iter,
+                standardization=False,
+            ),
+        ]
+    )
+    return pipe.fit(labeled)
+
+
+def score_quality(
+    model,
+    docs: DataFrame,
+    content: str = "content",
+    out: str = "quality_prob",
+) -> DataFrame:
+    """Adds ``quality_prob`` = P(high quality | doc) to every row. Map-side:
+    tokenizer + feature hash + one sparse dot against the broadcast
+    coefficient vector; no shuffle, no Python."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs.withColumn("__text", F.col(content)))
+    return scored.withColumn(
+        out, vector_to_array("probability").getItem(1)
+    ).drop("__text", "__toks", "__tf", "__features", "rawPrediction", "probability", "prediction")
+
+
+def pareto_keep(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_prob",
+    alpha: float = GPT3_PARETO_ALPHA,
+    seed: int = 42,
+    out: str = "keep",
+) -> DataFrame:
+    """GPT-3's acceptance rule, made deterministic: keep iff
+    ``pareto_draw(id) > 1 - score`` where the draw is the Pareto-II inverse
+    CDF of the portable uniform ``sha60(seed:id)/2⁶⁰``. High-scoring
+    documents are almost always kept; low-scoring ones survive with
+    probability ≈ (1 - score)^(-alpha)… i.e. rarely but not never — the
+    published trick that keeps the filtered corpus from collapsing onto
+    the classifier's decision boundary."""
+    u = sha60(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.withColumn(out, draw > (F.lit(1.0) - F.col(score_col)))
+
+
+def quality_filter(
+    model,
+    docs: DataFrame,
+    content: str = "content",
+    id_col: str = "doc_id",
+    alpha: float = GPT3_PARETO_ALPHA,
+    seed: int = 42,
+) -> DataFrame:
+    """Score → Pareto-accept → surviving rows (original columns +
+    ``quality_prob``). The full GPT-3 filtering pass as one map-side
+    pipeline over the corpus."""
+    scored = score_quality(model, docs, content)
+    kept = pareto_keep(scored, id_col=id_col, alpha=alpha, seed=seed)
+    return kept.where("keep").drop("keep")

@@ -41,6 +41,17 @@ CHEAP = [
     "doc_redaction_stats",
     "doc_sample_per_source",
     "token_vocab_by_lang",
+    # round 4 (cont.): repetition gates, splits, decontam variants, the
+    # release composition, and the substrdup pair (cheap since the
+    # explode re-inline fix)
+    "doc_repetition_flags",
+    "doc_split_stratified",
+    "split_leak_audit",
+    "decontaminate_bloom_prefilter",
+    "decontaminate_fuzzy_overlap",
+    "corpus_release_e2e",
+    "substring_dup_stats",
+    "doc_substrdup_removed",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -1,0 +1,105 @@
+"""GPT-3-style quality classifier (operators/qualityclf.py): separability
+on planted corpora, deterministic scoring, the Pareto acceptance rule's
+monotonicity + determinism, and the JVM-only scoring plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.operators.qualityclf import (
+    pareto_keep,
+    quality_filter,
+    score_quality,
+    train_quality_classifier,
+)
+
+
+def _corpora(spark):
+    # "high quality": diverse natural-ish word soup; "junk": degenerate
+    # token spam — the separable planted fixture
+    good = [
+        (i, " ".join(f"w{(i * 7 + j * 13) % 97}" for j in range(40)))
+        for i in range(120)
+    ]
+    junk = [
+        (1000 + i, " ".join(f"spam{i % 3}" for _ in range(40)))
+        for i in range(120)
+    ]
+    g = spark.createDataFrame(good, ["doc_id", "content"])
+    b = spark.createDataFrame(junk, ["doc_id", "content"])
+    return g, b
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    g, b = _corpora(spark)
+    # train on the even ids, hold out the odd ones
+    return train_quality_classifier(
+        g.where("doc_id % 2 = 0"), b.where("doc_id % 2 = 0"), n_features=1 << 12
+    )
+
+
+def test_classifier_separates_heldout(spark, model):
+    g, b = _corpora(spark)
+    held = g.where("doc_id % 2 = 1").unionByName(b.where("doc_id % 2 = 1"))
+    s = score_quality(model, held)
+    rows = {r["doc_id"]: r["quality_prob"] for r in s.collect()}
+    good_scores = [v for k, v in rows.items() if k < 1000]
+    junk_scores = [v for k, v in rows.items() if k >= 1000]
+    assert min(good_scores) > max(junk_scores)  # fully separable fixture
+    assert sum(good_scores) / len(good_scores) > 0.8
+    assert sum(junk_scores) / len(junk_scores) < 0.2
+
+
+def test_scoring_deterministic(spark, model):
+    g, _ = _corpora(spark)
+    a = score_quality(model, g).select("doc_id", "quality_prob").collect()
+    b = score_quality(model, g).select("doc_id", "quality_prob").collect()
+    assert sorted(a) == sorted(b)
+
+
+def test_pareto_keep_deterministic_and_monotone(spark):
+    # same ids, two score levels: raising every score can only ADD keeps
+    ids = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    low = pareto_keep(ids.withColumn("quality_prob", F.lit(0.05)))
+    high = pareto_keep(ids.withColumn("quality_prob", F.lit(0.95)))
+    n_low = low.where("keep").count()
+    n_high = high.where("keep").count()
+    assert n_low < n_high
+    # monotone per id: every id kept at low score is kept at high score
+    flipped = (
+        low.select("doc_id", F.col("keep").alias("kl"))
+        .join(high.select("doc_id", F.col("keep").alias("kh")), "doc_id")
+        .where("kl and not kh")
+    )
+    assert flipped.count() == 0
+    # deterministic: a rerun is identical
+    again = pareto_keep(ids.withColumn("quality_prob", F.lit(0.05)))
+    assert low.exceptAll(again).count() == 0
+    # the acceptance rule really is stochastic-looking: at score 0.05 the
+    # survival rate is small but nonzero (OOD docs are sampled, not culled)
+    assert 0 < n_low < 4000 * 0.2
+
+
+def test_quality_filter_end_to_end(spark, model):
+    g, b = _corpora(spark)
+    kept = quality_filter(model, g.unionByName(b))
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    n_good = len([i for i in ids if i < 1000])
+    n_junk = len([i for i in ids if i >= 1000])
+    assert n_good > 100  # high scores almost always survive
+    assert n_junk < 40  # junk mostly (not necessarily entirely) culled
+    assert "quality_prob" in kept.columns
+
+
+def test_scoring_plan_no_python(spark, model):
+    g, _ = _corpora(spark)
+    plan = (
+        score_quality(model, g)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan  # scoring is map-side
