@@ -1095,6 +1095,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_release_e2e"] = corpus_release_e2e
 
+    # --- DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    #     every doc is decorated with its lang tag thrice (so the hashed
+    #     bigram models can discriminate — the base word-soup is
+    #     lang-uniform); target = the en docs with doc_id % 5 == 0; the
+    #     query selects the Gumbel-top-100 by fixed-point importance
+    #     weight. Fully value-oracled: fixed-point log ratios + the
+    #     deterministic sha60 Gumbel replay in DuckDB (the lmquality
+    #     ln-boundary analysis applies, ~1e-9/bucket).
+    def dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.dsir import (
+            dsir_log_ratios,
+            dsir_select,
+            dsir_weights,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        deco = F.concat(
+            F.col("text"),
+            F.lit(" t"), F.col("lang"),
+            F.lit(" t"), F.col("lang"),
+            F.lit(" t"), F.col("lang"),
+        )
+        raw = d.select("doc_id", "lang", deco.alias("content"))
+        target = raw.where((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+        ratios = dsir_log_ratios(target, raw, content="content", n=2)
+        wts = dsir_weights(raw, ratios, content="content", n=2)
+        return dsir_select(wts, k=100).orderBy("rank")
+    q["dsir_selected"] = dsir_selected
+
     # --- dedup up to comments: every doc gets a comment-decorated twin
     #     (block + line + hash comments, extra whitespace); raw shas see
     #     2 distinct identities per text, normalized shas collapse the
@@ -3175,5 +3206,43 @@ def oracle_sql() -> dict[str, str]:
                FROM kept)
         SELECT lang, split, count(*) AS docs, CAST(sum(nt) AS BIGINT) AS tokens
         FROM sp GROUP BY 1, 2 ORDER BY lang, split
+    """
+
+    # DSIR: replay decoration, hashed-bigram bag models, fixed-point log
+    # ratios, per-doc integer weights, the sha60 Gumbel, and the top-k
+    o["dsir_selected"] = """
+        WITH w AS (SELECT doc_id, lang,
+                          text || ' t' || lang || ' t' || lang || ' t' || lang AS content
+                   FROM documents),
+        tok AS (SELECT doc_id, lang,
+                       string_split_regex(trim(content), '\\s+') AS ts
+                FROM w),
+        feats AS (SELECT doc_id, lang,
+                         unnest([CAST(CONCAT('0x', SUBSTR(sha256(
+                                    array_to_string(list_slice(ts, i, i + 1), ' ')), 1, 15))
+                                 AS BIGINT) % 65536
+                                 FOR i IN generate_series(1, greatest(len(ts) - 1, 1))]) AS b
+                  FROM tok),
+        tcnt AS (SELECT b, count(*) AS ct FROM feats
+                 WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY b),
+        rcnt AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM feats WHERE lang = 'en' AND doc_id % 5 = 0) AS tt,
+                       (SELECT count(*) FROM feats) AS tr),
+        lr AS (SELECT r.b,
+                      CAST(ROUND((ln((coalesce(t.ct, 0) + 1) * 1.0 / (tt + 65536))
+                                - ln((r.cr + 1) * 1.0 / (tr + 65536))) * 1000000, 0)
+                           AS BIGINT) AS lr_fp
+               FROM rcnt r LEFT JOIN tcnt t USING (b), tot),
+        wts AS (SELECT f.doc_id,
+                       CAST(sum(coalesce(l.lr_fp, 0)) AS BIGINT) AS w_fp
+                FROM feats f LEFT JOIN lr l USING (b) GROUP BY 1),
+        keyed AS (SELECT doc_id, w_fp,
+                         w_fp + CAST(ROUND(-ln(-ln(
+                             (CAST(CONCAT('0x', SUBSTR(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                             / 1152921504606846976.0)) * 1000000, 0) AS BIGINT) AS key_fp
+                  FROM wts)
+        SELECT doc_id, w_fp, key_fp,
+               ROW_NUMBER() OVER (ORDER BY key_fp DESC, doc_id) AS rank
+        FROM keyed ORDER BY key_fp DESC, doc_id LIMIT 100
     """
     return o

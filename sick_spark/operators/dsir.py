@@ -1,0 +1,176 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+select raw-corpus documents whose hashed n-gram distribution looks like a
+TARGET corpus, by importance weights under two bag-of-hashed-ngrams models,
+then Gumbel-top-k resampling.
+
+The fourth member of this engine's quality/selection family: textstats is
+closed-form, lmquality is corpus-statistical, qualityclf is discriminative
+(train a classifier to tell target from raw), DSIR is **generative** —
+estimate p_target and p_raw over hashed features and weight each document
+by its log-likelihood ratio. The published result: DSIR ≈ expert filtering
+for domain-targeted pretraining selection, at a fraction of the cost.
+
+Reference anchor: E10 frequency counting over interned identities, twice —
+the two models ARE two ref-count tables over the same hashed-feature
+identity space, and the weight is the difference of their log-normalized
+counts (the same anchor as ``lmquality``, applied contrastively).
+
+Cross-engine determinism (the oracle contract, inherited from
+``lmquality``): per-bucket log ratios are FIXED-POINTED once per DISTINCT
+bucket — ``round((ln p_t - ln p_r) · 1e6)`` as BIGINT — so per-document
+weights are order-free integer sums. The Gumbel perturbation is made
+deterministic the same way the split/shuffle/Pareto rules are: the uniform
+is the portable ``(sha60(seed:id) + 0.5) / 2⁶⁰`` (strictly inside (0,1)),
+pushed through ``-ln(-ln u)`` and fixed-pointed to the same 1e-6 grid, so
+the resampling key ``w_fp + g_fp`` is a BIGINT both engines agree on.
+
+Scale shape (the 100 TB plan):
+
+- features are hashed into ``n_buckets`` (2¹⁶ default): BOTH models are
+  bounded tables regardless of corpus size, built by one map-side-
+  combinable groupBy each; the ratio table broadcasts to the scorer;
+- scoring = explode raw-corpus features narrow (id, bucket) → broadcast
+  join → one map-side-combinable integer sum per document. Nothing
+  quadratic, no Python, corpus exchanged once (by id, 16-byte rows);
+- selection = global top-k on the perturbed key —
+  ``TakeOrderedAndProject``, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from sick_spark.functions.text import sha60, tokens_sql
+
+#: fixed-point scale shared with lmquality (same boundary analysis)
+FP_SCALE = 1_000_000
+
+
+def _feature_sql(content: str, n: int, n_buckets: int) -> str:
+    """array<bigint> of hashed n-gram feature buckets (occurrences, not
+    distinct — bag-of-features). Portable: sha60 of the gram string mod
+    n_buckets, so DuckDB replays the exact bucket ids. Documents shorter
+    than n contribute their single whole-document gram (the shingling
+    rule, so no document is featureless)."""
+    toks = tokens_sql(content)
+    sha60_body = "cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
+    return (
+        f"transform(transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))), "
+        f"s -> pmod({sha60_body}, {n_buckets}))"
+    )
+
+
+def hashed_features(
+    docs: DataFrame,
+    content: str = "text",
+    id_col: str | None = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """(id, b): one row per hashed n-gram OCCURRENCE (bag semantics).
+    ``id_col=None`` drops the id (model-building, where only the bag
+    matters)."""
+    feat = F.explode_outer(F.expr(_feature_sql(content, n, n_buckets))).alias("b")
+    cols = [feat] if id_col is None else [F.col(id_col).alias("id"), feat]
+    return docs.select(*cols).where(F.col("b").isNotNull())
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    content: str = "text",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """(b, lr_fp): fixed-point log-likelihood ratio per observed feature
+    bucket, under add-one-smoothed bag models:
+    ``lr = ln((c_t + 1)/(T + B)) - ln((c_r + 1)/(R + B))``. Buckets never
+    seen in either corpus contribute ratio 0 by the same smoothing and are
+    simply absent (the scorer's left join treats absent as 0)."""
+    ct = (
+        hashed_features(target, content, None, n, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cr = (
+        hashed_features(raw, content, None, n, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tot_t = target.select(
+        F.sum(F.expr(f"greatest(size({tokens_sql(content)}) - {n} + 1, 1)"))
+    ).first()[0] or 0
+    tot_r = raw.select(
+        F.sum(F.expr(f"greatest(size({tokens_sql(content)}) - {n} + 1, 1)"))
+    ).first()[0] or 0
+    joined = ct.join(cr, "b", "full").select(
+        "b",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    lr = F.log((F.col("ct") + 1) / F.lit(float(tot_t + n_buckets))) - F.log(
+        (F.col("cr") + 1) / F.lit(float(tot_r + n_buckets))
+    )
+    return joined.select("b", F.round(lr * FP_SCALE).cast("long").alias("lr_fp"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    ratios: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """(id, n_feats, w_fp, avg_logratio): per-document importance weight =
+    integer sum of per-occurrence fixed-point log ratios; ``avg_logratio``
+    is the length-normalized float view (exact-int / exact-int)."""
+    feats = hashed_features(raw, content, id_col, n, n_buckets)
+    scored = feats.join(F.broadcast(ratios), "b", "left")
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce("lr_fp", F.lit(0))).alias("w_fp"),
+        )
+        .withColumn(
+            "avg_logratio",
+            F.col("w_fp") / F.col("n_feats") / F.lit(float(FP_SCALE)),
+        )
+    )
+
+
+def gumbel_fp(id_col: str, seed: int) -> Column:
+    """Deterministic fixed-point Gumbel(0,1) draw per id: the portable
+    uniform ``(sha60(seed:id) + 0.5)/2⁶⁰`` (strictly inside (0,1)) through
+    ``-ln(-ln u)``, rounded to the 1e-6 grid as BIGINT."""
+    u = (
+        sha60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    return F.round(-F.log(-F.log(u)) * FP_SCALE).cast("long")
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel-top-k resampling (the paper's sampling-without-replacement
+    device): top ``k`` documents by ``w_fp + gumbel_fp`` (BIGINT key, id
+    tiebreak). Returns (id, w_fp, key_fp, rank)."""
+    keyed = weights.select(
+        id_col,
+        "w_fp",
+        (F.col("w_fp") + gumbel_fp(id_col, seed)).alias("key_fp"),
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    # driver merge, no global sort); the rank window then runs over the
+    # already-bounded k-row frame
+    topk = keyed.orderBy(F.col("key_fp").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("key_fp").desc(), F.col(id_col))
+    return topk.select(
+        id_col, "w_fp", "key_fp", F.row_number().over(w).alias("rank")
+    )

@@ -1,0 +1,117 @@
+"""DSIR importance resampling (operators/dsir.py): weight separation on a
+planted two-domain fixture, smoothing edges, Gumbel-top-k determinism and
+sampling behavior, and the broadcast-scoring plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.operators.dsir import (
+    dsir_log_ratios,
+    dsir_select,
+    dsir_weights,
+    gumbel_fp,
+    hashed_features,
+)
+
+B = 1 << 12
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    tgt = spark.createDataFrame(
+        [(i, " ".join(f"code{(i + j) % 9}" for j in range(30))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    raw_a = [
+        (i, " ".join(f"code{(i + j) % 9}" for j in range(30)))
+        for i in range(100, 140)
+    ]
+    raw_b = [
+        (i, " ".join(f"web{(i + j) % 9}" for j in range(30)))
+        for i in range(200, 240)
+    ]
+    raw = spark.createDataFrame(raw_a + raw_b, ["doc_id", "text"])
+    return tgt, raw
+
+
+def test_weights_separate_domains(spark, fixture):
+    tgt, raw = fixture
+    w = dsir_weights(raw, dsir_log_ratios(tgt, raw, n_buckets=B), n_buckets=B)
+    rows = {r["doc_id"]: r["avg_logratio"] for r in w.collect()}
+    a = [v for k, v in rows.items() if k < 200]
+    b = [v for k, v in rows.items() if k >= 200]
+    assert min(a) > max(b)  # every target-like doc outweighs every other
+    assert min(a) > 0 > max(b)  # and the signs match the likelihood story
+
+
+def test_select_prefers_target_like(spark, fixture):
+    tgt, raw = fixture
+    w = dsir_weights(raw, dsir_log_ratios(tgt, raw, n_buckets=B), n_buckets=B)
+    picked = {r["doc_id"] for r in dsir_select(w, 30).collect()}
+    assert len(picked) == 30
+    assert all(i < 200 for i in picked)  # the gap dwarfs the Gumbel noise
+    # determinism: rerun is identical, a different seed may reorder ties
+    again = {r["doc_id"] for r in dsir_select(w, 30).collect()}
+    assert picked == again
+
+
+def test_gumbel_among_close_weights_actually_samples(spark):
+    # equal weights: selection is then pure Gumbel order — a deterministic
+    # but seed-dependent sample, not a head-of-id-order slice
+    w = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("w_fp")
+    )
+    s1 = [r["doc_id"] for r in dsir_select(w, 50, seed=1).collect()]
+    s2 = [r["doc_id"] for r in dsir_select(w, 50, seed=2).collect()]
+    assert s1 != s2
+    assert s1 != sorted(s1)[:50] or max(s1) > 60  # not just the first ids
+
+
+def test_unseen_bucket_scores_zero(spark, fixture):
+    tgt, raw = fixture
+    ratios = dsir_log_ratios(tgt, raw, n_buckets=B)
+    # a doc whose every feature is novel: weight must be exactly 0
+    novel = spark.createDataFrame(
+        [(999, "zzz qqq xxx yyy vvv uuu ttt sss")], ["doc_id", "text"]
+    )
+    w = dsir_weights(novel, ratios, n_buckets=B).first()
+    assert w["w_fp"] == 0
+
+
+def test_sub_n_document_gets_whole_doc_feature(spark, fixture):
+    short = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    feats = hashed_features(short, n=2, n_buckets=B).collect()
+    assert len(feats) == 1  # the shingling whole-doc fallback rule
+
+
+def test_gumbel_deterministic_and_bounded(spark):
+    d = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    g = d.select(gumbel_fp("doc_id", 42).alias("g"))
+    a = sorted(r["g"] for r in g.collect())
+    b = sorted(r["g"] for r in g.collect())
+    assert a == b
+    # Gumbel(0,1): median ≈ 0.3665, and extreme fixed-point values stay
+    # well inside int64
+    mid = a[len(a) // 2]
+    assert 0.2e6 < mid < 0.55e6
+    assert a[0] > -3_000_000 and a[-1] < 25_000_000
+
+
+def test_scoring_uses_broadcast_not_shuffle_join(spark, fixture):
+    tgt, raw = fixture
+    ratios = dsir_log_ratios(tgt, raw, n_buckets=B)
+    plan = (
+        dsir_weights(raw, ratios, n_buckets=B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # the corpus-side scoring join
+    # the only merge join allowed is the FULL OUTER combining the two
+    # model tables — both bounded at n_buckets rows regardless of corpus
+    # size (full-outer cannot broadcast)
+    smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert all("FullOuter" in ln for ln in smj_lines), smj_lines
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
