@@ -158,3 +158,21 @@ def test_normalization_pattern_chain_idempotent(s):
 
     once = apply(s)
     assert apply(once) == once
+
+
+@given(
+    st.sets(st.integers(min_value=1, max_value=60), min_size=1, max_size=25),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_interval_union_lag_formula_matches_bruteforce(pos_set, n):
+    # the duplicated-n-gram coverage rule (operators/repetition.py and the
+    # substrdup span merge share it): same-length intervals [p, p+n-1]
+    # sorted by start, each contributing min(n, p_i - p_{i-1}) new
+    # positions (first contributes n), must equal the brute-force union
+    pos = sorted(pos_set)
+    covered = sum(
+        min(n, p - q) for p, q in zip(pos, [pos[0] - n] + pos[:-1])
+    )
+    brute = len({i for p in pos for i in range(p, p + n)})
+    assert covered == brute
