@@ -532,6 +532,7 @@ def main() -> None:
         "decontaminate_bloom_prefilter",
         "decontaminate_fuzzy_overlap",
         "corpus_release_e2e",
+        "dsir_selected",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

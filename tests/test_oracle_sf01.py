@@ -52,6 +52,7 @@ CHEAP = [
     "corpus_release_e2e",
     "substring_dup_stats",
     "doc_substrdup_removed",
+    "dsir_selected",
 ]
 
 pytestmark = pytest.mark.skipif(
