@@ -931,7 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts = F.split(F.trim("text"), r"\s+")
         line1 = F.concat_ws(" ", F.slice(ts, 1, 8))
         line2 = F.concat_ws(" ", F.slice(ts, 9, 8))
-        rest = F.concat_ws(" ", F.slice(ts, 17, 1000000))
+        # unbounded tail (no silent length cap): slice length = full size
+        rest = F.concat_ws(" ", F.slice(ts, 17, F.greatest(F.size(ts), F.lit(1))))
         content = F.concat(
             F.concat_ws("\n", line1, line2, rest),
             F.when(
@@ -3013,11 +3014,18 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT doc_id, n, unnest(gs, recursive := true) FROM g0),
         c AS (SELECT doc_id, n, gram, length(gram) AS glen, count(*) AS c
               FROM g GROUP BY 1, 2, 3, 4),
+        -- most-frequent gram, ties to the longer one: lexicographic
+        -- struct max (count, chars), the same rule as the Spark side
+        tops AS (SELECT doc_id,
+                        max(CASE WHEN n = 2 THEN {'c': c, 'glen': glen} END) AS s2,
+                        max(CASE WHEN n = 3 THEN {'c': c, 'glen': glen} END) AS s3,
+                        max(CASE WHEN n = 4 THEN {'c': c, 'glen': glen} END) AS s4
+                 FROM c GROUP BY 1),
         top AS (SELECT doc_id,
-                       max(CASE WHEN n = 2 THEN c * glen END) AS top2,
-                       max(CASE WHEN n = 3 THEN c * glen END) AS top3,
-                       max(CASE WHEN n = 4 THEN c * glen END) AS top4
-                FROM c GROUP BY 1),
+                       s2.c * s2.glen AS top2,
+                       s3.c * s3.glen AS top3,
+                       s4.c * s4.glen AS top4
+                FROM tops),
         dpos AS (SELECT doc_id, n, pos FROM (
                    SELECT doc_id, n, pos,
                           count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
@@ -3170,13 +3178,16 @@ def oracle_sql() -> dict[str, str]:
                FROM w CROSS JOIN (VALUES (2), (3)) AS nn(n)),
         g AS (SELECT doc_id, n, unnest(gs) AS gram FROM g0),
         c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
-        top AS (SELECT w.doc_id,
-                       coalesce(max(CASE WHEN n = 2 THEN c * length(gram) END), 0) * 1.0
-                           / greatest(length(w.text), 1) AS t2,
-                       coalesce(max(CASE WHEN n = 3 THEN c * length(gram) END), 0) * 1.0
-                           / greatest(length(w.text), 1) AS t3
-                FROM w LEFT JOIN c ON c.doc_id = w.doc_id
-                GROUP BY w.doc_id, w.text),
+        tops AS (SELECT w.doc_id,
+                        max(CASE WHEN n = 2 THEN {{'c': c, 'glen': length(gram)}} END) AS s2,
+                        max(CASE WHEN n = 3 THEN {{'c': c, 'glen': length(gram)}} END) AS s3,
+                        any_value(length(w.text)) AS tc
+                 FROM w LEFT JOIN c ON c.doc_id = w.doc_id
+                 GROUP BY w.doc_id),
+        top AS (SELECT doc_id,
+                       coalesce(s2.c * s2.glen, 0) * 1.0 / greatest(tc, 1) AS t2,
+                       coalesce(s3.c * s3.glen, 0) * 1.0 / greatest(tc, 1) AS t3
+                FROM tops),
         keep AS (SELECT doc_id FROM top WHERE t2 <= 0.20 AND t3 <= 0.18),
         bspan AS (SELECT doc_id AS bench_id, {_BM_SLICE_SQL} AS bs
                   FROM w WHERE {_BM_WHERE_SQL}),

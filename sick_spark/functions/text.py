@@ -124,9 +124,23 @@ def sha60(col: Column) -> Column:
     return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
 
 
+#: the :func:`sha60` expression over a SQL variable ``s`` — the ONE
+#: SQL-text spelling of the hash body, so no consumer hand-copies it
+SHA60_SQL_BODY = "cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
+
 #: :func:`sha60` as a Spark SQL higher-order-function lambda (for
 #: ``transform(...)`` inside ``F.expr`` strings).
-SHA60_LAMBDA_SQL = "s -> cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
+SHA60_LAMBDA_SQL = f"s -> {SHA60_SQL_BODY}"
+
+
+def seeded_sha60(col: str | Column, seed: int | str) -> Column:
+    """THE seeded portable hash: ``sha60('<seed>:' || value)`` — the one
+    definition behind every deterministic-randomness consumer (train/val
+    splits, Gumbel/Pareto draws, the corpus shuffle), so the cross-engine
+    replay ``sha256('<seed>:' || CAST(x AS VARCHAR))`` cannot drift per
+    operator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return sha60(F.concat(F.lit(f"{seed}:"), c.cast("string")))
 
 
 def sha60_shingle_hashes(shingles_col: str | Column) -> Column:

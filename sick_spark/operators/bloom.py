@@ -206,9 +206,12 @@ def bloom_fp_report(
         passed[h] == F.col("__th"),
         "left",
     )
+    # coalesce AFTER the aggregate too: an empty `passed` set (probe fully
+    # rejected — the common case for a disjoint probe set) makes count 0
+    # but sum NULL, and the report must read (n, 0, 0, 0.0), not NULLs
     agg = joined.agg(
         F.count("*").alias("n_passed"),
-        F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("__t", F.lit(0))), F.lit(0)).alias("n_true"),
     )
     total = probe.select(h).distinct().count()
     return agg.select(

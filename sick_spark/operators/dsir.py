@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from sick_spark.functions.text import sha60, tokens_sql
+from sick_spark.functions.text import SHA60_SQL_BODY, seeded_sha60, tokens_sql
 
 #: fixed-point scale shared with lmquality (same boundary analysis)
 FP_SCALE = 1_000_000
@@ -53,11 +53,10 @@ def _feature_sql(content: str, n: int, n_buckets: int) -> str:
     than n contribute their single whole-document gram (the shingling
     rule, so no document is featureless)."""
     toks = tokens_sql(content)
-    sha60_body = "cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
     return (
         f"transform(transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)), "
         f"i -> concat_ws(' ', slice({toks}, i, {n}))), "
-        f"s -> pmod({sha60_body}, {n_buckets}))"
+        f"s -> pmod({SHA60_SQL_BODY}, {n_buckets}))"
     )
 
 
@@ -88,22 +87,23 @@ def dsir_log_ratios(
     ``lr = ln((c_t + 1)/(T + B)) - ln((c_r + 1)/(R + B))``. Buckets never
     seen in either corpus contribute ratio 0 by the same smoothing and are
     simply absent (the scorer's left join treats absent as 0)."""
+    # one feature pass per corpus: the bounded (≤ n_buckets rows) count
+    # tables are cut with a lazy localCheckpoint, then the totals are read
+    # off THEM — no second full-corpus scan just to sum gram counts
     ct = (
         hashed_features(target, content, None, n, n_buckets)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=False)
     )
     cr = (
         hashed_features(raw, content, None, n, n_buckets)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cr"))
+        .localCheckpoint(eager=False)
     )
-    tot_t = target.select(
-        F.sum(F.expr(f"greatest(size({tokens_sql(content)}) - {n} + 1, 1)"))
-    ).first()[0] or 0
-    tot_r = raw.select(
-        F.sum(F.expr(f"greatest(size({tokens_sql(content)}) - {n} + 1, 1)"))
-    ).first()[0] or 0
+    tot_t = ct.select(F.sum("ct")).first()[0] or 0
+    tot_r = cr.select(F.sum("cr")).first()[0] or 0
     joined = ct.join(cr, "b", "full").select(
         "b",
         F.coalesce("ct", F.lit(0)).alias("ct"),
@@ -145,10 +145,7 @@ def gumbel_fp(id_col: str, seed: int) -> Column:
     """Deterministic fixed-point Gumbel(0,1) draw per id: the portable
     uniform ``(sha60(seed:id) + 0.5)/2⁶⁰`` (strictly inside (0,1)) through
     ``-ln(-ln u)``, rounded to the 1e-6 grid as BIGINT."""
-    u = (
-        sha60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 60))
+    u = (seeded_sha60(id_col, seed) + F.lit(0.5)) / F.lit(float(1 << 60))
     return F.round(-F.log(-F.log(u)) * FP_SCALE).cast("long")
 
 

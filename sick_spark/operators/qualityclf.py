@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from sick_spark.functions.text import sha60
+from sick_spark.functions.text import seeded_sha60
 
 #: GPT-3's published Pareto shape for the acceptance rule
 GPT3_PARETO_ALPHA = 9.0
@@ -117,14 +117,13 @@ def pareto_keep(
 ) -> DataFrame:
     """GPT-3's acceptance rule, made deterministic: keep iff
     ``pareto_draw(id) > 1 - score`` where the draw is the Pareto-II inverse
-    CDF of the portable uniform ``sha60(seed:id)/2⁶⁰``. High-scoring
-    documents are almost always kept; low-scoring ones survive with
-    probability ≈ (1 - score)^(-alpha)… i.e. rarely but not never — the
-    published trick that keeps the filtered corpus from collapsing onto
-    the classifier's decision boundary."""
-    u = sha60(
-        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-    ) / F.lit(float(1 << 60))
+    CDF of the portable uniform ``sha60(seed:id)/2⁶⁰``. A document with
+    score s survives with probability ``P(draw > 1-s) = (2-s)^(-alpha)`` —
+    at alpha=9 that is ~0.2% near s=0, rising steeply toward 1 as s→1:
+    low-scoring documents survive rarely but not never, the published
+    trick that keeps the filtered corpus from collapsing onto the
+    classifier's decision boundary."""
+    u = seeded_sha60(id_col, seed) / F.lit(float(1 << 60))
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scored.withColumn(out, draw > (F.lit(1.0) - F.col(score_col)))
 

@@ -126,15 +126,29 @@ def ngram_repetition_stats(
     rows = _gram_rows(docs, content, doc_id, ns)
 
     # one map-side-combinable groupBy per (doc, n, gram): occurrence count
-    # + the positions (bounded by doc length; see module docstring)
+    # + the positions (bounded by doc length; see module docstring).
+    # Positions are collected ONLY for the dup_ns grams — the top_ns
+    # majority never reads them, so they'd double the aggregation state
+    # and shuffle payload for nothing (when() inside collect_list skips
+    # the null rows).
+    dup_n_set = list(dup_ns)
     per_gram = rows.groupBy(doc_id, "n", "gh", "glen").agg(
-        F.count("*").alias("c"), F.sort_array(F.collect_list("pos")).alias("ps")
+        F.count("*").alias("c"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("n").isin(*dup_n_set), F.col("pos"))
+                if dup_n_set
+                else F.lit(None).cast("int")
+            )
+        ).alias("ps"),
     )
 
-    # top-n-gram chars: max over grams of count * gram_chars (the tie rule —
-    # equal counts resolved by char length — is deterministic and order-free);
-    # either stat family may be empty (e.g. dup_ns=() when only the top-n
-    # gates are wanted) and its aggregate/columns are simply omitted.
+    # top-n-gram chars: the chars covered by the single MOST FREQUENT
+    # n-gram (the Gopher/DataTrove definition — count first, ties resolved
+    # to the longer gram via lexicographic struct max, deterministic and
+    # order-free in both engines); either stat family may be empty (e.g.
+    # dup_ns=() when only the top-n gates are wanted) and its
+    # aggregate/columns are simply omitted.
     # Occurrences are the sliding-window count (same as DataTrove's
     # Counter(ngrams)), so overlapping self-repeats ("x y x y" has FOUR
     # overlapping 4-gram occurrences of itself) can push the fraction above
@@ -146,8 +160,8 @@ def ngram_repetition_stats(
             per_gram.groupBy(doc_id).agg(
                 *[
                     F.max(
-                        F.when(F.col("n") == n, F.col("c") * F.col("glen"))
-                    ).alias(f"__top{n}_chars")
+                        F.when(F.col("n") == n, F.struct("c", "glen"))
+                    ).alias(f"__top{n}")
                     for n in top_ns
                 ]
             )
@@ -188,7 +202,9 @@ def ngram_repetition_stats(
     for n in top_ns:
         sel.append(
             (
-                F.coalesce(F.col(f"__top{n}_chars"), F.lit(0))
+                F.coalesce(
+                    F.col(f"__top{n}.c") * F.col(f"__top{n}.glen"), F.lit(0)
+                )
                 / F.greatest(F.col("tot_chars"), F.lit(1))
             ).alias(f"top{n}_char_frac")
         )

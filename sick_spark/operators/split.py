@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from sick_spark.functions.text import sha60
+from sick_spark.functions.text import seeded_sha60
 
 #: denominator of the hash-threshold rule — sha60 values are uniform on
 #: [0, 2^60); val iff h % SPLIT_MOD < frac * SPLIT_MOD (integer compare, so
@@ -46,7 +46,7 @@ SPLIT_MOD = 1_000_000
 
 
 def _split_hash(id_col: str, seed: int) -> F.Column:
-    return sha60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return seeded_sha60(id_col, seed)
 
 
 def split_assign(

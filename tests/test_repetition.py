@@ -55,6 +55,17 @@ def test_ngram_stats_exact(spark, docs):
     assert s[4]["n_tok"] == 0 and s[4]["top2_char_frac"] == 0.0
 
 
+def test_top_gram_is_most_frequent_not_longest(spark):
+    # Gopher/DataTrove define top-n-gram coverage by the MOST FREQUENT
+    # gram; a longer-but-rarer gram must not win. "aa bb" (5 chars)
+    # occurs 3x (15 char-units) vs unique "verylongtokenx yy" (17 chars,
+    # 1 occurrence): the stat must be 15/tot, not 17/tot.
+    text = "aa bb aa bb aa bb verylongtokenx yy"
+    d = spark.createDataFrame([(0, text)], ["doc_id", "content"])
+    s = _by_id(ngram_repetition_stats(d, top_ns=(2,), dup_ns=(5,)))
+    assert s[0]["top2_char_frac"] == pytest.approx(15 / len(text))
+
+
 def test_interval_union_does_not_double_count(spark):
     # "a b a b a b": 2x duplicated 2-grams overlap at every position;
     # coverage must be 6 tokens exactly once, not 5 intervals * 2
