@@ -1057,6 +1057,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["decontaminate_fuzzy_overlap"] = decontaminate_fuzzy_overlap
 
+    # --- SURGICAL decontamination: excise the leaked spans instead of
+    #     dropping the documents (right for quoted-snippet contamination —
+    #     dropping whole docs biases against the benchmark's own domain).
+    #     Benchmark 8-grams mark corpus positions map-side; the substrdup
+    #     gaps-and-islands kernel merges them; excision is the shared
+    #     remove_spans array filter. Verified by sha of the clean text —
+    #     the content-identity invariant, like doc_substrdup_removed.
+    def doc_decontam_surgical(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.decontam import decontaminate_surgical
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = _benchmark_spans(d)
+        return (
+            decontaminate_surgical(
+                d.select("doc_id", "text"), bench, l=8,
+                content="text", bench_content="content",
+            )
+            .select(
+                "doc_id",
+                "n_tokens_kept",
+                F.sha2(F.col("clean_text").cast("binary"), 256).alias("clean_sha"),
+            )
+            .orderBy("doc_id")
+        )
+    q["doc_decontam_surgical"] = doc_decontam_surgical
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3133,6 +3159,56 @@ def oracle_sql() -> dict[str, str]:
     # the bloom prefilter must return the exact decontamination answer —
     # membership compression is a plan decision, never a semantics one
     o["decontaminate_bloom_prefilter"] = o["decontaminate_benchmark_overlap"]
+
+    # surgical decontamination: benchmark 8-grams mark positions, the
+    # substrdup island merge + excision replayed over the marked set
+    o["doc_decontam_surgical"] = rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        bspan AS (SELECT {_BM_SLICE_SQL} AS bs
+                  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                        FROM documents)
+                  WHERE {_BM_WHERE_SQL}),
+        bg AS (SELECT DISTINCT
+                      CAST(CONCAT('0x', SUBSTR(sha256(array_to_string(bs[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+               FROM bspan, UNNEST(range(1, len(bs) - 6)) AS u(i)
+               WHERE len(bs) >= 8),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(CONCAT('0x', SUBSTR(sha256(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+            WHERE len(t) >= 8
+        ),
+        ivals AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+                  FROM grams g JOIN bg USING (gh)),
+        brk AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1 THEN 1 ELSE 0 END AS b
+            FROM ivals
+        ),
+        isl AS (SELECT doc_id, s, e,
+                       SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+                FROM brk),
+        spans AS (SELECT doc_id, grp, MIN(s) AS span_start, MAX(e) AS span_end
+                  FROM isl GROUP BY doc_id, grp),
+        posn AS (SELECT doc_id, p, t[p] AS tok
+                 FROM toks, UNNEST(range(1, len(t) + 1)) AS u(p)),
+        kept AS (SELECT posn.* FROM posn WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp WHERE sp.doc_id = posn.doc_id
+                      AND posn.p BETWEEN sp.span_start AND sp.span_end)),
+        agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY p) AS ct
+                FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id, COALESCE(a.n_kept, 0) AS n_tokens_kept,
+               sha256(COALESCE(a.ct, '')) AS clean_sha
+        FROM toks tk LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """
 
     # fuzzy decontamination: same span derivation + 8-gram shingles, but
     # the per-doc DISTINCT-shingle denominator and the >= 5% ratio rule

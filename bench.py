@@ -533,6 +533,7 @@ def main() -> None:
         "decontaminate_fuzzy_overlap",
         "corpus_release_e2e",
         "dsir_selected",
+        "doc_decontam_surgical",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

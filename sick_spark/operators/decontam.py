@@ -160,6 +160,67 @@ def decontaminate_fuzzy(
     return docs.join(F.broadcast(bad), doc_id, "left_anti")
 
 
+def contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    l: int = 8,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    bench_content: str = "content",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal merged token
+    spans of ``docs`` covered by verbatim benchmark ``l``-grams — the WHERE
+    of the leak, not just the fact of it.
+
+    Construction composes the decontamination probe with the ExactSubstr
+    span machinery (``operators/substrdup.py``): benchmark l-gram hashes
+    (tiny, broadcast) mark corpus gram positions map-side; marked positions
+    merge into maximal intervals with the shared gaps-and-islands kernel.
+    The portable sha60 gram hash keeps the whole chain oracle-replayable.
+    """
+    from sick_spark.operators.substrdup import gram_occurrences, merge_marked_positions
+
+    bg = (
+        gram_occurrences(
+            bench.withColumn("__bid", F.lit(0)), bench_content, "__bid", l,
+            portable=True,
+        )
+        .select("gh")
+        .distinct()
+    )
+    occ = gram_occurrences(docs, content, doc_id, l, portable=True)
+    marked = occ.join(F.broadcast(bg), "gh").select("id", "pos")
+    return merge_marked_positions(marked, l, doc_id)
+
+
+def decontaminate_surgical(
+    docs: DataFrame,
+    bench: DataFrame,
+    l: int = 8,
+    content: str = "content",
+    doc_id: str = "doc_id",
+    bench_content: str = "content",
+    out: str = "clean_text",
+) -> DataFrame:
+    """Surgical decontamination: EXCISE the leaked spans instead of dropping
+    the documents — the right call when the contamination is a quoted
+    benchmark snippet inside an otherwise-valuable document (dropping whole
+    docs over one quotation biases the corpus against exactly the
+    documents that discuss the benchmark domain). Adds ``out`` (the span-
+    excised text) and ``n_tokens_kept``; documents with no leak pass
+    through byte-identical modulo whitespace normalization (single-space
+    token rejoin — the substrdup excision rule).
+
+    Same single-pass caveat as Lee et al. §4.1 excision: removing a span
+    can create a new token adjacency; the residue per excision is < l
+    tokens and the drop-based passes remain available for zero-tolerance
+    policies."""
+    from sick_spark.operators.substrdup import remove_spans
+
+    spans = contaminated_spans(docs, bench, l, content, doc_id, bench_content)
+    return remove_spans(docs, spans, content, doc_id, out)
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

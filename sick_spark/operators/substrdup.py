@@ -129,20 +129,16 @@ def duplicated_grams(occ: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
-def duplicated_spans(
-    docs: DataFrame,
-    content: str = "text",
-    id_col: str = "doc_id",
-    l: int = 8,
-    min_count: int = 2,
-    portable: bool = True,
+def merge_marked_positions(
+    marked: DataFrame, l: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, span_start, span_end, span_tokens): maximal merged duplicated
-    token spans per document, 1-based inclusive positions."""
-    occ = gram_occurrences(docs, content, id_col, l, portable)
-    hot = duplicated_grams(occ, min_count)
-    ivals = occ.join(hot, "gh").select(
-        "id", F.col("pos").alias("s"), (F.col("pos") + l - 1).alias("e")
+    """(id, pos) marked l-gram start positions → (id, span_start, span_end,
+    span_tokens): maximal merged intervals [pos, pos+l-1], 1-based
+    inclusive. The gaps-and-islands kernel shared by corpus-level substring
+    dedup (marks = corpus-duplicated grams) and surgical decontamination
+    (marks = benchmark-leaked grams, ``operators/decontam.py``)."""
+    ivals = marked.select(
+        F.col("id"), F.col("pos").alias("s"), (F.col("pos") + l - 1).alias("e")
     )
     # gaps-and-islands: (id, s) is unique (one gram per position), so the
     # ordering is total and the running max of e is deterministic
@@ -163,6 +159,54 @@ def duplicated_spans(
             .cast("long")
             .alias("span_tokens"),
         )
+    )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    out: str = "clean_text",
+) -> DataFrame:
+    """Excise ``spans`` (any (id, span_start, span_end) relation) from the
+    documents: survivors of the token array re-joined with single spaces,
+    original order. Adds ``out`` and ``n_tokens_kept``; other columns pass
+    through. The span list rides a per-document collect_list (bounded), is
+    equi-joined back, and the excision is a map-side array ``filter`` —
+    the corpus itself never rides a wide exchange."""
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokens_sql(content)
+    kept = (
+        f"filter(transform({toks}, (t, i) -> struct(t as t, i + 1 as p)), "
+        f"x -> __spans is null or not exists(__spans, "
+        f"sp -> x.p >= sp.span_start and x.p <= sp.span_end))"
+    )
+    return (
+        docs.join(span_lists, id_col, "left")
+        .withColumn("__kept", F.expr(kept))
+        .withColumn(out, F.concat_ws(" ", F.expr("transform(__kept, x -> x.t)")))
+        .withColumn("n_tokens_kept", F.size("__kept").cast("long"))
+        .drop("__spans", "__kept")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    l: int = 8,
+    min_count: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens): maximal merged duplicated
+    token spans per document, 1-based inclusive positions."""
+    occ = gram_occurrences(docs, content, id_col, l, portable)
+    hot = duplicated_grams(occ, min_count)
+    return merge_marked_positions(
+        occ.join(hot, "gh").select("id", "pos"), l, id_col
     )
 
 
@@ -219,19 +263,4 @@ def remove_duplicated_spans(
     is equi-joined back, and the excision is a map-side array ``filter`` —
     the corpus itself never rides a wide exchange."""
     spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
-    span_lists = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
-    )
-    toks = tokens_sql(content)
-    kept = (
-        f"filter(transform({toks}, (t, i) -> struct(t as t, i + 1 as p)), "
-        f"x -> __spans is null or not exists(__spans, "
-        f"sp -> x.p >= sp.span_start and x.p <= sp.span_end))"
-    )
-    return (
-        docs.join(span_lists, id_col, "left")
-        .withColumn("__kept", F.expr(kept))
-        .withColumn(out, F.concat_ws(" ", F.expr("transform(__kept, x -> x.t)")))
-        .withColumn("n_tokens_kept", F.size("__kept").cast("long"))
-        .drop("__spans", "__kept")
-    )
+    return remove_spans(docs, spans, content, id_col, out)

@@ -119,3 +119,44 @@ def test_decontaminate_fuzzy_threshold_separates(spark):
         _corpus(spark), _bench(spark), k=8, threshold=1e-9, content="text"
     ).count()
     assert kept_low < kept_high <= 4
+
+
+def test_surgical_excises_only_the_leaked_span(spark):
+    from sick_spark.operators.decontam import decontaminate_surgical
+
+    bench = spark.createDataFrame(
+        [(1, BENCH_TEXT)], "bench_id long, content string"
+    )
+    r = {
+        row["doc_id"]: row.asDict()
+        for row in decontaminate_surgical(
+            _corpus(spark), bench, l=8, content="text"
+        ).collect()
+    }
+    # doc 1: "intro words then " + 10-token bench + " trailing words here"
+    # -> the 10 bench tokens vanish, the 3+3 context tokens survive
+    assert r[1]["clean_text"] == "intro words then trailing words here"
+    assert r[1]["n_tokens_kept"] == 6
+    # doc 2 shares a run of >= 8 bench tokens -> that run is excised
+    assert "alpha" not in r[2]["clean_text"]
+    assert r[2]["clean_text"].endswith("other tail words")
+    # docs 3 and 4 have no 8-gram leak -> byte-identical survivors
+    # (single-space rejoin is a no-op on already-single-spaced text)
+    assert r[3]["clean_text"].startswith("alpha beta gamma something")
+    assert r[4]["n_tokens_kept"] == 10
+
+
+def test_surgical_merges_adjacent_leaks(spark):
+    from sick_spark.operators.decontam import contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(1, BENCH_TEXT)], "bench_id long, content string"
+    )
+    # two copies of the bench back-to-back: one merged span, not two
+    docs = spark.createDataFrame(
+        [(9, "x " + BENCH_TEXT + " " + BENCH_TEXT + " y")],
+        "doc_id long, text string",
+    )
+    spans = contaminated_spans(docs, bench, l=8, content="text").collect()
+    assert len(spans) == 1
+    assert spans[0]["span_start"] == 2 and spans[0]["span_tokens"] == 20

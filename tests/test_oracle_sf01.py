@@ -53,6 +53,7 @@ CHEAP = [
     "substring_dup_stats",
     "doc_substrdup_removed",
     "dsir_selected",
+    "doc_decontam_surgical",
 ]
 
 pytestmark = pytest.mark.skipif(
