@@ -1083,6 +1083,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_decontam_surgical"] = doc_decontam_surgical
 
+    # --- per-source corpus datasheet (Gebru et al. 2021 "Datasheets for
+    #     Datasets"): the release-accounting rollup a data consumer reads
+    #     first — volume, duplication, length profile, contamination —
+    #     composed from the engine's own signals in one pass + one
+    #     broadcast probe. R16 summary/stats surface applied corpus-wide.
+    def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.decontam import benchmark_ngram_hits
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        nt = token_count("text")
+        base = d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(nt).alias("tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias("exact_dup_docs"),
+            F.expr(
+                "percentile(size(split(trim(text), '\\\\s+')), 0.5)"
+            ).alias("p50_tokens"),
+        )
+        hits = benchmark_ngram_hits(
+            d, _benchmark_spans(d), k=8, content="text", bench_content="content"
+        ).select("doc_id")
+        cont = (
+            d.join(F.broadcast(hits), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("contaminated_docs"))
+        )
+        return (
+            base.join(cont, "source", "left")
+            .select(
+                "source",
+                "docs",
+                "tokens",
+                "exact_dup_docs",
+                "p50_tokens",
+                F.coalesce("contaminated_docs", F.lit(0)).alias("contaminated_docs"),
+            )
+            .orderBy("source")
+        )
+    q["corpus_datasheet"] = corpus_datasheet
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3159,6 +3199,35 @@ def oracle_sql() -> dict[str, str]:
     # the bloom prefilter must return the exact decontamination answer —
     # membership compression is a plan decision, never a semantics one
     o["decontaminate_bloom_prefilter"] = o["decontaminate_benchmark_overlap"]
+
+    # corpus datasheet: volume/dup/length/contamination rollup per source
+    o["corpus_datasheet"] = rf"""
+        WITH w AS (SELECT doc_id, source, text,
+                          string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents),
+        base AS (SELECT source, COUNT(*) AS docs,
+                        CAST(SUM(len(ws)) AS BIGINT) AS tokens,
+                        CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS exact_dup_docs,
+                        quantile_cont(len(ws), 0.5) AS p50_tokens
+                 FROM w GROUP BY source),
+        bspan AS (SELECT doc_id AS bench_id, {_BM_SLICE_SQL} AS bs
+                  FROM w WHERE {_BM_WHERE_SQL}),
+        bsh AS (SELECT DISTINCT
+                       unnest([array_to_string(list_slice(bs, i, i + 7), ' ')
+                               FOR i IN generate_series(1, greatest(len(bs) - 7, 1))]) AS s
+                FROM bspan),
+        dsh AS (SELECT doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(list_slice(ws, i, i + 7), ' ')
+                            FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS s
+                FROM w),
+        hit AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh b ON d.s = b.s),
+        cont AS (SELECT w.source, COUNT(*) AS contaminated_docs
+                 FROM w JOIN hit USING (doc_id) GROUP BY w.source)
+        SELECT b.source, b.docs, b.tokens, b.exact_dup_docs, b.p50_tokens,
+               CAST(COALESCE(c.contaminated_docs, 0) AS BIGINT) AS contaminated_docs
+        FROM base b LEFT JOIN cont c USING (source) ORDER BY b.source
+    """
 
     # surgical decontamination: benchmark 8-grams mark positions, the
     # substrdup island merge + excision replayed over the marked set

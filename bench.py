@@ -534,6 +534,7 @@ def main() -> None:
         "corpus_release_e2e",
         "dsir_selected",
         "doc_decontam_surgical",
+        "corpus_datasheet",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

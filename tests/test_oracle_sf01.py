@@ -54,6 +54,7 @@ CHEAP = [
     "doc_substrdup_removed",
     "dsir_selected",
     "doc_decontam_surgical",
+    "corpus_datasheet",
 ]
 
 pytestmark = pytest.mark.skipif(
