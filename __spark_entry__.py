@@ -1123,6 +1123,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_datasheet"] = corpus_datasheet
 
+    # --- StarCoder/The-Stack code-filter family (operators/codefilters.py):
+    #     the fixture decorates each doc into a deterministic "source file"
+    #     — a code_lang from doc_id%3, SPDX/phrase license headers (%7),
+    #     an auto-generated banner (%11==3), per-lang import blocks (%5==2),
+    #     a 1120-char base64 blob line (%13==4, fires long_line + b64_blob),
+    #     and a 1200-char symbol tail (%17==5, sinks alnum_frac). Same
+    #     planted-transform idiom as code_normalized_dedup; all four oracles
+    #     share the one corpus CTE.
+    _CODE_LANGS = ("python", "javascript", "c")
+
+    def _code_corpus(d: DataFrame) -> DataFrame:
+        m = F.col("doc_id")
+        code_lang = F.element_at(
+            F.array(*[F.lit(x) for x in _CODE_LANGS]), (m % 3 + 1).cast("int")
+        )
+        lic = (
+            F.when(m % 7 == 0, F.lit("# SPDX-License-Identifier: MIT\n"))
+            .when(m % 7 == 1, F.lit("// SPDX-License-Identifier: Apache-2.0\n"))
+            .when(m % 7 == 2, F.lit("/* SPDX-License-Identifier: GPL-3.0-only */\n"))
+            .when(
+                m % 7 == 3,
+                F.lit("# Licensed under the Apache License, Version 2.0\n"),
+            )
+            .otherwise(F.lit(""))
+        )
+        autog = F.when(
+            m % 11 == 3, F.lit("# Auto-generated by codegen. DO NOT EDIT.\n")
+        ).otherwise(F.lit(""))
+        imports = F.when(
+            m % 5 == 2,
+            F.when(
+                code_lang == "python",
+                F.lit("import os\nimport sys\nfrom collections import deque\n"),
+            )
+            .when(
+                code_lang == "javascript",
+                F.lit('const fs = require("fs")\nimport path from "path"\n'),
+            )
+            .otherwise(F.lit('#include <stdio.h>\n#include "local.h"\n')),
+        ).otherwise(F.lit(""))
+        long_tail = F.when(
+            m % 13 == 4,
+            F.concat(F.lit("\n"), F.repeat(F.lit("QWxhZGRpbjpvcGVuU2VzYW1lMDE="), 40)),
+        ).otherwise(F.lit(""))
+        punct_tail = F.when(
+            m % 17 == 5, F.concat(F.lit("\n"), F.repeat(F.lit("~!@#$%^&*() "), 100))
+        ).otherwise(F.lit(""))
+        content = F.concat(lic, autog, imports, F.col("text"), long_tail, punct_tail)
+        return d.select(
+            "doc_id", code_lang.alias("code_lang"), content.alias("content")
+        )
+
+    def code_file_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codefilters import code_quality_flags
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            code_quality_flags(_code_corpus(d))
+            .select(
+                "doc_id",
+                "n_chars",
+                "n_lines",
+                "max_line_len",
+                "avg_line_len",
+                "alnum_frac",
+                "b64_run_max",
+                "autogen",
+                "n_gates_fired",
+                "drop",
+            )
+            .orderBy("doc_id")
+        )
+    q["code_file_profile"] = code_file_profile
+
+    def code_filter_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codefilters import (
+            code_filter_report,
+            code_quality_flags,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return code_filter_report(code_quality_flags(_code_corpus(d)))
+    q["code_filter_gates"] = code_filter_gates
+
+    def code_license_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codefilters import license_rollup
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return license_rollup(_code_corpus(d))
+    q["code_license_stats"] = code_license_stats
+
+    def code_import_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codefilters import import_stats
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return import_stats(_code_corpus(d), min_docs=2)
+    q["code_import_stats"] = code_import_stats
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3277,6 +3375,128 @@ def oracle_sql() -> dict[str, str]:
         SELECT tk.doc_id, COALESCE(a.n_kept, 0) AS n_tokens_kept,
                sha256(COALESCE(a.ct, '')) AS clean_sha
         FROM toks tk LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """
+
+    # --- code-filter family: one corpus CTE (the _code_corpus fixture
+    #     replayed), one profile CTE (the line/alnum/b64/autogen stats +
+    #     gates), shared by all four oracles
+    _CC_SQL = r"""
+        cc AS (
+            SELECT doc_id,
+                   ['python', 'javascript', 'c'][(doc_id % 3) + 1] AS code_lang,
+                   CASE WHEN doc_id % 7 = 0 THEN '# SPDX-License-Identifier: MIT' || chr(10)
+                        WHEN doc_id % 7 = 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+                        WHEN doc_id % 7 = 2 THEN '/* SPDX-License-Identifier: GPL-3.0-only */' || chr(10)
+                        WHEN doc_id % 7 = 3 THEN '# Licensed under the Apache License, Version 2.0' || chr(10)
+                        ELSE '' END
+                   || CASE WHEN doc_id % 11 = 3 THEN '# Auto-generated by codegen. DO NOT EDIT.' || chr(10) ELSE '' END
+                   || CASE WHEN doc_id % 5 = 2 THEN
+                           CASE WHEN doc_id % 3 = 0 THEN 'import os' || chr(10) || 'import sys' || chr(10) || 'from collections import deque' || chr(10)
+                                WHEN doc_id % 3 = 1 THEN 'const fs = require("fs")' || chr(10) || 'import path from "path"' || chr(10)
+                                ELSE '#include <stdio.h>' || chr(10) || '#include "local.h"' || chr(10) END
+                      ELSE '' END
+                   || text
+                   || CASE WHEN doc_id % 13 = 4 THEN chr(10) || repeat('QWxhZGRpbjpvcGVuU2VzYW1lMDE=', 40) ELSE '' END
+                   || CASE WHEN doc_id % 17 = 5 THEN chr(10) || repeat('~!@#$%^&*() ', 100) ELSE '' END
+                   AS content
+            FROM documents
+        )
+    """
+    _CPROF_SQL = r"""
+        prof0 AS (
+            SELECT doc_id, code_lang, content,
+                   CAST(length(content) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(list_max(list_transform(string_split(content, chr(10)),
+                                                x -> length(x))) AS BIGINT) AS max_line_len,
+                   CAST(list_max(list_transform(string_split_regex(content, '[^A-Za-z0-9+/=]'),
+                                                x -> length(x))) AS BIGINT) AS b64_run_max,
+                   length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+                   regexp_matches(substr(content, 1, 1024),
+                                  '(?i)(auto-?generated|do not edit|@generated|generated by)') AS autogen
+            FROM cc
+        ),
+        prof AS (
+            SELECT doc_id, code_lang, n_chars, n_lines, max_line_len, b64_run_max, autogen,
+                   (n_chars - n_lines + 1) * 1.0 / n_lines AS avg_line_len,
+                   n_alnum * 1.0 / greatest(n_chars, 1) AS alnum_frac
+            FROM prof0
+        ),
+        gates AS (
+            SELECT *,
+                   (max_line_len > 1000) AS g_long_line,
+                   (avg_line_len > 100) AS g_long_avg_line,
+                   (alnum_frac < 0.25 AND n_chars > 0) AS g_low_alnum,
+                   (b64_run_max > 512) AS g_b64_blob,
+                   autogen AS g_autogen,
+                   CAST((max_line_len > 1000) AS INT) + CAST((avg_line_len > 100) AS INT)
+                   + CAST((alnum_frac < 0.25 AND n_chars > 0) AS INT)
+                   + CAST((b64_run_max > 512) AS INT) + CAST(autogen AS INT) AS nf
+            FROM prof
+        )
+    """
+    o["code_file_profile"] = rf"""
+        WITH {_CC_SQL}, {_CPROF_SQL}
+        SELECT doc_id, n_chars, n_lines, max_line_len, avg_line_len, alnum_frac,
+               b64_run_max, autogen, CAST(nf AS BIGINT) AS n_gates_fired,
+               (nf > 0) AS "drop"
+        FROM gates ORDER BY doc_id
+    """
+    o["code_filter_gates"] = rf"""
+        WITH {_CC_SQL}, {_CPROF_SQL}
+        SELECT gate, n_docs FROM (
+            SELECT 'long_line' AS gate, CAST(SUM(CAST(g_long_line AS INT)) AS BIGINT) AS n_docs FROM gates
+            UNION ALL SELECT 'long_avg_line', CAST(SUM(CAST(g_long_avg_line AS INT)) AS BIGINT) FROM gates
+            UNION ALL SELECT 'low_alnum', CAST(SUM(CAST(g_low_alnum AS INT)) AS BIGINT) FROM gates
+            UNION ALL SELECT 'b64_blob', CAST(SUM(CAST(g_b64_blob AS INT)) AS BIGINT) FROM gates
+            UNION ALL SELECT 'autogen', CAST(SUM(CAST(g_autogen AS INT)) AS BIGINT) FROM gates
+            UNION ALL SELECT 'kept', CAST(SUM(CAST(nf = 0 AS INT)) AS BIGINT) FROM gates
+            UNION ALL SELECT 'total', CAST(COUNT(*) AS BIGINT) FROM gates
+        ) ORDER BY gate
+    """
+    o["code_license_stats"] = rf"""
+        WITH {_CC_SQL},
+        lic AS (
+            SELECT code_lang, content,
+                   regexp_extract(content, 'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) AS spdx
+            FROM cc
+        ),
+        fam AS (
+            SELECT code_lang, spdx,
+                   CASE WHEN spdx LIKE 'MIT%' OR spdx LIKE 'Apache%' OR spdx LIKE 'BSD%'
+                             OR spdx LIKE 'ISC%' OR spdx LIKE 'Unlicense%' THEN 'permissive'
+                        WHEN spdx LIKE 'GPL%' OR spdx LIKE 'AGPL%' OR spdx LIKE 'LGPL%' THEN 'copyleft'
+                        WHEN spdx <> '' THEN 'other'
+                        WHEN contains(content, 'Permission is hereby granted') THEN 'permissive'
+                        WHEN contains(content, 'Licensed under the Apache License') THEN 'permissive'
+                        WHEN contains(content, 'Redistribution and use in source and binary forms') THEN 'permissive'
+                        WHEN contains(content, 'GNU General Public License') THEN 'copyleft'
+                        WHEN contains(content, 'GNU Lesser General Public License') THEN 'copyleft'
+                        ELSE 'none' END AS family
+            FROM lic
+        )
+        SELECT code_lang, family, COUNT(*) AS n_docs,
+               COUNT(DISTINCT CASE WHEN spdx <> '' THEN spdx END) AS n_spdx_ids
+        FROM fam GROUP BY code_lang, family ORDER BY code_lang, family
+    """
+    o["code_import_stats"] = rf"""
+        WITH {_CC_SQL},
+        imp AS (
+            SELECT DISTINCT doc_id, code_lang, module FROM (
+                SELECT doc_id, code_lang,
+                       unnest(CASE WHEN code_lang = 'python' THEN
+                                   regexp_extract_all(content, '(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+                                   || regexp_extract_all(content, '(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import', 1)
+                              WHEN code_lang = 'javascript' THEN
+                                   regexp_extract_all(content, 'require\("([^"]+)"\)', 1)
+                                   || regexp_extract_all(content, '(?m)^[ \t]*import[ \t]+[^\n]*?[ \t]from[ \t]+"([^"]+)"', 1)
+                              ELSE regexp_extract_all(content, '(?m)^[ \t]*#include[ \t]+[<"]([A-Za-z0-9_./]+)[>"]', 1)
+                         END) AS module
+                FROM cc)
+        )
+        SELECT code_lang, module, COUNT(*) AS n_docs
+        FROM imp GROUP BY code_lang, module
+        HAVING COUNT(*) >= 2 ORDER BY code_lang, module
     """
 
     # fuzzy decontamination: same span derivation + 8-gram shingles, but

@@ -535,6 +535,11 @@ def main() -> None:
         "dsir_selected",
         "doc_decontam_surgical",
         "corpus_datasheet",
+        # session 6: the code-filter family (pure-Catalyst projections)
+        "code_file_profile",
+        "code_filter_gates",
+        "code_license_stats",
+        "code_import_stats",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

@@ -55,6 +55,12 @@ CHEAP = [
     "dsir_selected",
     "doc_decontam_surgical",
     "corpus_datasheet",
+    # session 6: the code-filter family (pure-Catalyst projections; the
+    # oracle side is the heavier engine here)
+    "code_file_profile",
+    "code_filter_gates",
+    "code_license_stats",
+    "code_import_stats",
 ]
 
 pytestmark = pytest.mark.skipif(
