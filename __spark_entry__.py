@@ -1221,6 +1221,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return import_stats(_code_corpus(d), min_docs=2)
     q["code_import_stats"] = code_import_stats
 
+    # --- fourth composition proof, code-flavored: Stack gates → license
+    #     gate (permissive or unlicensed kept — the training-release rule)
+    #     → normalize-before-intern collapse (comment/whitespace variants
+    #     fold to one representative, min doc_id) → per-(code_lang,
+    #     family) release accounting. Chains the session's family into
+    #     normalize_code + exact-collapse under one value oracle.
+    def code_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.normalize_code import normalize_code
+        from sick_spark.operators.codefilters import (
+            code_quality_flags,
+            license_family,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cc = _code_corpus(d)
+        flags = code_quality_flags(cc).select("doc_id", "drop")
+        fam = cc.withColumn("family", license_family("content"))
+        kept = fam.join(flags, "doc_id").where(
+            (~F.col("drop")) & F.col("family").isin("permissive", "none")
+        )
+        norm = kept.withColumn(
+            "nsha", F.sha2(normalize_code("content").cast("binary"), 256)
+        )
+        reps = norm.groupBy("nsha").agg(F.min("doc_id").alias("doc_id"))
+        out = norm.join(reps, ["nsha", "doc_id"])
+        return (
+            out.groupBy("code_lang", "family")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(token_count("content")).alias("tokens"),
+            )
+            .orderBy("code_lang", "family")
+        )
+    q["code_release_e2e"] = code_release_e2e
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3454,30 +3489,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'total', CAST(COUNT(*) AS BIGINT) FROM gates
         ) ORDER BY gate
     """
-    o["code_license_stats"] = rf"""
-        WITH {_CC_SQL},
+    # spdx-first-then-phrases family rule, shared by license stats and the
+    # code release composition (expects columns `spdx` and `content`)
+    _CFAM_SQL = r"""
+        CASE WHEN spdx LIKE 'MIT%' OR spdx LIKE 'Apache%' OR spdx LIKE 'BSD%'
+                  OR spdx LIKE 'ISC%' OR spdx LIKE 'Unlicense%' THEN 'permissive'
+             WHEN spdx LIKE 'GPL%' OR spdx LIKE 'AGPL%' OR spdx LIKE 'LGPL%' THEN 'copyleft'
+             WHEN spdx <> '' THEN 'other'
+             WHEN contains(content, 'Permission is hereby granted') THEN 'permissive'
+             WHEN contains(content, 'Licensed under the Apache License') THEN 'permissive'
+             WHEN contains(content, 'Redistribution and use in source and binary forms') THEN 'permissive'
+             WHEN contains(content, 'GNU General Public License') THEN 'copyleft'
+             WHEN contains(content, 'GNU Lesser General Public License') THEN 'copyleft'
+             ELSE 'none' END
+    """
+    _CLIC_SQL = r"""
         lic AS (
-            SELECT code_lang, content,
+            SELECT doc_id, code_lang, content,
                    regexp_extract(content, 'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) AS spdx
             FROM cc
-        ),
-        fam AS (
-            SELECT code_lang, spdx,
-                   CASE WHEN spdx LIKE 'MIT%' OR spdx LIKE 'Apache%' OR spdx LIKE 'BSD%'
-                             OR spdx LIKE 'ISC%' OR spdx LIKE 'Unlicense%' THEN 'permissive'
-                        WHEN spdx LIKE 'GPL%' OR spdx LIKE 'AGPL%' OR spdx LIKE 'LGPL%' THEN 'copyleft'
-                        WHEN spdx <> '' THEN 'other'
-                        WHEN contains(content, 'Permission is hereby granted') THEN 'permissive'
-                        WHEN contains(content, 'Licensed under the Apache License') THEN 'permissive'
-                        WHEN contains(content, 'Redistribution and use in source and binary forms') THEN 'permissive'
-                        WHEN contains(content, 'GNU General Public License') THEN 'copyleft'
-                        WHEN contains(content, 'GNU Lesser General Public License') THEN 'copyleft'
-                        ELSE 'none' END AS family
-            FROM lic
         )
+    """
+    o["code_license_stats"] = rf"""
+        WITH {_CC_SQL}, {_CLIC_SQL},
+        fam AS (SELECT code_lang, spdx, {_CFAM_SQL} AS family FROM lic)
         SELECT code_lang, family, COUNT(*) AS n_docs,
                COUNT(DISTINCT CASE WHEN spdx <> '' THEN spdx END) AS n_spdx_ids
         FROM fam GROUP BY code_lang, family ORDER BY code_lang, family
+    """
+    o["code_release_e2e"] = rf"""
+        WITH {_CC_SQL}, {_CPROF_SQL}, {_CLIC_SQL},
+        fam AS (SELECT doc_id, code_lang, content, {_CFAM_SQL} AS family FROM lic),
+        kept AS (
+            SELECT f.doc_id, f.code_lang, f.family, f.content
+            FROM fam f JOIN gates g ON f.doc_id = g.doc_id
+            WHERE g.nf = 0 AND f.family IN ('permissive', 'none')
+        ),
+        norm AS (SELECT *, sha256({_norm_sql("content")}) AS nsha FROM kept),
+        reps AS (SELECT nsha, MIN(doc_id) AS rep_id FROM norm GROUP BY nsha),
+        released AS (
+            SELECT n.* FROM norm n JOIN reps r
+            ON n.nsha = r.nsha AND n.doc_id = r.rep_id
+        )
+        SELECT code_lang, family, COUNT(*) AS docs,
+               CAST(SUM(len(string_split_regex(trim(content), '\s+'))) AS BIGINT) AS tokens
+        FROM released GROUP BY code_lang, family ORDER BY code_lang, family
     """
     o["code_import_stats"] = rf"""
         WITH {_CC_SQL},

@@ -61,6 +61,7 @@ CHEAP = [
     "code_filter_gates",
     "code_license_stats",
     "code_import_stats",
+    "code_release_e2e",
 ]
 
 pytestmark = pytest.mark.skipif(
