@@ -1256,6 +1256,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["code_release_e2e"] = code_release_e2e
 
+    # --- dependency-rank (operators/pagerank.py): the import edges made
+    #     transitive. Module ownership is the deterministic fixture rule
+    #     owner(module) = 'src' || (sha60('own:'||module) % n_sources), so
+    #     the graph is source→source; weights = importing-file counts. The
+    #     ENTIRE 10-iteration fixed-point power iteration is value-oracled
+    #     (integer arithmetic, pagerank_oracle_sql unrolls the same loop).
+    def source_dependency_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.text import seeded_sha60
+        from sick_spark.operators.codefilters import extract_imports
+        from sick_spark.operators.pagerank import pagerank
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cc = _code_corpus(d).join(d.select("doc_id", "source"), "doc_id")
+        imp = extract_imports(cc)
+        n_src = d.select("source").distinct().count()
+        owned = imp.join(cc.select("doc_id", "source"), "doc_id").select(
+            "source",
+            F.concat(
+                F.lit("src"),
+                (seeded_sha60("module", "own") % n_src).cast("string"),
+            ).alias("owner"),
+        )
+        edges = owned.groupBy("source", "owner").agg(F.count(F.lit(1)).alias("w"))
+        return pagerank(edges, src="source", dst="owner", weight="w").orderBy("node")
+    q["source_dependency_rank"] = source_dependency_rank
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3535,9 +3561,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(len(string_split_regex(trim(content), '\s+'))) AS BIGINT) AS tokens
         FROM released GROUP BY code_lang, family ORDER BY code_lang, family
     """
-    o["code_import_stats"] = rf"""
-        WITH {_CC_SQL},
-        imp AS (
+    # per-language import extraction over a relation with (doc_id,
+    # code_lang, content) — shared by import stats and dependency rank
+    def _imp_sql(rel: str) -> str:
+        return rf"""
             SELECT DISTINCT doc_id, code_lang, module FROM (
                 SELECT doc_id, code_lang,
                        unnest(CASE WHEN code_lang = 'python' THEN
@@ -3548,12 +3575,34 @@ def oracle_sql() -> dict[str, str]:
                                    || regexp_extract_all(content, '(?m)^[ \t]*import[ \t]+[^\n]*?[ \t]from[ \t]+"([^"]+)"', 1)
                               ELSE regexp_extract_all(content, '(?m)^[ \t]*#include[ \t]+[<"]([A-Za-z0-9_./]+)[>"]', 1)
                          END) AS module
-                FROM cc)
-        )
+                FROM {rel})
+        """
+
+    o["code_import_stats"] = rf"""
+        WITH {_CC_SQL},
+        imp AS ({_imp_sql("cc")})
         SELECT code_lang, module, COUNT(*) AS n_docs
         FROM imp GROUP BY code_lang, module
         HAVING COUNT(*) >= 2 ORDER BY code_lang, module
     """
+
+    # dependency rank: import edges → deterministic ownership → the
+    # unrolled fixed-point power iteration (pagerank_oracle_sql is the
+    # arithmetic's single source of truth)
+    from sick_spark.operators.pagerank import pagerank_oracle_sql as _pr_sql
+
+    _DEPRANK_EDGES = rf"""
+        {_CC_SQL},
+        ccs AS (SELECT cc.doc_id, cc.code_lang, cc.content, d.source
+                FROM cc JOIN documents d USING (doc_id)),
+        imp AS ({_imp_sql("ccs")}),
+        owned AS (SELECT s.source AS s,
+                         'src' || CAST(CAST(CONCAT('0x', SUBSTR(sha256('own:' || i.module), 1, 15)) AS BIGINT)
+                                       % (SELECT COUNT(DISTINCT source) FROM documents) AS VARCHAR) AS t
+                  FROM imp i JOIN ccs s USING (doc_id)),
+        e AS (SELECT s, t, COUNT(*) AS w FROM owned GROUP BY s, t)
+    """
+    o["source_dependency_rank"] = _pr_sql(_DEPRANK_EDGES)
 
     # fuzzy decontamination: same span derivation + 8-gram shingles, but
     # the per-doc DISTINCT-shingle denominator and the >= 5% ratio rule

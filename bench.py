@@ -541,6 +541,7 @@ def main() -> None:
         "code_license_stats",
         "code_import_stats",
         "code_release_e2e",
+        "source_dependency_rank",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

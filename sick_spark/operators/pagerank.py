@@ -1,0 +1,172 @@
+"""Weighted PageRank over dependency edges — the "which repos/modules
+matter" signal code-corpus pipelines use to weight training data beyond
+raw import counts (deps.dev / npm-rank style dependency centrality; the
+Stack v2 keeps repo popularity signals alongside license and quality).
+
+This is the engine's second iterative graph algorithm, next to connected
+components (``operators/components.py``): CC answers "which files are
+the same", PageRank answers "which nodes are load-bearing" on the
+import graph that ``codefilters.extract_imports`` produces.
+
+**Exact fixed-point arithmetic.** Ranks are BIGINT micro-mass: a total
+of ``total_mass`` (default 10¹²) units spread over n nodes. Each
+iteration moves integer mass::
+
+    contrib(u→v) = (r(u) * w(u,v)) div out_w(u)      -- integer floor
+    r'(v)        = base + (damping_pct * Σ contrib) div 100
+    base         = ((100 - damping_pct) * (total_mass div n)) div 100
+
+All operations are integer multiply/floor-divide/sum — order-free and
+engine-exact, so the WHOLE power iteration replays bit-identically in
+the DuckDB oracle (the lmquality/DSIR fixed-point precedent, applied to
+an iterative computation). Floor division leaks a few units of mass per
+node per iteration and dangling nodes (no out-edges) leak their damped
+mass entirely; both losses are deterministic and identical in both
+engines — documented, not hidden, and irrelevant to ranking order.
+Self-loops are dropped (standard PageRank hygiene; a self-edge only
+feeds a node its own mass back).
+
+Scale shape (the 100 TB plan):
+
+- the rank table is ``(node, r)`` — 16-byte rows, one per node; edges
+  carry ``(src, dst, w)``. Each iteration is ONE shuffle: edges join
+  ranks on ``src`` (both sides hash-partitioned on the same key, so a
+  co-partitioned layout amortizes across iterations), then a map-side
+  combinable groupBy on ``dst``.
+- ``out_w`` is computed once before the loop and joined alongside the
+  rank (same key, same partitioning — no extra exchange class).
+- iterations are FIXED (default 10), not convergence-polled: no
+  driver-side collect in the loop, retry-stable plans, and the oracle
+  can unroll exactly the same count. ``localCheckpoint`` every
+  ``ckpt_every`` iterations cuts lineage growth (the components.py
+  rule) — semantics-free, plan-size-bounded.
+
+Reference anchor: E10 frequency counting generalized — a ref count is
+in-degree; PageRank is in-degree made transitive (mass flows through
+the reference graph instead of counting one hop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOTAL_MASS = 10**12
+DAMPING_PCT = 85
+N_ITER = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_iter: int = N_ITER,
+    damping_pct: int = DAMPING_PCT,
+    total_mass: int = TOTAL_MASS,
+    ckpt_every: int = 4,
+) -> DataFrame:
+    """Fixed-point weighted PageRank. Returns ``(node, rank)`` with
+    ``rank`` in integer micro-mass units; every node appearing as a
+    source or destination gets a row. ``n_iter`` is fixed — the plan
+    contains exactly that many join+agg rounds."""
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    e = (
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("t"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .where((F.col("s") != F.col("t")) & (F.col("w") > 0))
+        .groupBy("s", "t")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
+    # per-node share and the teleport base are driver-side scalars only in
+    # the SENSE of the formula — n is computed inside the plan to keep the
+    # operator collect-free; counting nodes is one cheap global agg.
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    per = total_mass // n
+    base = ((100 - damping_pct) * per) // 100
+    ranks = nodes.withColumn("r", F.lit(per).cast("long"))
+    ew = e.join(outw, "s")  # (s, t, w, ow) — static across iterations
+    for i in range(n_iter):
+        contrib = (
+            ew.join(ranks, ew["s"] == ranks["node"])
+            .select(
+                F.col("t").alias("node"),
+                F.expr("(r * w) div ow").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(c, 0L)) div 100")
+            ).alias("r"),
+        )
+        if (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    n_iter: int = N_ITER,
+    damping_pct: int = DAMPING_PCT,
+    total_mass: int = TOTAL_MASS,
+) -> str:
+    """DuckDB-dialect replay of :func:`pagerank` (single source of truth
+    for the arithmetic): ``edges_cte`` must define a relation ``e(s, t,
+    w)`` with self-loops already possible (they are dropped here too).
+    The power iteration is UNROLLED — one CTE per iteration — because
+    the recursive-CTE form can't aggregate over its own recursive
+    reference; unrolling keeps the SQL mechanical and exactly n_iter
+    deep."""
+    parts = [
+        edges_cte,
+        """
+        ec AS (SELECT s, t, SUM(w) AS w FROM e
+               WHERE s <> t AND w > 0 GROUP BY s, t),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT s AS node FROM ec UNION SELECT t FROM ec)),
+        outw AS (SELECT s, SUM(w) AS ow FROM ec GROUP BY s),
+        params AS (SELECT COUNT(*) AS n,
+                          {TM} // COUNT(*) AS per,
+                          ((100 - {DP}) * ({TM} // COUNT(*))) // 100 AS base
+                   FROM nodes),
+        pr0 AS (SELECT node, (SELECT per FROM params) AS r FROM nodes)
+        """.replace("{TM}", str(total_mass)).replace("{DP}", str(damping_pct)),
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"""
+        contrib{k} AS (SELECT ec.t AS node,
+                              -- SUM(BIGINT) is HUGEINT in DuckDB; cast back
+                              -- so the final rank stays int64 like Spark's
+                              CAST(SUM((p.r * ec.w) // o.ow) AS BIGINT) AS c
+                       FROM ec JOIN pr{k} p ON ec.s = p.node
+                       JOIN outw o ON o.s = ec.s
+                       GROUP BY ec.t),
+        pr{k + 1} AS (SELECT n.node,
+                             (SELECT base FROM params)
+                             + ({damping_pct} * COALESCE(c.c, 0)) // 100 AS r
+                      FROM nodes n LEFT JOIN contrib{k} c USING (node))
+            """
+        )
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT node, CAST(r AS BIGINT) AS rank FROM pr{n_iter} ORDER BY node
+    """

@@ -62,6 +62,7 @@ CHEAP = [
     "code_license_stats",
     "code_import_stats",
     "code_release_e2e",
+    "source_dependency_rank",
 ]
 
 pytestmark = pytest.mark.skipif(

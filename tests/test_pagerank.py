@@ -1,0 +1,111 @@
+"""Fixed-point weighted PageRank (operators/pagerank.py): the Spark loop
+matches an independent Python reimplementation of the same integer
+arithmetic, the unrolled DuckDB oracle matches the Spark loop, and the
+structural properties (hub dominance, self-loop hygiene, mass bound)
+hold."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from sick_spark.operators.pagerank import (
+    DAMPING_PCT,
+    TOTAL_MASS,
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+
+def ref_pagerank(edges, n_iter=10, dp=DAMPING_PCT, tm=TOTAL_MASS):
+    """Independent dict-based reimplementation of the documented
+    arithmetic (NOT shared code with the operator)."""
+    ec: dict[tuple, int] = defaultdict(int)
+    for s, t, w in edges:
+        if s != t and w > 0:
+            ec[(s, t)] += w
+    nodes = sorted({s for s, _ in ec} | {t for _, t in ec})
+    if not nodes:
+        return {}
+    outw: dict = defaultdict(int)
+    for (s, _), w in ec.items():
+        outw[s] += w
+    n = len(nodes)
+    per = tm // n
+    base = ((100 - dp) * per) // 100
+    r = {v: per for v in nodes}
+    for _ in range(n_iter):
+        c: dict = defaultdict(int)
+        for (s, t), w in ec.items():
+            c[t] += (r[s] * w) // outw[s]
+        r = {v: base + (dp * c.get(v, 0)) // 100 for v in nodes}
+    return r
+
+
+EDGES = [
+    ("a", "b", 3),
+    ("a", "c", 1),
+    ("b", "a", 2),
+    ("c", "a", 1),
+    ("c", "b", 5),
+    ("d", "a", 1),  # dangling-in only via others; d itself never receives
+    ("b", "b", 9),  # self-loop, must be dropped
+    ("a", "b", 2),  # parallel edge, must merge with (a,b,3)
+    ("c", "d", 0),  # zero weight, must be dropped
+]
+
+
+def _edges_df(spark, rows=EDGES):
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_matches_python_reference(spark):
+    got = {r.node: r.rank for r in pagerank(_edges_df(spark)).collect()}
+    assert got == ref_pagerank(EDGES)
+
+
+def test_oracle_sql_matches_spark(spark):
+    vals = ", ".join(f"('{s}', '{t}', {w})" for s, t, w in EDGES)
+    sql = pagerank_oracle_sql(f"e(s, t, w) AS (SELECT * FROM (VALUES {vals}))")
+    oracle = {n: r for n, r in duckdb.connect().execute(sql).fetchall()}
+    got = {r.node: r.rank for r in pagerank(_edges_df(spark)).collect()}
+    assert got == oracle
+
+
+def test_hub_dominates_star(spark):
+    # pure in-star: the hub is dangling (its damped mass leaks — the
+    # documented rule) and must still dominate every leaf
+    star = [(f"leaf{i}", "hub", 1) for i in range(6)]
+    got = {r.node: r.rank for r in pagerank(_edges_df(spark, star)).collect()}
+    assert all(got["hub"] > got[f"leaf{i}"] for i in range(6))
+    assert got["leaf1"] == got["leaf5"]
+
+
+def test_self_loops_and_zero_weights_are_inert(spark):
+    clean = [e for e in EDGES if e[0] != e[1] and e[2] > 0]
+    a = {r.node: r.rank for r in pagerank(_edges_df(spark)).collect()}
+    b = {r.node: r.rank for r in pagerank(_edges_df(spark, clean)).collect()}
+    assert a == b
+
+
+def test_mass_bound(spark):
+    got = [r.rank for r in pagerank(_edges_df(spark)).collect()]
+    # floor-division + dangling leak only ever LOSES mass
+    assert 0 < sum(got) <= TOTAL_MASS
+
+
+def test_empty_and_param_guards(spark):
+    empty = _edges_df(spark, []).where("w > 0")
+    assert pagerank(empty).count() == 0
+    with pytest.raises(ValueError):
+        pagerank(_edges_df(spark), n_iter=-1)
+    with pytest.raises(ValueError):
+        pagerank(_edges_df(spark), damping_pct=100)
+
+
+def test_zero_iterations_is_uniform(spark):
+    got = {r.node: r.rank for r in pagerank(_edges_df(spark), n_iter=0).collect()}
+    per = TOTAL_MASS // len(got)
+    assert set(got.values()) == {per}
