@@ -1,0 +1,127 @@
+"""BPE subword tokenizer (operators/bpe.py): hand-derived merge order,
+determinism, reconstruction, monotone compression, the enforced
+vocabulary collect bound, and composition into the value-oracled
+pack-budget hook."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sick_spark.operators.bpe import (
+    EOW,
+    encode_word,
+    subword_token_counts,
+    train_bpe,
+    word_counts,
+)
+from sick_spark.operators.pack import pack_documents
+
+
+def _wc(spark, counts):
+    return spark.createDataFrame(list(counts.items()), "word string, n long")
+
+
+def test_hand_derived_merge_order(spark):
+    # seqs: a a a b </w> (x3), a a b </w> (x2)
+    # pair counts: (a,a)=8, (a,b)=5, (b,</w>)=5
+    # merge1 (a,a); then (aa,a)=3,(a,b)=3,(aa,b)=2,(b,</w>)=5 -> merge2 (b,</w>)
+    # then (aa,a)=3,(a,b</w>)=3 tie -> lexicographic min ('a','b</w>')
+    merges = train_bpe(_wc(spark, {"aaab": 3, "aab": 2}), n_merges=3)
+    assert merges == [("a", "a"), ("b", EOW), ("a", "b" + EOW)]
+
+
+def test_encode_word_greedy_rank_order():
+    ranks = {("a", "a"): 0, ("b", EOW): 1, ("a", "b" + EOW): 2}
+    assert encode_word("aaab", ranks) == ["aa", "ab" + EOW]
+    assert encode_word("aab", ranks) == ["aa", "b" + EOW]
+    assert encode_word("zzz", ranks) == ["z", "z", "z", EOW]
+
+
+def test_training_is_deterministic(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = word_counts(d, "text")
+    m1 = train_bpe(wc, n_merges=40)
+    m2 = train_bpe(word_counts(d, "text"), n_merges=40)
+    assert m1 == m2 and len(m1) == 40
+
+
+def test_reconstruction_property(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = word_counts(d, "text")
+    merges = train_bpe(wc, n_merges=60)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for row in wc.collect():
+        pieces = encode_word(row.word, ranks)
+        joined = "".join(pieces)
+        assert joined.endswith(EOW) and joined[: -len(EOW)] == row.word
+
+
+def test_counts_match_driver_side_encoding(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    merges = train_bpe(word_counts(d, "text"), n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r.doc_id: r.n_subword_tokens
+        for r in subword_token_counts(d, merges, content="text").collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        expect = sum(len(encode_word(w, ranks)) for w in row.text.split())
+        assert got[row.doc_id] == expect
+
+
+def test_more_merges_never_increase_counts(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    wc = word_counts(d, "text")
+    base = {
+        r.doc_id: r.n_subword_tokens
+        for r in subword_token_counts(d, [], content="text").collect()
+    }
+    # zero merges = chars + one EOW per word
+    for row in d.select("doc_id", "text").collect():
+        toks = row.text.split()
+        assert base[row.doc_id] == sum(len(w) + 1 for w in toks)
+    trained = {
+        r.doc_id: r.n_subword_tokens
+        for r in subword_token_counts(
+            d, train_bpe(wc, n_merges=50), content="text"
+        ).collect()
+    }
+    assert all(trained[k] <= base[k] for k in base)
+    assert sum(trained.values()) < sum(base.values())
+
+
+def test_vocab_collect_bound_enforced(spark):
+    wc = _wc(spark, {f"w{i}": 1 for i in range(10)})
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        train_bpe(wc, n_merges=5, max_vocab_rows=5)
+
+
+def test_min_count_prunes_hapax(spark):
+    d = spark.createDataFrame(
+        [(0, "hot hot hot cold"), (1, "hot warm")], "doc_id long, text string"
+    )
+    wc = {r.word: r.n for r in word_counts(d, "text", min_count=2).collect()}
+    assert wc == {"hot": 4}
+
+
+def test_composes_into_pack_budget(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    merges = train_bpe(word_counts(d, "text"), n_merges=40)
+    counted = subword_token_counts(d, merges, content="text")
+    packed = pack_documents(
+        counted.withColumn("grp", F.lit("all")),
+        budget=512,
+        group_col="grp",
+        text_col="text",
+        n_tokens_col="n_subword_tokens",
+    )
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in d.select("doc_id").collect()}
+    per_bin: dict = {}
+    for r in rows:
+        per_bin[r.bin] = per_bin.get(r.bin, 0) + r.n_tokens
+    # every bin respects the SUBWORD budget unless a single doc overflows it
+    for b, tot in per_bin.items():
+        docs_in_bin = [r for r in rows if r.bin == b]
+        assert tot <= 512 or len(docs_in_bin) == 1
