@@ -132,6 +132,21 @@ def test_chunking_is_shuffle_free_and_jvm_only(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
+def test_code_gates_are_shuffle_free_and_jvm_only(spark):
+    # the Stack gate family must be ONE projection over the scan: stats,
+    # autogen head-scan, gate booleans and the composed drop all ride a
+    # single pass — no join back onto the corpus, no Python anywhere
+    from sick_spark.operators.codefilters import code_quality_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    p = plan_str(code_quality_flags(docs))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
 def test_ivfpq_single_assign_pass_and_no_smj(spark):
     # the coalesce nullability guard (ivf_assign) must keep Catalyst from
     # scheduling the centroid matmul twice; expect exactly the two Arrow
