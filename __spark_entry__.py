@@ -1159,7 +1159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .when(
                 code_lang == "javascript",
-                F.lit('const fs = require("fs")\nimport path from "path"\n'),
+                F.lit(
+                    'const fs = require("fs")\n'
+                    "const q = require('querystring')\n"
+                    'import path from "path"\n'
+                ),
             )
             .otherwise(F.lit('#include <stdio.h>\n#include "local.h"\n')),
         ).otherwise(F.lit(""))
@@ -1236,9 +1240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         cc = _code_corpus(d)
-        flags = code_quality_flags(cc).select("doc_id", "drop")
-        fam = cc.withColumn("family", license_family("content"))
-        kept = fam.join(flags, "doc_id").where(
+        # gates pass the input columns through, so the license gate and
+        # the kept-filter stay one zero-shuffle projection chain — no
+        # join back onto the corpus
+        fam = code_quality_flags(cc).withColumn(
+            "family", license_family("content")
+        )
+        kept = fam.where(
             (~F.col("drop")) & F.col("family").isin("permissive", "none")
         )
         norm = kept.withColumn(
@@ -3453,7 +3461,7 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN doc_id % 11 = 3 THEN '# Auto-generated by codegen. DO NOT EDIT.' || chr(10) ELSE '' END
                    || CASE WHEN doc_id % 5 = 2 THEN
                            CASE WHEN doc_id % 3 = 0 THEN 'import os' || chr(10) || 'import sys' || chr(10) || 'from collections import deque' || chr(10)
-                                WHEN doc_id % 3 = 1 THEN 'const fs = require("fs")' || chr(10) || 'import path from "path"' || chr(10)
+                                WHEN doc_id % 3 = 1 THEN 'const fs = require("fs")' || chr(10) || 'const q = require(''querystring'')' || chr(10) || 'import path from "path"' || chr(10)
                                 ELSE '#include <stdio.h>' || chr(10) || '#include "local.h"' || chr(10) END
                       ELSE '' END
                    || text
@@ -3568,12 +3576,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, code_lang, module FROM (
                 SELECT doc_id, code_lang,
                        unnest(CASE WHEN code_lang = 'python' THEN
-                                   regexp_extract_all(content, '(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
-                                   || regexp_extract_all(content, '(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import', 1)
+                                   regexp_extract_all(content, '(?:^|\n)[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+                                   || regexp_extract_all(content, '(?:^|\n)[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import', 1)
                               WHEN code_lang = 'javascript' THEN
                                    regexp_extract_all(content, 'require\("([^"]+)"\)', 1)
-                                   || regexp_extract_all(content, '(?m)^[ \t]*import[ \t]+[^\n]*?[ \t]from[ \t]+"([^"]+)"', 1)
-                              ELSE regexp_extract_all(content, '(?m)^[ \t]*#include[ \t]+[<"]([A-Za-z0-9_./]+)[>"]', 1)
+                                   || regexp_extract_all(content, 'require\(''([^'']+)''\)', 1)
+                                   || regexp_extract_all(content, '(?:^|\n)[ \t]*import[ \t]+[^\n]*?[ \t]from[ \t]+"([^"]+)"', 1)
+                                   || regexp_extract_all(content, '(?:^|\n)[ \t]*import[ \t]+[^\n]*?[ \t]from[ \t]+''([^'']+)''', 1)
+                              ELSE regexp_extract_all(content, '(?:^|\n)[ \t]*#include[ \t]+[<"]([A-Za-z0-9_./]+)[>"]', 1)
                          END) AS module
                 FROM {rel})
         """

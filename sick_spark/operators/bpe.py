@@ -37,8 +37,20 @@ reuse exactly the way the pair table counts bigram reuse.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+#: Java regex \s is ASCII-only — [ \t\n\x0B\f\r]. The Python side MUST
+#: split identically or application counts disagree with the vocabulary's
+#: training tokenization on Unicode whitespace (NBSP, U+2028, ...), which
+#: Python's str.split()/\s would treat as separators.
+_ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _ascii_split(text: str) -> list[str]:
+    return [t for t in _ASCII_WS.split(text) if t]
 
 #: End-of-word marker (Sennrich 2016 §3.2).
 EOW = "</w>"
@@ -78,33 +90,57 @@ def train_bpe(
     occurs at least twice. Fully deterministic (count desc, then
     lexicographic pair asc) — the retry-stability contract every
     derive-don't-ask config in this engine follows."""
-    n_rows = wc.count()
-    if n_rows > max_vocab_rows:
+    # one pass: limit(max+1) bounds BOTH the job and driver memory — no
+    # separate count() scan (the collect IS the bound check)
+    rows = wc.select(word, n).limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
-            f"vocabulary has {n_rows} rows > max_vocab_rows={max_vocab_rows}; "
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
             "raise min_count — the training loop is driver-side by design "
             "(bounded like lloyd_refine) and must not absorb a corpus-sized table"
         )
-    rows = wc.select(word, n).collect()
     seqs: dict[tuple[str, ...], int] = {}
     for r in rows:
-        seqs[tuple(r[0]) + (EOW,)] = seqs.get(tuple(r[0]) + (EOW,), 0) + int(r[1])
+        k = tuple(r[0]) + (EOW,)
+        seqs[k] = seqs.get(k, 0) + int(r[1])
+
+    # incremental pair statistics (the Sennrich learn_bpe shape): each
+    # merge touches ONLY the sequences containing the merged pair, via a
+    # pair → containing-sequence index; counts are weighted sums of
+    # integers, so incremental updates equal a full recount exactly.
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+
+    def _account(seq: tuple[str, ...], cnt: int) -> None:
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            c = pair_counts.get(p, 0) + cnt
+            if c:
+                pair_counts[p] = c
+            else:
+                pair_counts.pop(p, None)
+            if cnt > 0:
+                where.setdefault(p, set()).add(seq)
+            elif p in where:
+                where[p].discard(seq)
+
+    for seq, cnt in seqs.items():
+        _account(seq, cnt)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for seq, cnt in seqs.items():
-            for i in range(len(seq) - 1):
-                p = (seq[i], seq[i + 1])
-                pairs[p] = pairs.get(p, 0) + cnt
-        if not pairs:
+        if not pair_counts:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
             break
         merges.append(best)
         merged = best[0] + best[1]
-        nxt: dict[tuple[str, ...], int] = {}
-        for seq, cnt in seqs.items():
+        for seq in list(where.get(best, ())):
+            cnt = seqs.pop(seq, 0)
+            if not cnt:
+                continue
+            _account(seq, -cnt)
             out: list[str] = []
             i = 0
             while i < len(seq):
@@ -115,8 +151,10 @@ def train_bpe(
                     out.append(seq[i])
                     i += 1
             key = tuple(out)
-            nxt[key] = nxt.get(key, 0) + cnt
-        seqs = nxt
+            seqs[key] = seqs.get(key, 0) + cnt
+            _account(key, cnt)
+        pair_counts.pop(best, None)
+        where.pop(best, None)
     return merges
 
 
@@ -171,7 +209,7 @@ def subword_token_counts(
             if not text:
                 return 0
             total = 0
-            for w in text.split():
+            for w in _ascii_split(text):
                 c = memo.get(w)
                 if c is None:
                     c = len(encode_word(w, ranks))

@@ -12,16 +12,30 @@ import graph that ``codefilters.extract_imports`` produces.
 of ``total_mass`` (default 10¹²) units spread over n nodes. Each
 iteration moves integer mass::
 
-    contrib(u→v) = (r(u) * w(u,v)) div out_w(u)      -- integer floor
+    wn(u,v)      = (w(u,v) * WEIGHT_SCALE) div out_w(u)   -- once, bounded
+    contrib(u→v) = (r(u) * wn(u,v)) div WEIGHT_SCALE      -- integer floor
     r'(v)        = base + (damping_pct * Σ contrib) div 100
     base         = ((100 - damping_pct) * (total_mass div n)) div 100
 
 All operations are integer multiply/floor-divide/sum — order-free and
 engine-exact, so the WHOLE power iteration replays bit-identically in
 the DuckDB oracle (the lmquality/DSIR fixed-point precedent, applied to
-an iterative computation). Floor division leaks a few units of mass per
-node per iteration and dangling nodes (no out-edges) leak their damped
-mass entirely; both losses are deterministic and identical in both
+an iterative computation).
+
+**Overflow is impossible by construction**, not by assumption: raw edge
+weights are normalized ONCE into bounded fixed-point shares
+``wn = (w * WEIGHT_SCALE) div out_w`` (0..WEIGHT_SCALE, since w ≤
+out_w), and the per-iteration contribution is ``(r * wn) div
+WEIGHT_SCALE``. Mass only ever leaks (per-node Σwn ≤ WEIGHT_SCALE and
+every division floors), so by induction r ≤ total_mass and the widest
+intermediate is ``total_mass * WEIGHT_SCALE = 10¹⁸ < 2⁶³`` — no value
+of the raw weights (file counts at 100 TB included) can wrap int64 in
+Spark or overflow BIGINT in DuckDB.
+
+Floor division leaks a few units of mass per node per iteration,
+dangling nodes (no out-edges) leak their damped mass entirely, and an
+edge carrying under 1/WEIGHT_SCALE of its source's out-weight rounds to
+a zero share; all three losses are deterministic and identical in both
 engines — documented, not hidden, and irrelevant to ranking order.
 Self-loops are dropped (standard PageRank hygiene; a self-edge only
 feeds a node its own mass back).
@@ -53,6 +67,9 @@ from pyspark.sql import DataFrame, functions as F
 TOTAL_MASS = 10**12
 DAMPING_PCT = 85
 N_ITER = 10
+#: Fixed-point denominator for normalized edge shares. The product
+#: TOTAL_MASS * WEIGHT_SCALE must stay below 2^63 (see module docstring).
+WEIGHT_SCALE = 10**6
 
 
 def pagerank(
@@ -68,11 +85,14 @@ def pagerank(
     """Fixed-point weighted PageRank. Returns ``(node, rank)`` with
     ``rank`` in integer micro-mass units; every node appearing as a
     source or destination gets a row. ``n_iter`` is fixed — the plan
-    contains exactly that many join+agg rounds."""
+    contains exactly that many join+agg rounds. ``ckpt_every=0``
+    disables lineage checkpointing."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if ckpt_every < 0:
+        raise ValueError(f"ckpt_every must be >= 0, got {ckpt_every}")
     e = (
         edges.select(
             F.col(src).alias("s"),
@@ -98,13 +118,16 @@ def pagerank(
     per = total_mass // n
     base = ((100 - damping_pct) * per) // 100
     ranks = nodes.withColumn("r", F.lit(per).cast("long"))
-    ew = e.join(outw, "s")  # (s, t, w, ow) — static across iterations
+    # normalized bounded shares, computed once — static across iterations
+    ew = e.join(outw, "s").select(
+        "s", "t", F.expr(f"(w * {WEIGHT_SCALE}L) div ow").alias("wn")
+    )
     for i in range(n_iter):
         contrib = (
             ew.join(ranks, ew["s"] == ranks["node"])
             .select(
                 F.col("t").alias("node"),
-                F.expr("(r * w) div ow").alias("c"),
+                F.expr(f"(r * wn) div {WEIGHT_SCALE}L").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
@@ -116,7 +139,7 @@ def pagerank(
                 + F.expr(f"({damping_pct} * coalesce(c, 0L)) div 100")
             ).alias("r"),
         )
-        if (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
+        if ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank"))
 
@@ -137,28 +160,31 @@ def pagerank_oracle_sql(
     parts = [
         edges_cte,
         """
-        ec AS (SELECT s, t, SUM(w) AS w FROM e
+        ec AS (SELECT s, t, CAST(SUM(w) AS BIGINT) AS w FROM e
                WHERE s <> t AND w > 0 GROUP BY s, t),
         nodes AS (SELECT DISTINCT node FROM
                   (SELECT s AS node FROM ec UNION SELECT t FROM ec)),
-        outw AS (SELECT s, SUM(w) AS ow FROM ec GROUP BY s),
+        outw AS (SELECT s, CAST(SUM(w) AS BIGINT) AS ow FROM ec GROUP BY s),
+        ew AS (SELECT ec.s, ec.t, (ec.w * {WS}) // o.ow AS wn
+               FROM ec JOIN outw o ON o.s = ec.s),
         params AS (SELECT COUNT(*) AS n,
-                          {TM} // COUNT(*) AS per,
-                          ((100 - {DP}) * ({TM} // COUNT(*))) // 100 AS base
+                          {TM} // greatest(COUNT(*), 1) AS per,
+                          ((100 - {DP}) * ({TM} // greatest(COUNT(*), 1))) // 100 AS base
                    FROM nodes),
         pr0 AS (SELECT node, (SELECT per FROM params) AS r FROM nodes)
-        """.replace("{TM}", str(total_mass)).replace("{DP}", str(damping_pct)),
+        """.replace("{TM}", str(total_mass))
+        .replace("{DP}", str(damping_pct))
+        .replace("{WS}", str(WEIGHT_SCALE)),
     ]
     for k in range(n_iter):
         parts.append(
             f"""
-        contrib{k} AS (SELECT ec.t AS node,
+        contrib{k} AS (SELECT ew.t AS node,
                               -- SUM(BIGINT) is HUGEINT in DuckDB; cast back
                               -- so the final rank stays int64 like Spark's
-                              CAST(SUM((p.r * ec.w) // o.ow) AS BIGINT) AS c
-                       FROM ec JOIN pr{k} p ON ec.s = p.node
-                       JOIN outw o ON o.s = ec.s
-                       GROUP BY ec.t),
+                              CAST(SUM((p.r * ew.wn) // {WEIGHT_SCALE}) AS BIGINT) AS c
+                       FROM ew JOIN pr{k} p ON ew.s = p.node
+                       GROUP BY ew.t),
         pr{k + 1} AS (SELECT n.node,
                              (SELECT base FROM params)
                              + ({damping_pct} * COALESCE(c.c, 0)) // 100 AS r

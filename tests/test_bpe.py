@@ -91,6 +91,23 @@ def test_more_merges_never_increase_counts(spark, sf_dir):
     assert sum(trained.values()) < sum(base.values())
 
 
+def test_unicode_whitespace_parity_with_training_split(spark):
+    # Java \s is ASCII-only: an NBSP-joined pair is ONE word to
+    # word_counts and must be ONE word to the applying UDF too
+    d = spark.createDataFrame(
+        [(0, "caf bar caf bar x")], "doc_id long, text string"
+    )
+    wc = {r.word: r.n for r in word_counts(d, "text").collect()}
+    assert wc == {"caf bar": 2, "x": 1}
+    merges = train_bpe(_wc(spark, wc), n_merges=5)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = subword_token_counts(d, merges, content="text").collect()[0]
+    expect = 2 * len(encode_word("caf bar", ranks)) + len(
+        encode_word("x", ranks)
+    )
+    assert got.n_subword_tokens == expect
+
+
 def test_vocab_collect_bound_enforced(spark):
     wc = _wc(spark, {f"w{i}": 1 for i in range(10)})
     with pytest.raises(ValueError, match="max_vocab_rows"):

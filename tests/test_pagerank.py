@@ -14,6 +14,7 @@ import pytest
 from sick_spark.operators.pagerank import (
     DAMPING_PCT,
     TOTAL_MASS,
+    WEIGHT_SCALE,
     pagerank,
     pagerank_oracle_sql,
 )
@@ -32,14 +33,15 @@ def ref_pagerank(edges, n_iter=10, dp=DAMPING_PCT, tm=TOTAL_MASS):
     outw: dict = defaultdict(int)
     for (s, _), w in ec.items():
         outw[s] += w
+    wn = {(s, t): (w * WEIGHT_SCALE) // outw[s] for (s, t), w in ec.items()}
     n = len(nodes)
     per = tm // n
     base = ((100 - dp) * per) // 100
     r = {v: per for v in nodes}
     for _ in range(n_iter):
         c: dict = defaultdict(int)
-        for (s, t), w in ec.items():
-            c[t] += (r[s] * w) // outw[s]
+        for (s, t), x in wn.items():
+            c[t] += (r[s] * x) // WEIGHT_SCALE
         r = {v: base + (dp * c.get(v, 0)) // 100 for v in nodes}
     return r
 
@@ -103,6 +105,23 @@ def test_empty_and_param_guards(spark):
         pagerank(_edges_df(spark), n_iter=-1)
     with pytest.raises(ValueError):
         pagerank(_edges_df(spark), damping_pct=100)
+
+
+def test_huge_weights_do_not_overflow(spark):
+    # hub concentration at 100 TB-ish magnitudes: 10M files importing one
+    # module. Pre-normalization this wrapped int64 (r*w ~ 1e19); the
+    # bounded-share form keeps every intermediate under 1e18.
+    big = [(f"s{i}", "hub", 10_000_000) for i in range(3)] + [("hub", "s0", 1)]
+    got = {r.node: r.rank for r in pagerank(_edges_df(spark, big)).collect()}
+    assert got == ref_pagerank(big)
+    assert all(v > 0 for v in got.values())
+
+
+def test_ckpt_every_zero_disables_checkpointing(spark):
+    a = {r.node: r.rank for r in pagerank(_edges_df(spark), ckpt_every=0).collect()}
+    assert a == ref_pagerank(EDGES)
+    with pytest.raises(ValueError):
+        pagerank(_edges_df(spark), ckpt_every=-1)
 
 
 def test_zero_iterations_is_uniform(spark):
