@@ -1290,6 +1290,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, src="source", dst="owner", weight="w").orderBy("node")
     q["source_dependency_rank"] = source_dependency_rank
 
+    # --- function-level units + clone detection (operators/codeunits.py):
+    #     the fixture gives every doc a preamble, an f-unit shared by all
+    #     docs with equal (doc_id%4, doc_id%7), a unique g-unit wrapping
+    #     the doc text, and a class unit shared by doc_id%3 — so the clone
+    #     report sees heavy cross-file sharing while g-units prove unique
+    #     units never surface.
+    def _unit_corpus(d: DataFrame) -> DataFrame:
+        m = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        content = F.concat(
+            F.lit("import os\n"),
+            F.lit("def f"), s(m % 4), F.lit("():\n    return "), s(m % 7),
+            F.lit("\n"),
+            F.lit("def g():\n    "), F.col("text"), F.lit("\n"),
+            F.lit("class C"), s(m % 3), F.lit(":\n    pass"),
+        )
+        return d.select("doc_id", content.alias("content"))
+
+    def code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codeunits import split_units
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            split_units(_unit_corpus(d))
+            .select(
+                "doc_id",
+                F.col("unit_id").cast("long").alias("unit_id"),
+                F.col("start_line").cast("long").alias("start_line"),
+                "n_lines",
+                "unit_sha",
+            )
+            .orderBy("doc_id", "unit_id")
+        )
+    q["code_units"] = code_units
+
+    def code_unit_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codeunits import split_units, unit_clone_stats
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return unit_clone_stats(split_units(_unit_corpus(d)))
+    q["code_unit_clones"] = code_unit_clones
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3594,6 +3636,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT code_lang, module, COUNT(*) AS n_docs
         FROM imp GROUP BY code_lang, module
         HAVING COUNT(*) >= 2 ORDER BY code_lang, module
+    """
+
+    # function-level units: the unit fixture replayed, then lines →
+    # boundary cumsum → gaps-and-islands reassembly → sha, exactly the
+    # operator's pipeline
+    _UNITS_SQL = r"""
+        ucorp AS (
+            SELECT doc_id,
+                   'import os' || chr(10)
+                   || 'def f' || CAST(doc_id % 4 AS VARCHAR) || '():' || chr(10)
+                   || '    return ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                   || 'def g():' || chr(10) || '    ' || text || chr(10)
+                   || 'class C' || CAST(doc_id % 3 AS VARCHAR) || ':' || chr(10)
+                   || '    pass' AS content
+            FROM documents
+        ),
+        ul AS (SELECT doc_id, string_split(content, chr(10)) AS ls FROM ucorp),
+        ulines AS (SELECT doc_id, i AS ln, ls[i] AS line
+                   FROM ul, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        umark AS (SELECT doc_id, ln, line,
+                         CASE WHEN regexp_matches(line, '^(def|class|async def)[ \t]')
+                              THEN 1 ELSE 0 END AS b
+                  FROM ulines),
+        ucum AS (SELECT *, SUM(b) OVER (PARTITION BY doc_id ORDER BY ln
+                                        ROWS UNBOUNDED PRECEDING) AS unit_id
+                 FROM umark),
+        units AS (SELECT doc_id, CAST(unit_id AS BIGINT) AS unit_id,
+                         CAST(MIN(ln) AS BIGINT) AS start_line,
+                         CAST(COUNT(*) AS BIGINT) AS n_lines,
+                         sha256(string_agg(line, chr(10) ORDER BY ln)) AS unit_sha
+                  FROM ucum GROUP BY doc_id, unit_id)
+    """
+    o["code_units"] = rf"""
+        WITH {_UNITS_SQL}
+        SELECT doc_id, unit_id, start_line, n_lines, unit_sha
+        FROM units ORDER BY doc_id, unit_id
+    """
+    o["code_unit_clones"] = rf"""
+        WITH {_UNITS_SQL}
+        SELECT unit_sha,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(n_lines) AS BIGINT) AS n_lines
+        FROM units GROUP BY unit_sha
+        HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY unit_sha
     """
 
     # dependency rank: import edges → deterministic ownership → the

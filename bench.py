@@ -542,6 +542,8 @@ def main() -> None:
         "code_import_stats",
         "code_release_e2e",
         "source_dependency_rank",
+        "code_units",
+        "code_unit_clones",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

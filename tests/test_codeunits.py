@@ -1,0 +1,105 @@
+"""Function-level unit splitting + clone detection
+(operators/codeunits.py): boundary detection per language, preamble and
+nesting rules, deterministic reassembly, and cross-file clone stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sick_spark.operators.codeunits import (
+    UNIT_BOUNDARIES,
+    split_units,
+    unit_clone_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+PY = (
+    "import os\n"
+    "import sys\n"
+    "def f(x):\n"
+    "    def inner(y):\n"
+    "        return y\n"
+    "    return inner(x)\n"
+    "class C:\n"
+    "    pass\n"
+)
+
+
+def test_python_units_with_preamble_and_nesting(spark):
+    out = sorted(
+        split_units(_docs(spark, [(0, PY)])).collect(),
+        key=lambda r: r.unit_id,
+    )
+    assert [r.unit_id for r in out] == [0, 1, 2]
+    assert out[0].unit_text == "import os\nimport sys"
+    # the nested def stays inside its enclosing top-level unit
+    assert out[1].unit_text.startswith("def f(x):") and "inner" in out[1].unit_text
+    assert out[1].n_lines == 4
+    assert out[2].unit_text.startswith("class C:")
+    assert out[2].start_line == 7
+
+
+def test_no_boundary_is_single_unit(spark):
+    out = split_units(_docs(spark, [(0, "x = 1\ny = 2")])).collect()
+    assert len(out) == 1 and out[0].unit_id == 0 and out[0].n_lines == 2
+
+
+def test_empty_content(spark):
+    out = split_units(_docs(spark, [(0, "")])).collect()
+    assert len(out) == 1 and out[0].n_lines == 1 and out[0].unit_text == ""
+
+
+def test_js_and_c_boundaries(spark):
+    js = "const a = 1\nfunction go() {\n  return a\n}\nclass K {}\n"
+    out = split_units(
+        _docs(spark, [(0, js)]), boundary_re=UNIT_BOUNDARIES["javascript"]
+    ).collect()
+    # const, function, class each start a unit; preamble empty -> 3 units
+    assert len(out) == 3
+
+    c = "#include <stdio.h>\nint add(int a, int b) {\n  return a + b;\n}\nint decl(void);\n"
+    outc = sorted(
+        split_units(
+            _docs(spark, [(0, c)]), boundary_re=UNIT_BOUNDARIES["c"]
+        ).collect(),
+        key=lambda r: r.unit_id,
+    )
+    # the definition opens a unit; the prototype (trailing ';') does NOT
+    assert len(outc) == 2
+    assert outc[1].unit_text.startswith("int add")
+    assert "decl" in outc[1].unit_text
+
+
+def test_clone_stats_across_files(spark):
+    shared = "def f(x):\n    return x\n"
+    rows = [
+        (0, "import os\n" + shared + "def g0():\n    pass"),
+        (1, "import os\n" + shared + "def g1():\n    pass"),
+        (2, "import re\n" + shared + shared),  # twice in one file
+    ]
+    units = split_units(_docs(spark, rows))
+    clones = {r.unit_sha: r for r in unit_clone_stats(units).collect()}
+    # the shared f-unit: lines "def f(x):" + "    return x" appear in all
+    # 3 docs; in doc 2 the SECOND copy also absorbs the trailing '' line,
+    # so only the exact-identical occurrences group together
+    f_rows = [r for r in clones.values() if r.n_docs == 3]
+    assert len(f_rows) == 1 and f_rows[0].n_occurrences >= 3
+    # the 'import os' preamble is a 2-doc clone
+    assert any(r.n_docs == 2 for r in clones.values())
+    # unique g-units never appear
+    assert all(r.n_docs >= 2 for r in clones.values())
+
+
+def test_unit_sha_is_content_addressed(spark):
+    rows = [(0, PY), (1, PY)]
+    units = split_units(_docs(spark, rows))
+    per_doc = (
+        units.groupBy("unit_id")
+        .agg(F.count_distinct("unit_sha").alias("d"))
+        .collect()
+    )
+    assert all(r.d == 1 for r in per_doc)

@@ -63,6 +63,8 @@ CHEAP = [
     "code_import_stats",
     "code_release_e2e",
     "source_dependency_rank",
+    "code_units",
+    "code_unit_clones",
 ]
 
 pytestmark = pytest.mark.skipif(
