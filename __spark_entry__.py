@@ -1332,6 +1332,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unit_clone_stats(split_units(_unit_corpus(d)))
     q["code_unit_clones"] = code_unit_clones
 
+    # --- Type-2-lite clones: the comment-decorated fixture makes every
+    #     raw f-unit sha unique per doc (a trailing // note varies by
+    #     doc_id%5) while the NORMALIZED sha collapses them back to the
+    #     28 semantic variants — clone detection up to comments and
+    #     whitespace, unit granularity.
+    def _unit_corpus2(d: DataFrame) -> DataFrame:
+        m = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        content = F.concat(
+            F.lit("import os\n"),
+            F.lit("def f"), s(m % 4), F.lit("():\n    return "), s(m % 7),
+            F.lit("  // n"), s(m % 5),
+            F.lit("\n"),
+            F.lit("def g():\n    "), F.col("text"), F.lit("\n"),
+            F.lit("class C"), s(m % 3), F.lit(":\n    pass"),
+        )
+        return d.select("doc_id", content.alias("content"))
+
+    def code_unit_clones_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.normalize_code import normalize_code
+        from sick_spark.operators.codeunits import split_units, unit_clone_stats
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        u = split_units(_unit_corpus2(d)).withColumn(
+            "unit_norm_sha",
+            F.sha2(normalize_code("unit_text").cast("binary"), 256),
+        )
+        return unit_clone_stats(u, sha_col="unit_norm_sha")
+    q["code_unit_clones_normalized"] = code_unit_clones_normalized
+
+    def source_clone_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codeunits import (
+            source_clone_ratio as _scr,
+            split_units,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return _scr(split_units(_unit_corpus(d)), d.select("doc_id", "source"))
+    q["source_clone_ratio"] = source_clone_ratio
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3638,10 +3678,12 @@ def oracle_sql() -> dict[str, str]:
         HAVING COUNT(*) >= 2 ORDER BY code_lang, module
     """
 
-    # function-level units: the unit fixture replayed, then lines →
+    # function-level units: a unit fixture replayed, then lines →
     # boundary cumsum → gaps-and-islands reassembly → sha, exactly the
-    # operator's pipeline
-    _UNITS_SQL = r"""
+    # operator's pipeline. Parameterized by the corpus CTE so the raw
+    # (Type-1) and comment-decorated (Type-2-lite) fixtures share the
+    # machinery.
+    _UCORP_SQL = r"""
         ucorp AS (
             SELECT doc_id,
                    'import os' || chr(10)
@@ -3651,7 +3693,25 @@ def oracle_sql() -> dict[str, str]:
                    || 'class C' || CAST(doc_id % 3 AS VARCHAR) || ':' || chr(10)
                    || '    pass' AS content
             FROM documents
-        ),
+        )
+    """
+    _UCORP2_SQL = r"""
+        ucorp AS (
+            SELECT doc_id,
+                   'import os' || chr(10)
+                   || 'def f' || CAST(doc_id % 4 AS VARCHAR) || '():' || chr(10)
+                   || '    return ' || CAST(doc_id % 7 AS VARCHAR)
+                   || '  // n' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+                   || 'def g():' || chr(10) || '    ' || text || chr(10)
+                   || 'class C' || CAST(doc_id % 3 AS VARCHAR) || ':' || chr(10)
+                   || '    pass' AS content
+            FROM documents
+        )
+    """
+
+    def _units_sql(ucorp: str) -> str:
+        return rf"""
+        {ucorp},
         ul AS (SELECT doc_id, string_split(content, chr(10)) AS ls FROM ucorp),
         ulines AS (SELECT doc_id, i AS ln, ls[i] AS line
                    FROM ul, UNNEST(range(1, len(ls) + 1)) AS u(i)),
@@ -3665,22 +3725,46 @@ def oracle_sql() -> dict[str, str]:
         units AS (SELECT doc_id, CAST(unit_id AS BIGINT) AS unit_id,
                          CAST(MIN(ln) AS BIGINT) AS start_line,
                          CAST(COUNT(*) AS BIGINT) AS n_lines,
+                         string_agg(line, chr(10) ORDER BY ln) AS ut,
                          sha256(string_agg(line, chr(10) ORDER BY ln)) AS unit_sha
                   FROM ucum GROUP BY doc_id, unit_id)
-    """
+        """
+
     o["code_units"] = rf"""
-        WITH {_UNITS_SQL}
+        WITH {_units_sql(_UCORP_SQL)}
         SELECT doc_id, unit_id, start_line, n_lines, unit_sha
         FROM units ORDER BY doc_id, unit_id
     """
     o["code_unit_clones"] = rf"""
-        WITH {_UNITS_SQL}
+        WITH {_units_sql(_UCORP_SQL)}
         SELECT unit_sha,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_occurrences,
                CAST(MAX(n_lines) AS BIGINT) AS n_lines
         FROM units GROUP BY unit_sha
         HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY unit_sha
+    """
+    o["code_unit_clones_normalized"] = rf"""
+        WITH {_units_sql(_UCORP2_SQL)}
+        SELECT sha256({_norm_sql("ut")}) AS unit_norm_sha,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(n_lines) AS BIGINT) AS n_lines
+        FROM units GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY 1
+    """
+    o["source_clone_ratio"] = rf"""
+        WITH {_units_sql(_UCORP_SQL)},
+        dup AS (SELECT unit_sha FROM units
+                GROUP BY unit_sha HAVING COUNT(DISTINCT doc_id) >= 2),
+        j AS (SELECT u.n_lines, d.source, (dup.unit_sha IS NOT NULL) AS isd
+              FROM units u JOIN documents d USING (doc_id)
+              LEFT JOIN dup USING (unit_sha))
+        SELECT source, CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+               CAST(SUM(CASE WHEN isd THEN n_lines ELSE 0 END) AS BIGINT) AS cloned_lines,
+               SUM(CASE WHEN isd THEN n_lines ELSE 0 END) * 1.0
+                   / greatest(SUM(n_lines), 1) AS clone_frac
+        FROM j GROUP BY source ORDER BY source
     """
 
     # dependency rank: import edges → deterministic ownership → the

@@ -544,6 +544,8 @@ def main() -> None:
         "source_dependency_rank",
         "code_units",
         "code_unit_clones",
+        "code_unit_clones_normalized",
+        "source_clone_ratio",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

@@ -96,19 +96,68 @@ def split_units(
 
 
 def unit_clone_stats(
-    units: DataFrame, min_docs: int = 2
+    units: DataFrame, min_docs: int = 2, sha_col: str = "unit_sha"
 ) -> DataFrame:
-    """``(unit_sha, n_docs, n_occurrences, n_lines)`` for units cloned
+    """``(<sha_col>, n_docs, n_occurrences, n_lines)`` for units cloned
     across at least ``min_docs`` files — the function-level duplication
-    report. ``n_lines`` is well-defined per sha (identical text ⇒
-    identical line count)."""
+    report. With the raw ``unit_sha`` this is Type-1 clone detection
+    (identical text ⇒ identical line count, so ``n_lines`` is exact);
+    pass a normalized sha (comments/whitespace canonicalized via
+    ``functions.normalize_code``) for Type-2-lite clones, where
+    ``n_lines`` is the max over the collapsed variants."""
     return (
-        units.groupBy("unit_sha")
+        units.groupBy(sha_col)
         .agg(
             F.count_distinct(F.col("doc_id")).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.max("n_lines").alias("n_lines"),
         )
         .where(F.col("n_docs") >= min_docs)
-        .orderBy("unit_sha")
+        .orderBy(sha_col)
+    )
+
+
+def source_clone_ratio(
+    units: DataFrame,
+    doc_source: DataFrame,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-source vendored-code fraction: how many of a source's unit
+    lines belong to units cloned across ≥ ``min_docs`` files anywhere in
+    the corpus. ``doc_source`` maps ``(doc_id, source)``. Returns
+    ``(source, total_lines, cloned_lines, clone_frac)`` — the signal
+    that separates "writes code" repos from "vendors code" repos when
+    weighting a training mix. One sha groupBy + one join back on the
+    8-byte-prefix sha key; the fraction is an integer ratio divided
+    once (IEEE-replayable)."""
+    dup = (
+        units.groupBy("unit_sha")
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("unit_sha")
+    )
+    j = units.join(doc_source, "doc_id").join(
+        dup.withColumn("is_dup", F.lit(1)), "unit_sha", "left"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n_lines").alias("total_lines"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("n_lines")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("cloned_lines"),
+        )
+        .select(
+            "source",
+            "total_lines",
+            "cloned_lines",
+            (
+                F.col("cloned_lines")
+                * F.lit(1.0)
+                / F.greatest(F.col("total_lines"), F.lit(1))
+            ).alias("clone_frac"),
+        )
+        .orderBy("source")
     )

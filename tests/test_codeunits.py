@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from sick_spark.operators.codeunits import (
     UNIT_BOUNDARIES,
+    source_clone_ratio,
     split_units,
     unit_clone_stats,
 )
@@ -92,6 +93,46 @@ def test_clone_stats_across_files(spark):
     assert any(r.n_docs == 2 for r in clones.values())
     # unique g-units never appear
     assert all(r.n_docs >= 2 for r in clones.values())
+
+
+def test_normalized_sha_collapses_comment_variants(spark):
+    from sick_spark.functions.normalize_code import normalize_code
+
+    rows = [
+        (0, "def f(x):\n    return x  // a\n"),
+        (1, "def f(x):\n    return x  // b\n"),
+    ]
+    u = split_units(_docs(spark, rows)).withColumn(
+        "unit_norm_sha",
+        F.sha2(normalize_code("unit_text").cast("binary"), 256),
+    )
+    raw = unit_clone_stats(u).collect()
+    norm = unit_clone_stats(u, sha_col="unit_norm_sha").collect()
+    # raw shas differ per comment; normalized shas collapse to one clone
+    # group covering both docs (the trailing '' unit also matches both
+    # ways, so compare group membership of the f-unit specifically)
+    f_norm = [r for r in norm if r.n_lines >= 2]
+    assert len(f_norm) == 1 and f_norm[0].n_docs == 2
+    assert not any(r.n_lines >= 2 for r in raw)
+
+
+def test_source_clone_ratio(spark):
+    shared = "def f(x):\n    return x"
+    rows = [
+        (0, "a", shared),
+        (1, "a", "def g():\n    pass\n    pass"),
+        (2, "b", shared),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, content string")
+    u = split_units(docs.select("doc_id", "content"))
+    out = {
+        r.source: r
+        for r in source_clone_ratio(u, docs.select("doc_id", "source")).collect()
+    }
+    # source a: doc0 fully cloned (2 lines), doc1 unique (3 lines)
+    assert out["a"].total_lines == 5 and out["a"].cloned_lines == 2
+    assert out["a"].clone_frac == 2 / 5
+    assert out["b"].clone_frac == 1.0
 
 
 def test_unit_sha_is_content_addressed(spark):

@@ -65,6 +65,8 @@ CHEAP = [
     "source_dependency_rank",
     "code_units",
     "code_unit_clones",
+    "code_unit_clones_normalized",
+    "source_clone_ratio",
 ]
 
 pytestmark = pytest.mark.skipif(
