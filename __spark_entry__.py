@@ -1372,6 +1372,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _scr(split_units(_unit_corpus(d)), d.select("doc_id", "source"))
     q["source_clone_ratio"] = source_clone_ratio
 
+    # --- Type-3 (near-miss) unit clones: exact collapse FIRST (one
+    #     representative per unit sha — the engine's own
+    #     dedup-before-near-dup rule), then exact token-3-gram Jaccard
+    #     pairing between representatives. The fixture's f-units come in
+    #     two parity variants (an extra statement on even doc_ids) and
+    #     seven constant variants per name — near-miss, never identical.
+    def _unit_corpus3(d: DataFrame) -> DataFrame:
+        m = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        extra = F.when(m % 2 == 0, F.lit("    c = e * 2\n")).otherwise(F.lit(""))
+        content = F.concat(
+            F.lit("import os\n"),
+            F.lit("def f"), s(m % 4), F.lit("():\n    a = "), s(m % 7),
+            F.lit("\n    b = a + 1\n    d = b + a\n    e = d + 1\n"),
+            extra,
+            F.lit("    return e\n"),
+            F.lit("def g():\n    "), F.col("text"), F.lit("\n"),
+            F.lit("class C"), s(m % 3), F.lit(":\n    pass"),
+        )
+        return d.select("doc_id", content.alias("content"))
+
+    def unit_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.text import with_token_shingle_hashes
+        from sick_spark.operators.codeunits import split_units
+        from sick_spark.operators.ngram import ngram_jaccard_pairs
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        u = split_units(_unit_corpus3(d)).withColumn(
+            "uid", F.col("doc_id") * 1000 + F.col("unit_id")
+        )
+        reps = u.groupBy("unit_sha").agg(F.min("uid").alias("uid"))
+        rt = reps.join(
+            u.select("uid", F.col("unit_text").alias("content")), "uid"
+        )
+        sh = with_token_shingle_hashes(rt, "content", _K).select(
+            "uid", "shingle_hashes"
+        )
+        pairs = ngram_jaccard_pairs(sh, _J, id_col="uid")
+        ma = reps.select(F.col("uid").alias("doc_a"), F.col("unit_sha").alias("sha_a"))
+        mb = reps.select(F.col("uid").alias("doc_b"), F.col("unit_sha").alias("sha_b"))
+        return (
+            pairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select("sha_a", "sha_b")
+            .orderBy("sha_a", "sha_b")
+        )
+    q["unit_neardup_pairs"] = unit_neardup_pairs
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3752,6 +3800,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(n_lines) AS BIGINT) AS n_lines
         FROM units GROUP BY 1
         HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY 1
+    """
+    _UCORP3_SQL = r"""
+        ucorp AS (
+            SELECT doc_id,
+                   'import os' || chr(10)
+                   || 'def f' || CAST(doc_id % 4 AS VARCHAR) || '():' || chr(10)
+                   || '    a = ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                   || '    b = a + 1' || chr(10)
+                   || '    d = b + a' || chr(10)
+                   || '    e = d + 1' || chr(10)
+                   || CASE WHEN doc_id % 2 = 0 THEN '    c = e * 2' || chr(10) ELSE '' END
+                   || '    return e' || chr(10)
+                   || 'def g():' || chr(10) || '    ' || text || chr(10)
+                   || 'class C' || CAST(doc_id % 3 AS VARCHAR) || ':' || chr(10)
+                   || '    pass' AS content
+            FROM documents
+        )
+    """
+    o["unit_neardup_pairs"] = rf"""
+        WITH {_units_sql(_UCORP3_SQL)},
+        uu AS (SELECT doc_id * 1000 + unit_id AS uid, unit_sha, ut FROM units),
+        reps AS (SELECT unit_sha, MIN(uid) AS uid FROM uu GROUP BY unit_sha),
+        rt AS (SELECT r.uid, r.unit_sha, u.ut FROM reps r JOIN uu u ON u.uid = r.uid),
+        uw AS (SELECT uid, string_split_regex(trim(ut), '\s+') AS ws FROM rt),
+        ush AS (SELECT uid,
+                       unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                             FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+                FROM uw),
+        usz AS (SELECT uid, count(*) AS n FROM ush GROUP BY uid),
+        uint AS (SELECT a.uid AS ua, b.uid AS ub, count(*) AS i
+                 FROM ush a JOIN ush b ON a.s = b.s AND a.uid < b.uid
+                 GROUP BY 1, 2),
+        upairs AS (SELECT ua, ub FROM uint
+                   JOIN usz x ON ua = x.uid
+                   JOIN usz y ON ub = y.uid
+                   WHERE i * 1.0 / (x.n + y.n - i) >= 0.5)
+        SELECT ra.unit_sha AS sha_a, rb.unit_sha AS sha_b
+        FROM upairs
+        JOIN rt ra ON ra.uid = ua
+        JOIN rt rb ON rb.uid = ub
+        ORDER BY sha_a, sha_b
     """
     o["source_clone_ratio"] = rf"""
         WITH {_units_sql(_UCORP_SQL)},

@@ -67,6 +67,7 @@ CHEAP = [
     "code_unit_clones",
     "code_unit_clones_normalized",
     "source_clone_ratio",
+    "unit_neardup_pairs",
 ]
 
 pytestmark = pytest.mark.skipif(
