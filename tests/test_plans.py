@@ -147,6 +147,20 @@ def test_code_gates_are_shuffle_free_and_jvm_only(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
+def test_unit_splitting_shares_one_exchange_class(spark):
+    # lines → boundary cumsum (window) → reassembly (groupBy) both key on
+    # doc_id: at most the two doc_id hash exchanges, no join, no Python
+    from sick_spark.operators.codeunits import split_units
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    p = plan_str(split_units(docs))
+    assert p.count("Exchange") <= 2, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
 def test_ivfpq_single_assign_pass_and_no_smj(spark):
     # the coalesce nullability guard (ivf_assign) must keep Catalyst from
     # scheduling the centroid matmul twice; expect exactly the two Arrow
