@@ -1393,23 +1393,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return d.select("doc_id", content.alias("content"))
 
-    def unit_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sick_spark.functions.text import with_token_shingle_hashes
+    def _unit_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         from sick_spark.operators.codeunits import split_units
-        from sick_spark.operators.ngram import ngram_jaccard_pairs
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        u = split_units(_unit_corpus3(d)).withColumn(
-            "uid", F.col("doc_id") * 1000 + F.col("unit_id")
-        )
-        reps = u.groupBy("unit_sha").agg(F.min("uid").alias("uid"))
-        rt = reps.join(
-            u.select("uid", F.col("unit_text").alias("content")), "uid"
-        )
-        sh = with_token_shingle_hashes(rt, "content", _K).select(
-            "uid", "shingle_hashes"
-        )
-        pairs = ngram_jaccard_pairs(sh, _J, id_col="uid")
+        def build() -> DataFrame:
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            u = split_units(_unit_corpus3(d)).withColumn(
+                "uid", F.col("doc_id") * 1000 + F.col("unit_id")
+            )
+            reps = u.groupBy("unit_sha").agg(F.min("uid").alias("uid"))
+            return reps.join(
+                u.select("uid", F.col("unit_text").alias("content")), "uid"
+            )
+        return _memo(spark, sf_dir, "unit3_reps", build)
+
+    def _unit_rep_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.text import with_token_shingle_hashes
+
+        def build() -> DataFrame:
+            rt = _unit_reps(spark, sf_dir)
+            return with_token_shingle_hashes(rt, "content", _K).select(
+                F.col("uid").alias("doc_id"), "shingle_hashes"
+            )
+        return _memo(spark, sf_dir, "unit3_shingles", build)
+
+    def _unit_pairs_to_shas(
+        spark: SparkSession, sf_dir: str, pairs: DataFrame
+    ) -> DataFrame:
+        reps = _unit_reps(spark, sf_dir)
         ma = reps.select(F.col("uid").alias("doc_a"), F.col("unit_sha").alias("sha_a"))
         mb = reps.select(F.col("uid").alias("doc_b"), F.col("unit_sha").alias("sha_b"))
         return (
@@ -1418,7 +1429,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("sha_a", "sha_b")
             .orderBy("sha_a", "sha_b")
         )
+
+    def unit_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.ngram import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(
+            _unit_rep_shingles(spark, sf_dir), _J, id_col="doc_id"
+        )
+        return _unit_pairs_to_shas(spark, sf_dir, pairs)
     q["unit_neardup_pairs"] = unit_neardup_pairs
+
+    # --- the 10¹²-unit SCALE twin: the same salted MinHash+LSH+verify
+    #     machinery the document pipeline runs, applied to unit
+    #     representatives. verify computes EXACT Jaccard on candidates, so
+    #     the result equals the exact query whenever banding recall is 1 on
+    #     this corpus — which is precisely what sharing the exact twin's
+    #     value oracle asserts every round (the neardup_pairs_minhash /
+    #     ivf_stored precedent: a missed band pair = a red driver row).
+    def unit_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
+        sh = _unit_rep_shingles(spark, sf_dir)
+        sig = with_band_hashes(minhash_sql(sh, cfg), cfg)
+        bands = band_keys(sig, cfg, id_col="doc_id")
+        pairs = candidate_pairs(
+            bands, cfg, ids=sig.select(F.col("doc_id").alias("id"))
+        )
+        verified = verify_pairs(pairs, sh, _J, id_col="doc_id").select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        return _unit_pairs_to_shas(spark, sf_dir, verified)
+    q["unit_neardup_pairs_lsh"] = unit_neardup_pairs_lsh
 
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
@@ -3842,6 +3882,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN rt rb ON rb.uid = ub
         ORDER BY sha_a, sha_b
     """
+    # the LSH scale twin verifies candidates with EXACT Jaccard, so it
+    # must reproduce the exact answer — shared oracle (the
+    # neardup_pairs_minhash precedent)
+    o["unit_neardup_pairs_lsh"] = o["unit_neardup_pairs"]
     o["source_clone_ratio"] = rf"""
         WITH {_units_sql(_UCORP_SQL)},
         dup AS (SELECT unit_sha FROM units

@@ -547,6 +547,7 @@ def main() -> None:
         "code_unit_clones_normalized",
         "source_clone_ratio",
         "unit_neardup_pairs",
+        "unit_neardup_pairs_lsh",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)
