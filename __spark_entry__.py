@@ -1460,6 +1460,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _unit_pairs_to_shas(spark, sf_dir, verified)
     q["unit_neardup_pairs_lsh"] = unit_neardup_pairs_lsh
 
+    # --- cost-routed twin (planner.choose_jaccard_pairs): corpus stats
+    #     (n reps, mean shingles, occurrence-weighted shingle DF — the
+    #     Zipf-head term that makes uncapped exact quadratic) feed the
+    #     chooser; both branches return the identical answer, so the
+    #     routed query shares the same oracle (the
+    #     embedding_neardup_pairs_auto precedent).
+    def unit_neardup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.planner import choose_jaccard_pairs
+
+        sh = _unit_rep_shingles(spark, sf_dir)
+        stats = (
+            sh.select(F.explode("shingle_hashes").alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                (F.sum(F.col("df") * F.col("df")) / F.sum("df")).alias("occ_df"),
+                F.sum("df").alias("occ"),
+                F.count(F.lit(1)).alias("vocab"),
+            )
+            .collect()[0]
+        )
+        n = sh.count()
+        dec = choose_jaccard_pairs(
+            n, stats.occ / max(n, 1), _J, mean_df=stats.occ_df
+        )
+        if dec.strategy == "minhash_lsh":
+            return unit_neardup_pairs_lsh(spark, sf_dir)
+        return unit_neardup_pairs(spark, sf_dir)
+    q["unit_neardup_pairs_auto"] = unit_neardup_pairs_auto
+
     # --- round-4 capstone composition: repetition gate → fuzzy decontam →
     #     exact collapse → stratified leak-bounded split → per-(lang,split)
     #     release accounting. The third "does it compose" proof next to
@@ -3886,6 +3916,8 @@ def oracle_sql() -> dict[str, str]:
     # must reproduce the exact answer — shared oracle (the
     # neardup_pairs_minhash precedent)
     o["unit_neardup_pairs_lsh"] = o["unit_neardup_pairs"]
+    # routing never changes the answer — the auto twin shares it too
+    o["unit_neardup_pairs_auto"] = o["unit_neardup_pairs"]
     o["source_clone_ratio"] = rf"""
         WITH {_units_sql(_UCORP_SQL)},
         dup AS (SELECT unit_sha FROM units

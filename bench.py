@@ -548,6 +548,7 @@ def main() -> None:
         "source_clone_ratio",
         "unit_neardup_pairs",
         "unit_neardup_pairs_lsh",
+        "unit_neardup_pairs_auto",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

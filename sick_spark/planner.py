@@ -181,6 +181,60 @@ def choose_topk(
     return Decision("brute", {}, cost)
 
 
+def choose_jaccard_pairs(
+    n: int,
+    mean_shingles: float,
+    threshold: float,
+    mean_df: float = 4.0,
+    j_background: float = 0.02,
+    config: "DedupConfig | None" = None,
+) -> Decision:
+    """Route all-pairs Jaccard >= threshold over shingle sets: the
+    set-similarity sibling of :func:`choose_pairs` (same currency: one
+    shingle-hash comparison = 1; one shuffled row = RHO).
+
+    * ``exact_ngram`` (:func:`sick_spark.operators.ngram
+      .ngram_jaccard_pairs`): shuffle the exploded shingles (n·s rows)
+      and pay the per-shingle self-join fan-out ≈ n·s·mean_df
+      comparisons — ``mean_df`` is the mean document frequency per
+      shingle, the knob a Zipfian hot head inflates (the module's own
+      docs call uncapped exact "sf-small oracle mode" for exactly this
+      term).
+    * ``minhash_lsh`` (the pipeline machinery): shuffle n·bands band
+      keys, verify ~C(n,2)·P_bg candidate pairs at s comparisons each,
+      where P_bg = 1-(1-j_bg^r)^b is the S-curve at the BACKGROUND
+      similarity — the derived (bands, rows) come from the same
+      ``DedupConfig`` the strategy itself uses (derive, don't ask).
+      Signature cost n·sig_len rides the same corpus scan (map-side ALU,
+      counted at 1 per hash). ``j_background`` defaults to 0.02 — the
+      random-pair Jaccard of independent web documents is well under
+      this; a corpus with genuinely high background similarity (shared
+      boilerplate) inflates P_bg honestly and pushes the decision back
+      toward exact, which is the right call there (LSH buckets would be
+      hot anyway).
+
+    ``analytic_recall_met`` reports whether the S-curve at the THRESHOLD
+    reaches the config's target recall; the routed query's exact-verify
+    + shared value oracle is the operational gate on top.
+    """
+    from sick_spark.config import DedupConfig
+
+    cfg = config or DedupConfig(jaccard_threshold=threshold)
+    if n <= 1:
+        return Decision("exact_ngram", {}, {"exact_ngram": 0.0, "minhash_lsh": 0.0})
+    s = max(1.0, mean_shingles)
+    pairs = n * (n - 1) / 2.0
+    cost_exact = n * s * RHO + n * s * max(1.0, mean_df)
+    p_bg = 1.0 - (1.0 - j_background ** cfg.rows) ** cfg.bands
+    cost_lsh = n * cfg.sig_len + n * cfg.bands * RHO + pairs * p_bg * s
+    recall_met = cfg.expected_recall(threshold) >= cfg.target_recall
+    params = {"bands": cfg.bands, "rows": cfg.rows, "sig_len": cfg.sig_len}
+    cost = {"exact_ngram": cost_exact, "minhash_lsh": cost_lsh}
+    if cost_lsh < cost_exact:
+        return Decision("minhash_lsh", params, cost, recall_met)
+    return Decision("exact_ngram", {}, cost, recall_met)
+
+
 def cosine_pairs_auto(
     df: DataFrame,
     threshold: float,

@@ -127,3 +127,20 @@ def test_auto_topk_matches_bruteforce_on_fixture(spark, sf_dir):
     }
     got = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
     assert got == want and len(got) == 30
+
+
+def test_choose_jaccard_pairs_routes_by_zipf_head():
+    from sick_spark.planner import choose_jaccard_pairs
+
+    # small clean corpus (low occurrence-weighted DF): exact all-pairs
+    d = choose_jaccard_pairs(600, 10.0, 0.5, mean_df=4.0)
+    assert d.strategy == "exact_ngram"
+    assert d.cost["exact_ngram"] < d.cost["minhash_lsh"]
+    # web-scale Zipf head (hot shingles shared by ~1e5 docs): LSH
+    d = choose_jaccard_pairs(10**8, 10.0, 0.5, mean_df=1e5)
+    assert d.strategy == "minhash_lsh"
+    assert d.params["bands"] > 0 and d.params["rows"] > 0
+    # the derived S-curve recall flag rides the decision
+    assert isinstance(d.analytic_recall_met, bool)
+    # degenerate corpus: exact, zero cost
+    assert choose_jaccard_pairs(1, 5.0, 0.5).strategy == "exact_ngram"
