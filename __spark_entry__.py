@@ -1394,12 +1394,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", content.alias("content"))
 
     def _unit_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.text import sha60
         from sick_spark.operators.codeunits import split_units
 
         def build() -> DataFrame:
             d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            # uid = portable sha60 of 'u:doc:unit' — collision-proof at any
+            # units-per-doc count (an arithmetic doc*K+unit key silently
+            # merges units past K, and a shared oracle replaying the same
+            # formula could never catch it)
             u = split_units(_unit_corpus3(d)).withColumn(
-                "uid", F.col("doc_id") * 1000 + F.col("unit_id")
+                "uid",
+                sha60(
+                    F.concat(
+                        F.lit("u:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("unit_id").cast("string"),
+                    )
+                ),
             )
             reps = u.groupBy("unit_sha").agg(F.min("uid").alias("uid"))
             return reps.join(
@@ -1470,22 +1483,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sick_spark.planner import choose_jaccard_pairs
 
         sh = _unit_rep_shingles(spark, sf_dir)
+        # one job: per-shingle DF table re-agged to (occurrence-weighted
+        # DF, total occurrences, n units) — nothing collected twice
         stats = (
-            sh.select(F.explode("shingle_hashes").alias("h"))
+            sh.select("doc_id", F.explode("shingle_hashes").alias("h"))
             .groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .agg(
                 (F.sum(F.col("df") * F.col("df")) / F.sum("df")).alias("occ_df"),
                 F.sum("df").alias("occ"),
-                F.count(F.lit(1)).alias("vocab"),
             )
             .collect()[0]
         )
         n = sh.count()
-        dec = choose_jaccard_pairs(
-            n, stats.occ / max(n, 1), _J, mean_df=stats.occ_df
-        )
+        if n <= 1 or stats.occ is None:
+            return unit_neardup_pairs(spark, sf_dir)
+        dec = choose_jaccard_pairs(n, stats.occ / n, _J, mean_df=stats.occ_df)
         if dec.strategy == "minhash_lsh":
+            # the output is CLAIMED exact (shared oracle): a cost-chosen
+            # LSH route that is analytically sub-target must refuse, not
+            # silently ship lower recall (the cosine_pairs_auto rule)
+            if not dec.analytic_recall_met:
+                raise ValueError(
+                    "LSH route chosen but the derived banding is analytically "
+                    f"below target recall at threshold {_J}: {dec}"
+                )
             return unit_neardup_pairs_lsh(spark, sf_dir)
         return unit_neardup_pairs(spark, sf_dir)
     q["unit_neardup_pairs_auto"] = unit_neardup_pairs_auto
@@ -3890,7 +3912,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["unit_neardup_pairs"] = rf"""
         WITH {_units_sql(_UCORP3_SQL)},
-        uu AS (SELECT doc_id * 1000 + unit_id AS uid, unit_sha, ut FROM units),
+        uu AS (SELECT CAST(CONCAT('0x', SUBSTR(sha256('u:' || CAST(doc_id AS VARCHAR) || ':' || CAST(unit_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uid,
+                      unit_sha, ut
+               FROM units),
         reps AS (SELECT unit_sha, MIN(uid) AS uid FROM uu GROUP BY unit_sha),
         rt AS (SELECT r.uid, r.unit_sha, u.ut FROM reps r JOIN uu u ON u.uid = r.uid),
         uw AS (SELECT uid, string_split_regex(trim(ut), '\s+') AS ws FROM rt),

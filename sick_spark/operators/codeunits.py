@@ -96,7 +96,10 @@ def split_units(
 
 
 def unit_clone_stats(
-    units: DataFrame, min_docs: int = 2, sha_col: str = "unit_sha"
+    units: DataFrame,
+    min_docs: int = 2,
+    sha_col: str = "unit_sha",
+    doc_id: str = "doc_id",
 ) -> DataFrame:
     """``(<sha_col>, n_docs, n_occurrences, n_lines)`` for units cloned
     across at least ``min_docs`` files — the function-level duplication
@@ -108,7 +111,7 @@ def unit_clone_stats(
     return (
         units.groupBy(sha_col)
         .agg(
-            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.count_distinct(F.col(doc_id)).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.max("n_lines").alias("n_lines"),
         )
@@ -121,6 +124,7 @@ def source_clone_ratio(
     units: DataFrame,
     doc_source: DataFrame,
     min_docs: int = 2,
+    doc_id: str = "doc_id",
 ) -> DataFrame:
     """Per-source vendored-code fraction: how many of a source's unit
     lines belong to units cloned across ≥ ``min_docs`` files anywhere in
@@ -132,11 +136,11 @@ def source_clone_ratio(
     once (IEEE-replayable)."""
     dup = (
         units.groupBy("unit_sha")
-        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .agg(F.count_distinct(F.col(doc_id)).alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("unit_sha")
     )
-    j = units.join(doc_source, "doc_id").join(
+    j = units.join(doc_source, doc_id).join(
         dup.withColumn("is_dup", F.lit(1)), "unit_sha", "left"
     )
     return (

@@ -91,8 +91,15 @@ def test_clone_stats_across_files(spark):
     assert len(f_rows) == 1 and f_rows[0].n_occurrences >= 3
     # the 'import os' preamble is a 2-doc clone
     assert any(r.n_docs == 2 for r in clones.values())
-    # unique g-units never appear
-    assert all(r.n_docs >= 2 for r in clones.values())
+    # unique g-units never surface: their SPECIFIC shas are absent from
+    # the clone report (not merely "every reported row has n_docs>=2",
+    # which the filter guarantees by construction)
+    g_shas = {
+        r.unit_sha
+        for r in units.collect()
+        if r.unit_text.startswith("def g")
+    }
+    assert g_shas and g_shas.isdisjoint(clones.keys())
 
 
 def test_normalized_sha_collapses_comment_variants(spark):
