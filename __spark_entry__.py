@@ -1225,6 +1225,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return import_stats(_code_corpus(d), min_docs=2)
     q["code_import_stats"] = code_import_stats
 
+    # --- per-language code datasheet: the release-accounting rollup for
+    #     a code corpus — volume, gate survival, license mix, dependency
+    #     surface — composed from the family's own signals in one pass
+    #     (the corpus_datasheet sibling, code-flavored).
+    def code_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codefilters import (
+            code_quality_flags,
+            extract_imports,
+            license_family,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cc = _code_corpus(d)
+        fl = code_quality_flags(cc).withColumn(
+            "family", license_family("content")
+        )
+        base = fl.groupBy("code_lang").agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum((~F.col("drop")).cast("long")).alias("kept"),
+            F.sum((F.col("family") == "permissive").cast("long")).alias(
+                "permissive_files"
+            ),
+            F.sum("n_chars").alias("chars"),
+        )
+        mods = (
+            extract_imports(cc)
+            .groupBy("code_lang")
+            .agg(F.count_distinct("module").alias("n_modules"))
+        )
+        return (
+            base.join(mods, "code_lang", "left")
+            .select(
+                "code_lang",
+                "files",
+                "kept",
+                "permissive_files",
+                "chars",
+                F.coalesce("n_modules", F.lit(0)).alias("n_modules"),
+            )
+            .orderBy("code_lang")
+        )
+    q["code_corpus_datasheet"] = code_corpus_datasheet
+
     # --- fourth composition proof, code-flavored: Stack gates → license
     #     gate (permissive or unlicensed kept — the training-release rule)
     #     → normalize-before-intern collapse (comment/whitespace variants
@@ -3816,6 +3859,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT code_lang, module, COUNT(*) AS n_docs
         FROM imp GROUP BY code_lang, module
         HAVING COUNT(*) >= 2 ORDER BY code_lang, module
+    """
+    o["code_corpus_datasheet"] = rf"""
+        WITH {_CC_SQL}, {_CPROF_SQL}, {_CLIC_SQL},
+        fam AS (SELECT doc_id, code_lang, {_CFAM_SQL} AS family FROM lic),
+        base AS (SELECT g.code_lang, COUNT(*) AS files,
+                        CAST(SUM(CASE WHEN g.nf = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                        CAST(SUM(CASE WHEN f.family = 'permissive' THEN 1 ELSE 0 END) AS BIGINT) AS permissive_files,
+                        CAST(SUM(g.n_chars) AS BIGINT) AS chars
+                 FROM gates g JOIN fam f ON f.doc_id = g.doc_id
+                 GROUP BY g.code_lang),
+        imp AS ({_imp_sql("cc")}),
+        mods AS (SELECT code_lang, CAST(COUNT(DISTINCT module) AS BIGINT) AS n_modules
+                 FROM imp GROUP BY code_lang)
+        SELECT b.code_lang, b.files, b.kept, b.permissive_files, b.chars,
+               COALESCE(m.n_modules, 0) AS n_modules
+        FROM base b LEFT JOIN mods m USING (code_lang)
+        ORDER BY b.code_lang
     """
 
     # function-level units: a unit fixture replayed, then lines →

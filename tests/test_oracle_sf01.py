@@ -68,6 +68,7 @@ CHEAP = [
     "code_unit_clones_normalized",
     "source_clone_ratio",
     "unit_neardup_pairs",
+    "code_corpus_datasheet",
 ]
 
 pytestmark = pytest.mark.skipif(
