@@ -124,6 +124,31 @@ def test_ckpt_every_zero_disables_checkpointing(spark):
         pagerank(_edges_df(spark), ckpt_every=-1)
 
 
+def test_property_random_graphs_match_reference(spark):
+    """Randomized cross-validation (the hypothesis-style sweep, seeded
+    inline so each case is reproducible): arbitrary small weighted
+    digraphs — including self-loops, parallel edges, stars, cycles —
+    must match the independent reference exactly and respect the
+    mass-leak bound."""
+    import random
+
+    rng = random.Random(0xC0DE)
+    for case in range(12):
+        n_nodes = rng.randint(2, 7)
+        edges = [
+            (
+                f"n{rng.randrange(n_nodes)}",
+                f"n{rng.randrange(n_nodes)}",
+                rng.randint(1, 50),
+            )
+            for _ in range(rng.randint(1, 14))
+        ]
+        got = {r.node: r.rank for r in pagerank(_edges_df(spark, edges), n_iter=4).collect()}
+        want = ref_pagerank(edges, n_iter=4)
+        assert got == want, (case, edges)
+        assert sum(got.values()) <= TOTAL_MASS
+
+
 def test_zero_iterations_is_uniform(spark):
     got = {r.node: r.rank for r in pagerank(_edges_df(spark), n_iter=0).collect()}
     per = TOTAL_MASS // len(got)
