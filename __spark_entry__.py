@@ -1268,6 +1268,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["code_corpus_datasheet"] = code_corpus_datasheet
 
+    # --- declared-vs-detected language confusion matrix: mislabeled
+    #     files poison per-language stats and import grammars; the
+    #     keyword-scored detector and this rollup catch them. Import-
+    #     decorated fixture docs carry real signal; the rest read
+    #     'unknown' — exactly the honest shape of a content detector.
+    def code_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.operators.codefilters import lang_confusion
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return lang_confusion(_code_corpus(d))
+    q["code_lang_confusion"] = code_lang_confusion
+
     # --- fourth composition proof, code-flavored: Stack gates → license
     #     gate (permissive or unlicensed kept — the training-release rule)
     #     → normalize-before-intern collapse (comment/whitespace variants
@@ -3876,6 +3888,38 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(m.n_modules, 0) AS n_modules
         FROM base b LEFT JOIN mods m USING (code_lang)
         ORDER BY b.code_lang
+    """
+
+    # language confusion: keyword scores generated from the SAME table
+    # the detector uses (single source of truth — drift impossible)
+    from sick_spark.operators.codefilters import (
+        CODE_LANG_KEYWORDS as _CLKW,
+        CODE_LANG_PRIORITY as _CLP,
+    )
+
+    def _kwscore_sql(kws: tuple[str, ...]) -> str:
+        return " + ".join(
+            f"(length(content) - length(replace(content, '{_q(kw)}', ''))) // {len(kw)}"
+            for kw in kws
+        )
+
+    _CLS = {lg: _kwscore_sql(kws) for lg, kws in _CLKW.items()}
+    _pred_cases = []
+    for i, lg in enumerate(_CLP):
+        conds = [f"s_{lg} > 0"]
+        conds += [f"s_{lg} >= s_{o}" for o in _CLP[i + 1:]]
+        conds += [f"s_{lg} > s_{o}" for o in _CLP[:i]]
+        _pred_cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    o["code_lang_confusion"] = rf"""
+        WITH {_CC_SQL},
+        scores AS (SELECT code_lang,
+                          {", ".join(f"{sql} AS s_{lg}" for lg, sql in _CLS.items())}
+                   FROM cc),
+        pred AS (SELECT code_lang,
+                        CASE {' '.join(_pred_cases)} ELSE 'unknown' END AS lang_pred
+                 FROM scores)
+        SELECT code_lang, lang_pred, COUNT(*) AS n_docs
+        FROM pred GROUP BY code_lang, lang_pred ORDER BY code_lang, lang_pred
     """
 
     # function-level units: a unit fixture replayed, then lines →

@@ -69,6 +69,7 @@ CHEAP = [
     "source_clone_ratio",
     "unit_neardup_pairs",
     "code_corpus_datasheet",
+    "code_lang_confusion",
 ]
 
 pytestmark = pytest.mark.skipif(
