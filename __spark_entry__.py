@@ -1528,6 +1528,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _unit_pairs_to_shas(spark, sf_dir, verified)
     q["unit_neardup_pairs_lsh"] = unit_neardup_pairs_lsh
 
+    # --- incremental clone ingest at unit granularity: which GENUINELY
+    #     NEW units (delta docs doc_id%5==0, minus unit shas the index
+    #     already holds — exact hits are the warehouse's job) are
+    #     near-dups of indexed units? Same delta-broadcast neardup_matches
+    #     primitive as the document loop, identities = unit shas — the
+    #     content-addressed ref applied one level down.
+    def incremental_unit_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sick_spark.functions.text import with_token_shingle_hashes
+        from sick_spark.operators.codeunits import split_units
+        from sick_spark.operators.lsh import neardup_matches
+
+        cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
+        # checkpoint the units frame: three consumers (delta/index/texts)
+        # would otherwise each carry the explode+window+reassembly subtree,
+        # and the composite self-joined plan chokes the optimizer
+        u = _memo(
+            spark,
+            sf_dir,
+            "unit3_units",
+            lambda: split_units(
+                _unit_corpus3(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            ),
+        )
+        delta = u.where(F.col("doc_id") % 5 == 0).select("unit_sha").distinct()
+        index = u.where(F.col("doc_id") % 5 != 0).select("unit_sha").distinct()
+        new = delta.join(index, "unit_sha", "left_anti")
+        texts = u.groupBy("unit_sha").agg(F.min("unit_text").alias("content"))
+
+        def sigs(shas: DataFrame) -> DataFrame:
+            rt = shas.join(texts, "unit_sha")
+            sh = with_token_shingle_hashes(rt, "content", _K).select(
+                F.col("unit_sha").alias("sha"), "shingle_hashes"
+            )
+            # eager checkpoint: neardup_matches references each side's
+            # subtree several times (band explode, broadcast, verify) and
+            # the un-cut composite plan chokes the optimizer — the same
+            # deployment shape as the pipeline's signature checkpoint
+            # stage (signatures are ALWAYS materialized before banding)
+            return with_band_hashes(minhash_sql(sh, cfg), cfg).localCheckpoint(
+                eager=True
+            )
+
+        m = neardup_matches(sigs(new), sigs(index), cfg)
+        return m.select(
+            F.col("new_sha").alias("new_unit"),
+            F.col("index_sha").alias("index_unit"),
+            "jaccard",
+        ).orderBy("new_unit", "index_unit")
+    q["incremental_unit_matches"] = incremental_unit_matches
+
     # --- cost-routed twin (planner.choose_jaccard_pairs): corpus stats
     #     (n reps, mean shingles, occurrence-weighted shingle DF — the
     #     Zipf-head term that makes uncapped exact quadratic) feed the
@@ -4046,6 +4096,38 @@ def oracle_sql() -> dict[str, str]:
     o["unit_neardup_pairs_lsh"] = o["unit_neardup_pairs"]
     # routing never changes the answer — the auto twin shares it too
     o["unit_neardup_pairs_auto"] = o["unit_neardup_pairs"]
+
+    # incremental unit ingest: exact cross-split Jaccard over distinct
+    # unit shingle sets (delta-only shas vs all indexed shas)
+    o["incremental_unit_matches"] = rf"""
+        WITH {_units_sql(_UCORP3_SQL)},
+        su AS (SELECT unit_sha, MIN(ut) AS ut,
+                      MAX(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS in_delta,
+                      MAX(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS in_index
+               FROM units GROUP BY unit_sha),
+        dl AS (SELECT unit_sha, ut FROM su WHERE in_delta = 1 AND in_index = 0),
+        ix AS (SELECT unit_sha, ut FROM su WHERE in_index = 1),
+        dsh AS (SELECT unit_sha,
+                       unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                             FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+                FROM (SELECT unit_sha, string_split_regex(trim(ut), '\s+') AS ws FROM dl)),
+        ish AS (SELECT unit_sha,
+                       unnest(list_distinct([array_to_string(list_slice(ws, i, i + 2), ' ')
+                                             FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])) AS s
+                FROM (SELECT unit_sha, string_split_regex(trim(ut), '\s+') AS ws FROM ix)),
+        dsz AS (SELECT unit_sha, count(*) AS n FROM dsh GROUP BY unit_sha),
+        isz AS (SELECT unit_sha, count(*) AS n FROM ish GROUP BY unit_sha),
+        inter AS (SELECT d.unit_sha AS nu, i.unit_sha AS iu, count(*) AS i
+                  FROM dsh d JOIN ish i ON d.s = i.s
+                  GROUP BY 1, 2)
+        SELECT nu AS new_unit, iu AS index_unit,
+               i * 1.0 / (x.n + y.n - i) AS jaccard
+        FROM inter
+        JOIN dsz x ON nu = x.unit_sha
+        JOIN isz y ON iu = y.unit_sha
+        WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
+        ORDER BY new_unit, index_unit
+    """
     o["source_clone_ratio"] = rf"""
         WITH {_units_sql(_UCORP_SQL)},
         dup AS (SELECT unit_sha FROM units

@@ -551,6 +551,7 @@ def main() -> None:
         "unit_neardup_pairs_auto",
         "code_corpus_datasheet",
         "code_lang_confusion",
+        "incremental_unit_matches",
     ):
         curation_times[name] = _best_of(lambda: _materialize(qs[name](spark, SF_DIR)))
     calib_end = calibration(spark)

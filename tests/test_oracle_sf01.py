@@ -70,6 +70,7 @@ CHEAP = [
     "unit_neardup_pairs",
     "code_corpus_datasheet",
     "code_lang_confusion",
+    "incremental_unit_matches",
 ]
 
 pytestmark = pytest.mark.skipif(
