@@ -147,6 +147,20 @@ def test_code_gates_are_shuffle_free_and_jvm_only(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
+def test_lang_confusion_is_one_agg_no_python(spark):
+    # keyword scoring + argmax + rollup: one projection into one
+    # map-side-combinable aggregate — no join, no Python, and only the
+    # aggregate's own exchange
+    from sick_spark.operators.codefilters import lang_confusion
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("lang").alias("code_lang"), F.col("text").alias("content")
+    )
+    p = plan_str(lang_confusion(docs))
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
 def test_unit_splitting_shares_one_exchange_class(spark):
     # lines → boundary cumsum (window) → reassembly (groupBy) both key on
     # doc_id: at most the two doc_id hash exchanges, no join, no Python
