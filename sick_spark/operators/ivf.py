@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from sick_spark.functions.vectors import cosine
+from sick_spark.functions.vectors import cosine_prenormed, norm
 
 
 def portable_id_hash(id_col: str) -> Column:
@@ -218,15 +218,26 @@ def ivf_topk_stored(
     index = (
         spark.read.parquet(path)
         .where(F.col("cell").isin(probe_cells))  # -> PartitionFilters
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec).alias("__cv"), "cell")
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec).alias("__cv"),
+            norm(vec).alias("__cn"),
+            "cell",
+        )
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("__qv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec).alias("__qv"),
+        norm(vec).alias("__qn"),
+    )
     scored = (
         F.broadcast(probes)
         .join(index, "cell")
         .join(F.broadcast(qv), "query_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("__qv", "__cv"))
+        # norms hoisted per-vector (bit-identical to cosine; each vector
+        # is scored against many counterparts)
+        .withColumn("cos", cosine_prenormed("__qv", "__cv", "__qn", "__cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -253,12 +264,16 @@ def ivf_topk(
     if refine_iters:
         cents = lloyd_refine(corpus, cents, refine_iters, vec)
     indexed = ivf_assign(corpus, cents, vec).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("__cv"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).alias("__cv"),
+        norm(vec).alias("__cn"),
+        "cell",
     )
     probe_udf = make_cell_udf(cents, nprobe)
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec).alias("__qv"),
+        norm(vec).alias("__qn"),
         F.explode(probe_udf(F.col(vec))).alias("cell"),
     )
     if broadcast_queries:
@@ -266,7 +281,8 @@ def ivf_topk(
     scored = (
         probed.join(indexed, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("__qv", "__cv"))
+        # norms hoisted per-vector (bit-identical; see cosine_prenormed)
+        .withColumn("cos", cosine_prenormed("__qv", "__cv", "__qn", "__cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

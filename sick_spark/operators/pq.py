@@ -406,12 +406,21 @@ def exact_rerank(
     """Exact cosine re-rank of a ``(query_id, neighbor_id)`` shortlist:
     C×|Q| rows — broadcast them against the corpus so only the shortlisted
     raw vectors are ever fetched. Shared by the flat-PQ and IVF-PQ paths."""
-    from sick_spark.functions.vectors import cosine
+    from sick_spark.functions.vectors import cosine_prenormed, norm
 
     cand = F.broadcast(cand.select("query_id", "neighbor_id"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec).alias("__cv"))
+    # norms hoisted per-vector (bit-identical; see cosine_prenormed)
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).alias("__cv"),
+        norm(vec).alias("__cn"),
+    )
     qv = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec).alias("__qv"),
+            norm(vec).alias("__qn"),
+        )
     )
     rw = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -419,7 +428,7 @@ def exact_rerank(
     return (
         cand.join(cv, "neighbor_id")
         .join(qv, "query_id")
-        .withColumn("cos", cosine("__qv", "__cv"))
+        .withColumn("cos", cosine_prenormed("__qv", "__cv", "__qn", "__cn"))
         .withColumn("rank", F.row_number().over(rw))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
