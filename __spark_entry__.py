@@ -3882,16 +3882,20 @@ def oracle_sql() -> dict[str, str]:
     _CPROF_SQL = r"""
         prof0 AS (
             SELECT doc_id, code_lang, content,
-                   CAST(length(content) AS BIGINT) AS n_chars,
-                   CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
-                   CAST(list_max(list_transform(string_split(content, chr(10)),
+                   CAST(length(pc) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(pc, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(list_max(list_transform(string_split(pc, chr(10)),
                                                 x -> length(x))) AS BIGINT) AS max_line_len,
-                   CAST(list_max(list_transform(string_split_regex(content, '[^A-Za-z0-9+/=]'),
+                   CAST(list_max(list_transform(string_split_regex(pc, '[^A-Za-z0-9+/=]'),
                                                 x -> length(x))) AS BIGINT) AS b64_run_max,
-                   length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
-                   regexp_matches(substr(content, 1, 1024),
+                   length(regexp_replace(pc, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+                   regexp_matches(substr(pc, 1, 1024),
                                   '(?i)(auto-?generated|do not edit|@generated|generated by)') AS autogen
-            FROM cc
+            -- profile stats over COALESCE(content, '') mirrors the
+            -- operator's NULL rule (codefilters._profile_cols coalesces);
+            -- the fixture never yields NULLs today, but the oracle must
+            -- stay a faithful replay if that changes
+            FROM (SELECT *, COALESCE(content, '') AS pc FROM cc)
         ),
         prof AS (
             SELECT doc_id, code_lang, n_chars, n_lines, max_line_len, b64_run_max, autogen,
@@ -3932,11 +3936,13 @@ def oracle_sql() -> dict[str, str]:
         ) ORDER BY gate
     """
     # spdx-first-then-phrases family rule, shared by license stats and the
-    # code release composition (expects columns `spdx` and `content`)
+    # code release composition (expects columns `spdx` and `content`).
+    # Families key on the id's FIRST dash-separated token (the operator's
+    # rule, codefilters.license_family) — not a raw prefix match
     _CFAM_SQL = r"""
-        CASE WHEN spdx LIKE 'MIT%' OR spdx LIKE 'Apache%' OR spdx LIKE 'BSD%'
-                  OR spdx LIKE 'ISC%' OR spdx LIKE 'Unlicense%' THEN 'permissive'
-             WHEN spdx LIKE 'GPL%' OR spdx LIKE 'AGPL%' OR spdx LIKE 'LGPL%' THEN 'copyleft'
+        CASE WHEN split_part(spdx, '-', 1) IN ('MIT', 'Apache', 'BSD', 'ISC', 'Unlicense')
+                  THEN 'permissive'
+             WHEN split_part(spdx, '-', 1) IN ('GPL', 'AGPL', 'LGPL') THEN 'copyleft'
              WHEN spdx <> '' THEN 'other'
              WHEN contains(content, 'Permission is hereby granted') THEN 'permissive'
              WHEN contains(content, 'Licensed under the Apache License') THEN 'permissive'

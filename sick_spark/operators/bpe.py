@@ -89,7 +89,13 @@ def train_bpe(
     ordered merge list (rank = position). Stops early when no pair
     occurs at least twice. Fully deterministic (count desc, then
     lexicographic pair asc) — the retry-stability contract every
-    derive-don't-ask config in this engine follows."""
+    derive-don't-ask config in this engine follows.
+
+    The over-limit guard collects ``limit(max_vocab_rows + 1)`` rows —
+    WHICH rows land in that over-limit sample is partition-order-dependent
+    on a non-deterministic source, but the pass/fail outcome is not: any
+    vocabulary larger than the bound raises, any within it trains on the
+    full (deterministic) table."""
     # one pass: limit(max+1) bounds BOTH the job and driver memory — no
     # separate count() scan (the collect IS the bound check)
     rows = wc.select(word, n).limit(max_vocab_rows + 1).collect()

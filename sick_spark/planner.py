@@ -68,6 +68,23 @@ RHO = 100.0
 #: block-grid row target of cosine_pairs_blocked (operators/ann.py)
 PAIRS_BLOCK = 8192
 
+#: fixed cost of one job/shuffle stage boundary (scheduler latency, task
+#: launch, AQE re-plan), in currency units. CALIBRATED from the measured
+#: r5 fixture walls of the unit-clone pair (see test_planner): at sf0.01
+#: and sf0.1 the LSH route ran 0.55 s / 0.64 s of CONSTANT overhead above
+#: exact while the variable-cost model favored LSH — ~3.5e6 units/stage at
+#: the ~23e6 units/sec the same box sustains on the exact plan's ALU work.
+#: This term is what makes the router honest at SMALL n: the scale terms
+#: dwarf it beyond ~10^4 docs, so web-scale routing is unchanged.
+JOB_OVERHEAD = 3.5e6
+
+#: shuffle/job stage counts per strategy (plan-shape constants): exact
+#: pair modes run ~2 boundaries (explode/grid shuffle + join); the LSH
+#: modes run ~6 (signature/index materialization, band/bucket explode,
+#: bucket join, candidate dedup, verify/vector join, output).
+EXACT_PAIRS_STAGES = 2
+LSH_PAIRS_STAGES = 6
+
 
 @dataclass(frozen=True)
 class Decision:
@@ -114,9 +131,11 @@ def choose_pairs(
     pairs = n * (n - 1) / 2.0
     keys = 1 + n_probes
     n_blocks = max(1, -(-n // PAIRS_BLOCK))
-    cost_exact = n * n_blocks * RHO + pairs
+    cost_exact = n * n_blocks * RHO + pairs + EXACT_PAIRS_STAGES * JOB_OVERHEAD
     collide = min(1.0, n_tables * keys / float(2 ** n_bits))
-    cost_lsh = n * n_tables * keys * RHO + pairs * collide
+    cost_lsh = (
+        n * n_tables * keys * RHO + pairs * collide + LSH_PAIRS_STAGES * JOB_OVERHEAD
+    )
 
     params = {"n_bits": n_bits, "n_tables": n_tables, "n_probes": n_probes}
     cost = {"exact": cost_exact, "lsh": cost_lsh}
@@ -216,6 +235,13 @@ def choose_jaccard_pairs(
     ``analytic_recall_met`` reports whether the S-curve at the THRESHOLD
     reaches the config's target recall; the routed query's exact-verify
     + shared value oracle is the operational gate on top.
+
+    Both strategies carry their stage-count × :data:`JOB_OVERHEAD` fixed
+    term — without it the model routed the unit-clone fixture corpus
+    (n≈500–5000) to LSH while the measured walls favored exact at both
+    scales (r5: 0.62 s vs 1.17 s at sf0.01, 1.32 s vs 1.42 s at sf0.1,
+    warm best-of-2); the term is dwarfed by the scale terms past ~10⁴
+    docs, so web-scale routing is unchanged.
     """
     from sick_spark.config import DedupConfig
 
@@ -224,9 +250,16 @@ def choose_jaccard_pairs(
         return Decision("exact_ngram", {}, {"exact_ngram": 0.0, "minhash_lsh": 0.0})
     s = max(1.0, mean_shingles)
     pairs = n * (n - 1) / 2.0
-    cost_exact = n * s * RHO + n * s * max(1.0, mean_df)
+    cost_exact = (
+        n * s * RHO + n * s * max(1.0, mean_df) + EXACT_PAIRS_STAGES * JOB_OVERHEAD
+    )
     p_bg = 1.0 - (1.0 - j_background ** cfg.rows) ** cfg.bands
-    cost_lsh = n * cfg.sig_len + n * cfg.bands * RHO + pairs * p_bg * s
+    cost_lsh = (
+        n * cfg.sig_len
+        + n * cfg.bands * RHO
+        + pairs * p_bg * s
+        + LSH_PAIRS_STAGES * JOB_OVERHEAD
+    )
     recall_met = cfg.expected_recall(threshold) >= cfg.target_recall
     params = {"bands": cfg.bands, "rows": cfg.rows, "sig_len": cfg.sig_len}
     cost = {"exact_ngram": cost_exact, "minhash_lsh": cost_lsh}

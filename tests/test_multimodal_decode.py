@@ -12,16 +12,57 @@ import pytest
 
 from sick_spark.operators.multimodal import (
     decode_bmp24,
+    decode_image,
     decode_media_stats,
+    decode_png_rgb,
     decode_video_frames,
     decode_wav_pcm16,
     encode_bmp24,
+    encode_png_rgb,
     encode_video_frames,
     encode_wav_pcm16,
     resize_nearest,
     synthetic_media_from_documents,
     _synth_image,
 )
+
+
+def test_png_roundtrip_all_filters():
+    # >=5 rows so the encoder's y % 5 filter cycle covers None/Sub/Up/
+    # Average/Paeth — a bug in any single unfilter path flips exact bytes
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    payload = encode_png_rgb(img)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(decode_png_rgb(payload), img)
+
+
+def test_png_gradient_roundtrip():
+    # smooth gradient: Sub/Up/Average/Paeth residuals are small and highly
+    # compressible — the realistic case the filters exist for
+    img = _synth_image(4, 137)
+    assert np.array_equal(decode_png_rgb(encode_png_rgb(img)), img)
+
+
+def test_png_crc_verified():
+    img = np.zeros((6, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png_rgb(img))
+    payload[40] ^= 0xFF  # corrupt one IDAT byte, CRC now stale
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb(bytes(payload))
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_rgb(b"\x89PNX" + b"\x00" * 32)
+
+
+def test_decode_image_dispatches_on_magic():
+    img = _synth_image(7, 55)
+    assert np.array_equal(decode_image(encode_bmp24(img)), img)
+    assert np.array_equal(decode_image(encode_png_rgb(img)), img)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"JFIF....")
 
 
 def test_bmp_roundtrip_with_row_padding():

@@ -68,6 +68,11 @@ CHEAP = [
     "code_unit_clones_normalized",
     "source_clone_ratio",
     "unit_neardup_pairs",
+    # the LSH/auto twins share unit_neardup_pairs' exact oracle, so the
+    # banding-recall=1 assumption they rely on is value-checked at sf0.1
+    # too (a missed band pair at this scale = a loud red row here)
+    "unit_neardup_pairs_lsh",
+    "unit_neardup_pairs_auto",
     "code_corpus_datasheet",
     "code_lang_confusion",
     "incremental_unit_matches",

@@ -144,3 +144,32 @@ def test_choose_jaccard_pairs_routes_by_zipf_head():
     assert isinstance(d.analytic_recall_met, bool)
     # degenerate corpus: exact, zero cost
     assert choose_jaccard_pairs(1, 5.0, 0.5).strategy == "exact_ngram"
+
+
+def test_choose_jaccard_pairs_empirical_crossover():
+    """Pin the router to the MEASURED-faster branch at both unit-clone
+    fixture scales — the empirical crossover, not just the analytic one.
+
+    r5 measurements (warm best-of-2, local[32], the corpus stats exactly
+    as unit_neardup_pairs_auto computes them):
+
+    ========  =====  =======  ========  ===========  ==========
+    sf_dir      n    shingles  occ_df    exact wall   LSH wall
+    ========  =====  =======  ========  ===========  ==========
+    sf0.01      532   52.199    2.759      0.62 s       1.17 s
+    sf0.1      5024   53.868   13.546      1.32 s       1.42 s
+    ========  =====  =======  ========  ===========  ==========
+
+    Exact won BOTH — the pre-r5 model (no fixed stage overhead) routed
+    LSH at both. If a cost-model change re-flips these while the walls
+    still favor exact, this test is the loud stop."""
+    from sick_spark.planner import choose_jaccard_pairs
+
+    d = choose_jaccard_pairs(532, 52.199, 0.5, mean_df=2.759)
+    assert d.strategy == "exact_ngram", d.cost
+    d = choose_jaccard_pairs(5024, 53.868, 0.5, mean_df=13.546)
+    assert d.strategy == "exact_ngram", d.cost
+    # the overhead term must NOT move web-scale routing (scale terms
+    # dominate past ~10^4 docs; a Zipf-head corpus still takes LSH)
+    d = choose_jaccard_pairs(10**8, 54.0, 0.5, mean_df=1e5)
+    assert d.strategy == "minhash_lsh", d.cost
