@@ -1674,11 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     deterministic sha60 Gumbel replay in DuckDB (the lmquality
     #     ln-boundary analysis applies, ~1e-9/bucket).
     def dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sick_spark.operators.dsir import (
-            dsir_log_ratios,
-            dsir_select,
-            dsir_weights,
-        )
+        from sick_spark.operators.dsir import dsir_resample_in_pool
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "lang", "text"
@@ -1690,10 +1686,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(" t"), F.col("lang"),
         )
         raw = d.select("doc_id", "lang", deco.alias("content"))
+        # in-pool target (a selected subset of raw): the single-feature-
+        # pass composition — identical math/oracle as the generic
+        # dsir_log_ratios -> dsir_weights -> dsir_select chain, one
+        # corpus-wide sha60 explode instead of three
         target = raw.where((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
-        ratios = dsir_log_ratios(target, raw, content="content", n=2)
-        wts = dsir_weights(raw, ratios, content="content", n=2)
-        return dsir_select(wts, k=100).orderBy("rank")
+        return dsir_resample_in_pool(
+            raw, target.select("doc_id"), k=100, content="content", n=2
+        ).orderBy("rank")
     q["dsir_selected"] = dsir_selected
 
     # --- dedup up to comments: every doc gets a comment-decorated twin

@@ -75,6 +75,24 @@ def hashed_features(
     return docs.select(*cols).where(F.col("b").isNotNull())
 
 
+def _ratios_from_counts(ct: DataFrame, cr: DataFrame, n_buckets: int) -> DataFrame:
+    """(b, lr_fp) from two bounded (≤ n_buckets rows) count tables; the
+    totals are read off THEM — no second full-corpus scan just to sum
+    gram counts. Shared by the two-corpus and the in-pool single-pass
+    entrypoints so the smoothing/rounding rule cannot drift."""
+    tot_t = ct.select(F.sum("ct")).first()[0] or 0
+    tot_r = cr.select(F.sum("cr")).first()[0] or 0
+    joined = ct.join(cr, "b", "full").select(
+        "b",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    lr = F.log((F.col("ct") + 1) / F.lit(float(tot_t + n_buckets))) - F.log(
+        (F.col("cr") + 1) / F.lit(float(tot_r + n_buckets))
+    )
+    return joined.select("b", F.round(lr * FP_SCALE).cast("long").alias("lr_fp"))
+
+
 def dsir_log_ratios(
     target: DataFrame,
     raw: DataFrame,
@@ -87,9 +105,7 @@ def dsir_log_ratios(
     ``lr = ln((c_t + 1)/(T + B)) - ln((c_r + 1)/(R + B))``. Buckets never
     seen in either corpus contribute ratio 0 by the same smoothing and are
     simply absent (the scorer's left join treats absent as 0)."""
-    # one feature pass per corpus: the bounded (≤ n_buckets rows) count
-    # tables are cut with a lazy localCheckpoint, then the totals are read
-    # off THEM — no second full-corpus scan just to sum gram counts
+    # one feature pass per corpus, count tables cut with a lazy checkpoint
     ct = (
         hashed_features(target, content, None, n, n_buckets)
         .groupBy("b")
@@ -102,17 +118,62 @@ def dsir_log_ratios(
         .agg(F.count(F.lit(1)).alias("cr"))
         .localCheckpoint(eager=False)
     )
-    tot_t = ct.select(F.sum("ct")).first()[0] or 0
-    tot_r = cr.select(F.sum("cr")).first()[0] or 0
-    joined = ct.join(cr, "b", "full").select(
-        "b",
-        F.coalesce("ct", F.lit(0)).alias("ct"),
-        F.coalesce("cr", F.lit(0)).alias("cr"),
+    return _ratios_from_counts(ct, cr, n_buckets)
+
+
+def dsir_resample_in_pool(
+    raw: DataFrame,
+    target_ids: DataFrame,
+    k: int,
+    content: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The composed DSIR pipeline for the IN-POOL target case (the target
+    corpus is a selected subset of the raw pool, identified by
+    ``target_ids``): identical math to ``dsir_log_ratios`` →
+    ``dsir_weights`` → ``dsir_select``, but the corpus-wide hashed-feature
+    explode — the expensive portable-sha60 pass — runs ONCE instead of
+    three times (target model, raw model, and scorer all read the same
+    lazily-checkpointed (id, b) frame; the target's counts come from a
+    broadcast semi-filter on its ids, raw counts from a re-agg). Use
+    :func:`dsir_log_ratios` directly when the target is a genuinely
+    separate corpus (the paper's Wikipedia-target setting).
+
+    ``target_ids`` is broadcast — the DSIR setting assumes a small
+    in-domain target against a web-scale pool, so its id set is the
+    classic broadcast dimension."""
+    feats = hashed_features(raw, content, id_col, n, n_buckets).localCheckpoint(
+        eager=False
     )
-    lr = F.log((F.col("ct") + 1) / F.lit(float(tot_t + n_buckets))) - F.log(
-        (F.col("cr") + 1) / F.lit(float(tot_r + n_buckets))
+    tids = target_ids.select(F.col(id_col).alias("id")).distinct()
+    ct = (
+        feats.join(F.broadcast(tids), "id")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=False)
     )
-    return joined.select("b", F.round(lr * FP_SCALE).cast("long").alias("lr_fp"))
+    cr = (
+        feats.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .localCheckpoint(eager=False)
+    )
+    ratios = _ratios_from_counts(ct, cr, n_buckets)
+    scored = feats.join(F.broadcast(ratios), "b", "left")
+    weights = (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce("lr_fp", F.lit(0))).alias("w_fp"),
+        )
+        .withColumn(
+            "avg_logratio",
+            F.col("w_fp") / F.col("n_feats") / F.lit(float(FP_SCALE)),
+        )
+    )
+    return dsir_select(weights, k, id_col, seed)
 
 
 def dsir_weights(

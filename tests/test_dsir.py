@@ -115,3 +115,26 @@ def test_scoring_uses_broadcast_not_shuffle_join(spark, fixture):
     smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert all("FullOuter" in ln for ln in smj_lines), smj_lines
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_resample_in_pool_equals_generic_chain(spark, fixture):
+    # the single-feature-pass composition must return EXACTLY what the
+    # three-pass generic chain returns when the target is an in-pool
+    # subset — same ratios, same weights, same Gumbel keys, same ranks
+    from sick_spark.operators.dsir import dsir_resample_in_pool
+
+    _, raw = fixture
+    target = raw.where(F.col("doc_id") < 120)  # half of domain A
+    ratios = dsir_log_ratios(target, raw, n_buckets=B)
+    wts = dsir_weights(raw, ratios, n_buckets=B)
+    generic = {
+        (r["doc_id"], r["w_fp"], r["key_fp"], r["rank"])
+        for r in dsir_select(wts, k=20).collect()
+    }
+    pooled = {
+        (r["doc_id"], r["w_fp"], r["key_fp"], r["rank"])
+        for r in dsir_resample_in_pool(
+            raw, target.select("doc_id"), k=20, n_buckets=B
+        ).collect()
+    }
+    assert generic == pooled
