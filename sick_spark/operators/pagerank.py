@@ -103,10 +103,16 @@ def pagerank(
         .groupBy("s", "t")
         .agg(F.sum("w").alias("w"))
     )
+    # nodes and the normalized edge shares are STATIC across iterations,
+    # but without a lineage cut every iteration's plan re-derives their
+    # whole upstream subtree (edge extraction, the two groupBys, the
+    # distinct) — n_iter times over. Lazy localCheckpoint materializes
+    # each once on first use; the count() below forces nodes immediately.
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("t").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
     # per-node share and the teleport base are driver-side scalars only in
@@ -119,8 +125,10 @@ def pagerank(
     base = ((100 - damping_pct) * per) // 100
     ranks = nodes.withColumn("r", F.lit(per).cast("long"))
     # normalized bounded shares, computed once — static across iterations
-    ew = e.join(outw, "s").select(
-        "s", "t", F.expr(f"(w * {WEIGHT_SCALE}L) div ow").alias("wn")
+    ew = (
+        e.join(outw, "s")
+        .select("s", "t", F.expr(f"(w * {WEIGHT_SCALE}L) div ow").alias("wn"))
+        .localCheckpoint(eager=False)
     )
     for i in range(n_iter):
         contrib = (
