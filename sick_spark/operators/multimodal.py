@@ -6,17 +6,19 @@ Two decode tiers:
 * :func:`decode_media_stats` — a REAL decode path for formats parseable
   with numpy + stdlib alone: uncompressed 24-bit BMP images (bottom-up
   rows, BGR, 4-byte row padding), 8-bit RGB PNG (zlib inflate, CRC-checked
-  chunk walk, full None/Sub/Up/Average/Paeth unfiltering), PCM16 mono WAV
-  (RIFF chunk walk), and a length-prefixed frame container for "video"
-  (concatenated BMP frames, sampled by stride). Includes a genuine
-  nearest-neighbor resize. Runs as one ``mapInPandas`` pass (Arrow
-  batches; pixel math is numpy-vectorized per payload).
+  chunk walk, full None/Sub/Up/Average/Paeth unfiltering), GIF87a/89a
+  (global/local color tables, extension skipping, growing-dictionary LZW
+  with 4096-reset, 4-pass de-interlacing), PCM16 mono WAV (RIFF chunk
+  walk), and a length-prefixed frame container for "video" (concatenated
+  BMP frames, sampled by stride). Includes a genuine nearest-neighbor
+  resize. Runs as one ``mapInPandas`` pass (Arrow batches; pixel math is
+  numpy-vectorized per payload).
 * :func:`decode_image_features` — the library-dependent tier (PIL /
   ffmpeg codecs are not in this container) stays STUBBED: it raises
   ``NotImplementedError`` unless ``deterministic_fake=True``, in which
   case features derive from the bytes' sha256 — stable, testable, and
   exercising the Spark plumbing (schema, batch shape, partitioning). With
-  PNG now real, the stub boundary is JPEG/GIF/real video codecs only.
+  PNG and GIF now real, the stub boundary is JPEG/real video codecs only.
 
 Reference parity: SICK treats every value as an opaque typed payload
 addressed by content hash (json-sick-scala ``RefTableBuilder``); the
@@ -299,15 +301,200 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the code width 9→12 bits,
+    resets at 4096 — the real algorithm, so round-trips exercise the
+    decoder's dictionary-growth and reset paths."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[tuple[int, ...], int]:
+        return {(i,): i for i in range(clear)}
+
+    width = min_code_size + 1
+    table = fresh()
+    next_code = end + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for px in indices.tolist():
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table, next_code, width = fresh(), end + 1, min_code_size + 1
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode` (codes packed LSB-first per GIF)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    acc = nbits = pos = 0
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return np.array(out[:n_pixels], dtype=np.int64)
+
+
+#: GIF interlace passes: (row offset, row step), in order
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(pixels: np.ndarray, interlaced: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real GIF89a (stdlib-only):
+    palette built from the image's distinct colors (GIF is indexed —
+    raises past 256), real growing-dictionary LZW, optional 4-pass
+    interlacing."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_gif expects (h, w, 3)")
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs an indexed palette; got {len(palette)} colors")
+    # palette size = 2^(n+1) entries; min LZW code size >= 2 per the spec
+    pal_bits = max(1, (len(palette) - 1).bit_length())
+    table = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    idx = inverse.reshape(h, w)
+    if interlaced:
+        order = [r for off, step in _GIF_INTERLACE for r in range(off, h, step)]
+        idx = idx[order]
+    min_code = max(2, pal_bits)
+    lzw = _lzw_encode(idx.reshape(-1), min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Parse a GIF87a/89a first frame into an (h, w, 3) uint8 array:
+    screen/image descriptors, global+local color tables, extension-block
+    skipping, growing-dictionary LZW, 4-pass de-interlacing."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            _left, _top, w, h, ipk = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+            if ipk & 0x40:  # de-interlace
+                order = [r for off, step in _GIF_INTERLACE for r in range(off, h, step)]
+                back = np.empty(h, dtype=np.int64)
+                back[np.array(order)] = np.arange(h)
+                idx = idx[back]
+            if idx.max() >= len(ct):
+                raise ValueError("GIF pixel index outside color table")
+            return ct[idx]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        continue
+    raise ValueError("GIF contains no image descriptor")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch over the REAL image codecs (BMP24 / PNG-RGB8).
-    The honest stub boundary (:func:`decode_image_features`) now starts
-    at formats genuinely needing PIL/ffmpeg (JPEG, GIF, video codecs)."""
+    """Magic-byte dispatch over the REAL image codecs (BMP24 / PNG-RGB8 /
+    GIF). The honest stub boundary (:func:`decode_image_features`) now
+    starts at formats genuinely needing PIL/ffmpeg (JPEG, video codecs)."""
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png_rgb(payload)
-    raise ValueError("unrecognized image payload (BMP24 and PNG-RGB8 supported)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    raise ValueError("unrecognized image payload (BMP24, PNG-RGB8, GIF supported)")
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -425,13 +612,22 @@ def _synth_payload(doc_id: int, n_chars: int) -> tuple[str, bytes]:
         samples = ((i * (seed + 13) + 7919) % 65536 - 32768).astype(np.int16)
         return "audio", encode_wav_pcm16(samples)
     if k == 1:
-        # container split: docs with doc_id % 3 == 1 have doc_id % 6 in
-        # {1, 4} — half BMP, half PNG. The oracle recomputes stats from
-        # the PIXEL formula, container-blind, so a bug in EITHER codec
-        # (header layout, row order, zlib framing, filter reconstruction)
-        # breaks the value match for exactly that half
+        # container split: docs with doc_id % 3 == 1 have doc_id % 12 in
+        # {1, 4, 7, 10} — BMP / PNG / GIF / interlaced GIF quarters. The
+        # oracle recomputes stats from the PIXEL formula, container-blind,
+        # so a bug in ANY codec (header layout, row order, zlib framing,
+        # filter reconstruction, LZW dictionary growth, de-interlacing)
+        # breaks the value match for exactly that quarter
         img = _synth_image(doc_id, n_chars)
-        enc = encode_png_rgb(img) if doc_id % 6 == 4 else encode_bmp24(img)
+        r = doc_id % 12
+        if r == 4:
+            enc = encode_png_rgb(img)
+        elif r == 7:
+            enc = encode_gif(img)
+        elif r == 10:
+            enc = encode_gif(img, interlaced=True)
+        else:
+            enc = encode_bmp24(img)
         return "image", enc
     return "video", encode_video_frames([_synth_image(doc_id, n_chars, f) for f in range(4)])
 

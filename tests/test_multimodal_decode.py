@@ -12,12 +12,14 @@ import pytest
 
 from sick_spark.operators.multimodal import (
     decode_bmp24,
+    decode_gif,
     decode_image,
     decode_media_stats,
     decode_png_rgb,
     decode_video_frames,
     decode_wav_pcm16,
     encode_bmp24,
+    encode_gif,
     encode_png_rgb,
     encode_video_frames,
     encode_wav_pcm16,
@@ -61,8 +63,51 @@ def test_decode_image_dispatches_on_magic():
     img = _synth_image(7, 55)
     assert np.array_equal(decode_image(encode_bmp24(img)), img)
     assert np.array_equal(decode_image(encode_png_rgb(img)), img)
+    assert np.array_equal(decode_image(encode_gif(img)), img)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"JFIF....")
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4, size=(9, 7, 3), dtype=np.uint8) * 60
+    for inter in (False, True):
+        payload = encode_gif(img, interlaced=inter)
+        assert payload[:6] == b"GIF89a"
+        assert np.array_equal(decode_gif(payload), img), f"interlaced={inter}"
+
+
+def test_gif_lzw_dictionary_growth_and_reset():
+    # >4096 dict entries forces the code-width ladder 9->12 AND a CLEAR
+    # reset mid-stream; 200 distinct colors keeps the palette legal
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, size=(100, 100), dtype=np.uint8)
+    img = np.stack([base, base // 2, base // 3], axis=-1).astype(np.uint8)
+    for inter in (False, True):
+        assert np.array_equal(decode_gif(encode_gif(img, interlaced=inter)), img)
+
+
+def test_gif_rejects_oversized_palette():
+    # 17x16x3 gradient with all-distinct colors exceeds 256
+    img = np.arange(17 * 16 * 3, dtype=np.int64).reshape(17, 16, 3) % 255
+    img[..., 0] = np.arange(17 * 16).reshape(17, 16) % 256
+    img[..., 1] = np.arange(17 * 16).reshape(17, 16) // 256
+    img[..., 2] = 7
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(img.astype(np.uint8))
+
+
+def test_gif_skips_extension_blocks():
+    # splice a graphics-control extension between the header and the
+    # image descriptor — the decoder must walk over it
+    img = _synth_image(10, 40)
+    payload = encode_gif(img)
+    # screen descriptor ends at 13; GCT = 2^(pal_bits) * 3 bytes
+    pal = 2 << (payload[10] & 0x07)
+    cut = 13 + pal * 3
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: 4-byte block + terminator
+    spliced = payload[:cut] + ext + payload[cut:]
+    assert np.array_equal(decode_gif(spliced), img)
 
 
 def test_bmp_roundtrip_with_row_padding():
