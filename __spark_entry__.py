@@ -866,11 +866,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     corpus-wide question with no pair enumeration. l=8 so the
     #     fixture's planted near-dup families produce real spans (sf0.01:
     #     ~1k duplicated grams across ~47 docs).
-    def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the three substrdup queries share this spans derivation exactly
+        # (same l/min_count/table) — memoized once per session like the
+        # unit3_* frames; the spans frame is small (one row per span)
         from sick_spark.operators.substrdup import duplicated_spans
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return duplicated_spans(d, l=8, min_count=2).orderBy("doc_id", "span_start")
+        def build() -> DataFrame:
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            return duplicated_spans(d, l=8, min_count=2)
+        return _memo(spark, sf_dir, "substr_spans", build)
+
+    def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _substr_spans(spark, sf_dir).orderBy("doc_id", "span_start")
     q["substring_dup_spans"] = substring_dup_spans
 
     # --- per-doc duplication profile over the same spans; zero-dup docs
@@ -879,7 +887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sick_spark.operators.substrdup import substring_dup_stats as _stats
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return _stats(d, l=8, min_count=2).orderBy("doc_id")
+        return _stats(
+            d, l=8, min_count=2, spans=_substr_spans(spark, sf_dir)
+        ).orderBy("doc_id")
     q["substring_dup_stats"] = substring_dup_stats
 
     # --- span excision: duplicated spans removed, survivors re-joined with
@@ -892,7 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return (
-            remove_duplicated_spans(d, l=8, min_count=2)
+            remove_duplicated_spans(
+                d, l=8, min_count=2, spans=_substr_spans(spark, sf_dir)
+            )
             .select(
                 "doc_id",
                 "n_tokens_kept",

@@ -217,11 +217,15 @@ def substring_dup_stats(
     l: int = 8,
     min_count: int = 2,
     portable: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplication profile: (id, n_tokens, n_dup_spans,
     n_dup_tokens, dup_frac). Zero-dup documents appear with zeros — the
-    clean tail is the product, not an absence."""
-    spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
+    clean tail is the product, not an absence. Pass a precomputed
+    ``spans`` frame (from :func:`duplicated_spans` with the same params)
+    to share the expensive gram pass across consumers."""
+    if spans is None:
+        spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum("span_tokens").alias("n_dup_tokens"),
@@ -254,6 +258,7 @@ def remove_duplicated_spans(
     min_count: int = 2,
     portable: bool = True,
     out: str = "clean_text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Documents with every duplicated span excised: survivors of the token
     array re-joined with single spaces, original order. Adds ``out`` and
@@ -261,6 +266,9 @@ def remove_duplicated_spans(
 
     The span list rides a per-document collect_list (bounded by tokens/l),
     is equi-joined back, and the excision is a map-side array ``filter`` —
-    the corpus itself never rides a wide exchange."""
-    spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
+    the corpus itself never rides a wide exchange. Pass a precomputed
+    ``spans`` frame (from :func:`duplicated_spans` with the same params)
+    to share the expensive gram pass across consumers."""
+    if spans is None:
+        spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
     return remove_spans(docs, spans, content, id_col, out)
