@@ -3904,7 +3904,8 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(substr(pc, 1, 1024),
                                   '(?i)(auto-?generated|do not edit|@generated|generated by)') AS autogen
             -- profile stats over COALESCE(content, '') mirrors the
-            -- operator's NULL rule (codefilters._profile_cols coalesces);
+            -- operator's NULL rule (codefilters.code_quality_flags
+            -- coalesces before profiling; _profile_cols itself does not);
             -- the fixture never yields NULLs today, but the oracle must
             -- stay a faithful replay if that changes
             FROM (SELECT *, COALESCE(content, '') AS pc FROM cc)

@@ -245,6 +245,10 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
     pos, idat, w, h = 8, [], None, None
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            # truncated or length-corrupted chunk: keep the module's
+            # corrupt-payload ValueError contract (never struct.error)
+            raise ValueError("PNG chunk truncated")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
@@ -260,10 +264,18 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
+            seen_iend = True
             break
         pos += 12 + ln
+    else:
+        seen_iend = False
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT chunk")
+    if not seen_iend:
+        # spec-strict, same discipline as the CRC check: a stream cut off
+        # before IEND is truncated even if the pixel data happens to be
+        # complete
+        raise ValueError("PNG missing IEND chunk (truncated stream)")
     raw = zlib.decompress(b"".join(idat))
     stride = w * 3
     if len(raw) != h * (1 + stride):
@@ -436,35 +448,62 @@ def decode_gif(payload: bytes) -> np.ndarray:
     skipping, growing-dictionary LZW, 4-pass de-interlacing."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+
+    def _byte(i: int) -> int:
+        # bounds-checked byte read: truncated payloads raise the module's
+        # corrupt-payload ValueError, never IndexError from inside a task
+        if i >= len(payload):
+            raise ValueError("GIF payload truncated")
+        return payload[i]
+
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + n * 3 > len(payload):
+            raise ValueError("GIF global color table truncated")
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos]:
-                pos += 1 + payload[pos]
+            while _byte(pos):
+                pos += 1 + _byte(pos)
             pos += 1
         elif b == 0x2C:
-            _left, _top, w, h, ipk = struct.unpack_from("<HHHHB", payload, pos + 1)
+            if pos + 10 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
+            left, top, w, h, ipk = struct.unpack_from("<HHHHB", payload, pos + 1)
+            # honesty over silent misplacement: optimized GIFs place a
+            # SUB-rectangle frame on the logical screen; this decoder
+            # returns the frame array only, so it refuses placements it
+            # would otherwise discard
+            if left or top or (w, h) != (sw, sh):
+                raise ValueError(
+                    f"unsupported GIF frame placement (left={left}, top={top}, "
+                    f"frame {w}x{h} on screen {sw}x{sh}); full-screen frames only"
+                )
             pos += 10
             ct = gct
             if ipk & 0x80:
                 n = 2 << (ipk & 0x07)
+                if pos + n * 3 > len(payload):
+                    raise ValueError("GIF local color table truncated")
                 ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
             if ct is None:
                 raise ValueError("GIF image has no color table")
-            min_code = payload[pos]
+            min_code = _byte(pos)
             pos += 1
             data = bytearray()
-            while payload[pos]:
+            while _byte(pos):
                 ln = payload[pos]
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("GIF image data sub-block truncated")
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
@@ -480,7 +519,6 @@ def decode_gif(payload: bytes) -> np.ndarray:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
-        continue
     raise ValueError("GIF contains no image descriptor")
 
 

@@ -221,9 +221,12 @@ def substring_dup_stats(
 ) -> DataFrame:
     """Per-document duplication profile: (id, n_tokens, n_dup_spans,
     n_dup_tokens, dup_frac). Zero-dup documents appear with zeros — the
-    clean tail is the product, not an absence. Pass a precomputed
-    ``spans`` frame (from :func:`duplicated_spans` with the same params)
-    to share the expensive gram pass across consumers."""
+    clean tail is the product, not an absence. Passing a precomputed
+    ``spans`` frame (to share the expensive gram pass across consumers)
+    makes ``content``/``l``/``min_count``/``portable`` inert for the span
+    derivation — the caller owns building it from :func:`duplicated_spans`
+    with the SAME params; nothing here can verify that, so a mismatched
+    frame silently yields that frame's semantics."""
     if spans is None:
         spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
     per_doc = spans.groupBy(id_col).agg(
@@ -266,9 +269,12 @@ def remove_duplicated_spans(
 
     The span list rides a per-document collect_list (bounded by tokens/l),
     is equi-joined back, and the excision is a map-side array ``filter`` —
-    the corpus itself never rides a wide exchange. Pass a precomputed
-    ``spans`` frame (from :func:`duplicated_spans` with the same params)
-    to share the expensive gram pass across consumers."""
+    the corpus itself never rides a wide exchange. Passing a precomputed
+    ``spans`` frame (to share the expensive gram pass across consumers)
+    makes ``content``/``l``/``min_count``/``portable`` inert for the span
+    derivation — the caller owns building it from :func:`duplicated_spans`
+    with the SAME params; nothing here can verify that, so a mismatched
+    frame silently yields that frame's semantics."""
     if spans is None:
         spans = duplicated_spans(docs, content, id_col, l, min_count, portable)
     return remove_spans(docs, spans, content, id_col, out)

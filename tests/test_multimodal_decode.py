@@ -208,3 +208,28 @@ def test_zero_frame_container_stats_clamped(spark):
     row = decode_media_stats(df).collect()[0]
     assert (row["width"], row["height"], row["n_vals"], row["sum_vals"],
             row["probe_val"], row["thumb_sum"]) == (0, 0, 0, 0, 0, 0)
+
+
+def test_truncated_payloads_raise_valueerror_not_indexerror():
+    # the corrupt-payload contract is ValueError for EVERY codec — a
+    # truncated byte stream must never leak struct.error/IndexError out
+    # of a mapInPandas task
+    img = _synth_image(6, 30)
+    png, gif = encode_png_rgb(img), encode_gif(img)
+    for payload in (png[: len(png) - 7], png[:20], gif[: len(gif) - 5], gif[:15]):
+        with pytest.raises(ValueError):
+            decode_image(bytes(payload))
+
+
+def test_gif_rejects_subrectangle_frames():
+    # optimized GIFs place sub-rectangle frames; this decoder returns the
+    # frame only, so it must refuse placements it would silently discard
+    import struct
+
+    img = _synth_image(8, 44)
+    payload = bytearray(encode_gif(img))
+    pal = 2 << (payload[10] & 0x07)
+    desc = 13 + pal * 3  # image descriptor offset
+    struct.pack_into("<HH", payload, desc + 1, 1, 0)  # left=1
+    with pytest.raises(ValueError, match="placement"):
+        decode_gif(bytes(payload))
