@@ -1,0 +1,451 @@
+"""Baseline JPEG (JFIF) codec — pure numpy + stdlib, no PIL.
+
+The last member of the real-image-codec family (``multimodal.py``: BMP24,
+PNG-RGB8, GIF): sequential baseline DCT JPEG, 3-component YCbCr 4:4:4
+(no chroma subsampling), standard Annex-K quantization and Huffman
+tables. Unlike its siblings it is LOSSY by design, so it cannot
+participate in the container-blind exact-integer stats oracle
+(``multimodal_decode_stats`` recomputes pixel formulas; DCT quantization
+rounding breaks equality) — its gate is the PSNR-bounded round-trip in
+``tests/test_jpeg.py`` plus structural decode checks. The Spark-side
+plumbing (mapInPandas decode, magic dispatch) is shared with the exact
+codecs via :func:`sick_spark.operators.multimodal.decode_image`.
+
+Scope (documented, spec-cited): baseline sequential DCT (SOF0), 8-bit
+samples, 1 or 3 components at 1x1 sampling, no restart intervals, no
+progressive/arithmetic modes. Out-of-scope shapes raise ``ValueError``
+(the module-wide corrupt/unsupported-payload contract).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (ITU T.81 Annex K) — the standard luminance/chrominance
+# quantization matrices and the typical Huffman tables
+# ---------------------------------------------------------------------------
+
+QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: zigzag order: ZIGZAG[i] = natural (row-major) index of the i-th
+#: zigzag-scanned coefficient (anti-diagonals, direction alternating —
+#: up-right on even diagonals, down-left on odd)
+ZIGZAG = np.array(
+    [
+        r * 8 + (d - r)
+        for d in range(15)
+        for r in (
+            range(min(d, 7), max(0, d - 7) - 1, -1)  # even d: bottom→top
+            if d % 2 == 0
+            else range(max(0, d - 7), min(d, 7) + 1)  # odd d: top→bottom
+        )
+    ],
+    dtype=np.int64,
+)
+
+# Annex K typical Huffman specs: (BITS counts per code length 1..16, values)
+DC_LUM_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROM_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUM_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROM_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """value → (code, n_bits) per T.81 Annex C canonical code assignment."""
+    counts, values = spec
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(spec: tuple[list[int], list[int]]) -> dict[tuple[int, int], int]:
+    """(n_bits, code) → value — inverse of :func:`_huff_codes`."""
+    return {(n, c): v for v, (c, n) in _huff_codes(spec).items()}
+
+
+#: DCT-II orthonormal basis matrix: X = D @ x @ D.T (x a level-shifted
+#: 8x8 block), inverse x = D.T @ X @ D
+_D = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8) if u == 0 else np.sqrt(2.0 / 8))
+            * np.cos((2 * xx + 1) * u * np.pi / 16)
+            for xx in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base table, clamped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((qt * s + 50) // 100, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy stream truncated at 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"unexpected JPEG marker 0xFF{nxt:02X} in scan")
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        out = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
+        return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) per T.81 F.1.2.1 (negative = one's-complement)."""
+    if v == 0:
+        return 0, 0
+    cat = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _extend(bits: int, cat: int) -> int:
+    """Inverse of :func:`_magnitude`."""
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 array as baseline JFIF (YCbCr 4:4:4)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3)")
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg needs a non-empty image")
+    qt_l = _quality_scale(QT_LUM, quality).reshape(8, 8)
+    qt_c = _quality_scale(QT_CHROM, quality).reshape(8, 8)
+    # edge-replicate pad to 8x8 multiples
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(pixels.astype(np.float64), ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+    dc_l, dc_c = _huff_codes(DC_LUM_SPEC), _huff_codes(DC_CHROM_SPEC)
+    ac_l, ac_c = _huff_codes(AC_LUM_SPEC), _huff_codes(AC_CHROM_SPEC)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    H, W = padded.shape[:2]
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            for comp in range(3):
+                qt = qt_l if comp == 0 else qt_c
+                dc_t = dc_l if comp == 0 else dc_c
+                ac_t = ac_l if comp == 0 else ac_c
+                block = ycc[by : by + 8, bx : bx + 8, comp] - 128.0
+                coef = _D @ block @ _D.T
+                q = np.round(coef / qt).astype(np.int64)
+                zz = q.reshape(-1)[ZIGZAG]
+                # DC: differential
+                diff = int(zz[0]) - prev_dc[comp]
+                prev_dc[comp] = int(zz[0])
+                cat, bits = _magnitude(diff)
+                code, n = dc_t[cat]
+                bw.write(code, n)
+                if cat:
+                    bw.write(bits, cat)
+                # AC: run-length of zeros + magnitude
+                run = 0
+                last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, n = ac_t[0xF0]  # ZRL
+                        bw.write(code, n)
+                        run -= 16
+                    cat, bits = _magnitude(v)
+                    code, n = ac_t[(run << 4) | cat]
+                    bw.write(code, n)
+                    bw.write(bits, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, n = ac_t[0x00]  # EOB
+                    bw.write(code, n)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec: tuple[list[int], list[int]]) -> bytes:
+        counts, values = spec
+        return bytes([tc << 4 | th]) + bytes(counts) + bytes(values)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qt_c.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0, 0, DC_LUM_SPEC))
+    out += seg(0xFFC4, dht(1, 0, AC_LUM_SPEC))
+    out += seg(0xFFC4, dht(0, 1, DC_CHROM_SPEC))
+    out += seg(0xFFC4, dht(1, 1, AC_CHROM_SPEC))
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JFIF (SOF0, 8-bit, 1 or 3 components at 1x1
+    sampling, no restart markers) to (h, w, 3) uint8."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dcs: dict[int, dict[tuple[int, int], int]] = {}
+    acs: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (component id, qt id)
+    scan_comps: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
+    scan_data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at {pos}")
+        marker = (payload[pos] << 8) | payload[pos + 1]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xFFDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = np.frombuffer(body, np.uint8, 64, bpos + 1)
+                qts[tq] = tab.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xFFC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                counts = list(body[bpos + 1 : bpos + 17])
+                nvals = sum(counts)
+                values = list(body[bpos + 17 : bpos + 17 + nvals])
+                (dcs if tc == 0 else acs)[th] = _huff_decode_table((counts, values))
+                bpos += 17 + nvals
+        elif marker == 0xFFC0:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if _prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+        elif marker == 0xFFDD:
+            raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            scan_data = payload[pos + 2 + ln :]
+            break
+        pos += 2 + ln
+    if h is None or scan_data is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    # strip the EOI from the entropy stream if present
+    eoi = scan_data.rfind(b"\xff\xd9")
+    if eoi != -1:
+        scan_data = scan_data[:eoi]
+    br = _BitReader(scan_data)
+
+    def read_huff(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for n in range(1, 17):
+            code = (code << 1) | br.read(1)
+            if (n, code) in table:
+                return table[(n, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    H, W = h + (-h % 8), w + (-w % 8)
+    nc = len(comps)
+    planes = np.zeros((nc, H, W), dtype=np.float64)
+    prev_dc = [0] * nc
+    qt_by_cid = dict(comps)
+    scan_by_cid = {cid: (dct, act) for cid, dct, act in scan_comps}
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            for ci, (cid, tq) in enumerate(comps):
+                dct_id, act_id = scan_by_cid[cid]
+                dc_tab, ac_tab = dcs[dct_id], acs[act_id]
+                zz = np.zeros(64, dtype=np.int64)
+                cat = read_huff(dc_tab)
+                diff = _extend(br.read(cat), cat) if cat else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = read_huff(ac_tab)
+                    run, cat = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient index overflow")
+                    zz[k] = _extend(br.read(cat), cat)
+                    k += 1
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = zz
+                coef = q.reshape(8, 8) * qts[qt_by_cid[cid]]
+                planes[ci, by : by + 8, bx : bx + 8] = _D.T @ coef @ _D + 128.0
+    if nc == 1:
+        gray = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return np.stack([gray] * 3, axis=-1)
+    ycc = np.stack([planes[0], planes[1], planes[2]], axis=-1)[:h, :w]
+    return _ycbcr_to_rgb(ycc)

@@ -10,15 +10,18 @@ Two decode tiers:
   (global/local color tables, extension skipping, growing-dictionary LZW
   with 4096-reset, 4-pass de-interlacing), PCM16 mono WAV (RIFF chunk
   walk), and a length-prefixed frame container for "video" (concatenated
-  BMP frames, sampled by stride). Includes a genuine nearest-neighbor
-  resize. Runs as one ``mapInPandas`` pass (Arrow batches; pixel math is
-  numpy-vectorized per payload).
+  BMP frames, sampled by stride). Baseline JPEG (DCT + Huffman,
+  ``operators/jpeg.py``) joins via :func:`decode_image` — lossy, so it is
+  PSNR-gated in pytest rather than exact-integer-oracled. Includes a
+  genuine nearest-neighbor resize. Runs as one ``mapInPandas`` pass
+  (Arrow batches; pixel math is numpy-vectorized per payload).
 * :func:`decode_image_features` — the library-dependent tier (PIL /
   ffmpeg codecs are not in this container) stays STUBBED: it raises
   ``NotImplementedError`` unless ``deterministic_fake=True``, in which
   case features derive from the bytes' sha256 — stable, testable, and
   exercising the Spark plumbing (schema, batch shape, partitioning). With
-  PNG and GIF now real, the stub boundary is JPEG/real video codecs only.
+  PNG, GIF and baseline JPEG now real, the stub boundary is real video
+  codecs (and non-baseline JPEG modes) only.
 
 Reference parity: SICK treats every value as an opaque typed payload
 addressed by content hash (json-sick-scala ``RefTableBuilder``); the
@@ -524,15 +527,23 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch over the REAL image codecs (BMP24 / PNG-RGB8 /
-    GIF). The honest stub boundary (:func:`decode_image_features`) now
-    starts at formats genuinely needing PIL/ffmpeg (JPEG, video codecs)."""
+    GIF / baseline JPEG). The honest stub boundary
+    (:func:`decode_image_features`) now starts at formats genuinely
+    needing ffmpeg-class decoders (real video codecs) plus the JPEG
+    variants outside baseline 4:4:4 (progressive, subsampled)."""
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png_rgb(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
-    raise ValueError("unrecognized image payload (BMP24, PNG-RGB8, GIF supported)")
+    if payload[:2] == b"\xff\xd8":
+        from sick_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unrecognized image payload (BMP24, PNG-RGB8, GIF, JPEG supported)"
+    )
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:

@@ -1,0 +1,95 @@
+"""Baseline JPEG codec (operators/jpeg.py): PSNR-gated round-trips (the
+codec is lossy by design, so its gate is fidelity bounds + structural
+checks, not the exact-integer oracle the BMP/PNG/GIF codecs share),
+entropy-coding edge cases, and the unsupported-shape error contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sick_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    _extend,
+    _magnitude,
+)
+from sick_spark.operators.multimodal import _synth_image, decode_image
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else float(10 * np.log10(255**2 / mse))
+
+
+def test_zigzag_is_the_standard_scan():
+    assert ZIGZAG[:16].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_magnitude_extend_inverse():
+    for v in (-255, -128, -17, -1, 0, 1, 2, 63, 128, 1023):
+        cat, bits = _magnitude(v)
+        assert _extend(bits, cat) == v
+
+
+def test_flat_image_roundtrips_exactly():
+    # a constant block has one DC coefficient and zero ACs — quantization
+    # cannot lose anything
+    flat = np.full((24, 40, 3), 137, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=90)), flat)
+
+
+def test_gradient_high_fidelity():
+    x = np.arange(64, dtype=np.float64)
+    img = np.clip(x[:, None] * 2 + x[None, :] * 3, 0, 255)
+    img = np.repeat(img[..., None], 3, axis=-1).astype(np.uint8)
+    assert _psnr(img, decode_jpeg(encode_jpeg(img, quality=90))) > 45.0
+
+
+def test_noise_odd_dims_pad_and_crop():
+    # worst-case content at odd (non-multiple-of-8) dims: exercises edge
+    # replication padding on encode and the crop on decode
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert dec.shape == noise.shape
+    assert _psnr(noise, dec) > 30.0
+
+
+def test_synth_fixture_roundtrip_bound():
+    g = _synth_image(7, 300)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == g.shape
+    assert _psnr(g, dec) > 25.0
+
+
+def test_quality_ladder_is_monotone_in_size_and_fidelity():
+    g = _synth_image(11, 500)
+    sizes, fids = [], []
+    for q in (30, 70, 95):
+        payload = encode_jpeg(g, quality=q)
+        sizes.append(len(payload))
+        fids.append(_psnr(g, decode_jpeg(payload)))
+    assert sizes == sorted(sizes)
+    assert fids == sorted(fids)
+
+
+def test_decode_image_dispatches_jpeg():
+    g = _synth_image(4, 80)
+    dec = decode_image(encode_jpeg(g, quality=95))
+    assert dec.shape == g.shape
+
+
+def test_truncated_scan_raises_valueerror():
+    payload = encode_jpeg(_synth_image(3, 120), quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 2])
+
+
+def test_rejects_non_jpeg_and_bad_quality():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), quality=0)
